@@ -1,0 +1,97 @@
+"""Pure-Python search oracle (SURVEY.md §5.2): the pinned rank/score
+reference for every fixture query. Independent of Spark — plain dicts +
+math.log — mirroring the pinned semantics documented in
+fugu_spark.search (boolean combine, phrase idf-sum, tie-break)."""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+from fugu_spark.bm25 import bm25_py, idf_py
+from fugu_spark.queryparse import parse_query
+from fugu_spark.tokenizer import DEFAULT_MODE, tokenize_py
+
+
+class PyIndex:
+    def __init__(self, docs: dict[int, str], mode: str = DEFAULT_MODE):
+        self.mode = mode
+        self.postings: dict[str, dict[int, list[int]]] = defaultdict(dict)
+        self.doc_len: dict[int, int] = {}
+        for doc_id, text in docs.items():
+            toks = tokenize_py(text, mode)
+            self.doc_len[doc_id] = len(toks)
+            for term, pos in toks:
+                self.postings[term].setdefault(doc_id, []).append(pos)
+        self.n_docs = len(docs)
+        total = sum(self.doc_len.values())
+        self.avgdl = total / self.n_docs if self.n_docs else 0.0
+
+    def df(self, term: str) -> int:
+        return len(self.postings.get(term, {}))
+
+    def term_scores(self, term: str, boost: float = 1.0, k1=1.2, b=0.75) -> dict[int, float]:
+        out = {}
+        df = self.df(term)
+        if df == 0:
+            return out
+        for doc_id, positions in self.postings[term].items():
+            out[doc_id] = boost * bm25_py(
+                len(positions), df, self.doc_len[doc_id], self.n_docs, self.avgdl, k1, b
+            )
+        return out
+
+    def phrase_scores(self, terms, boost: float = 1.0, k1=1.2, b=0.75) -> dict[int, float]:
+        if any(self.df(t) == 0 for t in terms):
+            return {}
+        idf_sum = sum(idf_py(self.df(t), self.n_docs) for t in terms)
+        out = {}
+        docs = set(self.postings[terms[0]])
+        for t in terms[1:]:
+            docs &= set(self.postings[t])
+        for doc_id in docs:
+            cur = set(self.postings[terms[0]][doc_id])
+            for t in terms[1:]:
+                cur = {p + 1 for p in cur} & set(self.postings[t][doc_id])
+            tfp = len(cur)
+            if tfp == 0:
+                continue
+            dl = self.doc_len[doc_id]
+            norm = k1 * (1.0 - b + b * dl / self.avgdl)
+            out[doc_id] = boost * idf_sum * tfp * (k1 + 1.0) / (tfp + norm)
+        return out
+
+    def search(self, query: str | None, k: int = 10, k1=1.2, b=0.75):
+        plan = parse_query(query, mode=self.mode)
+        if plan.is_all:
+            scored = {d: 1.0 for d in self.doc_len}
+            return sorted(scored.items(), key=lambda x: (-x[1], x[0]))[:k]
+        leaf_maps = []
+        for leaf in plan.leaves:
+            if leaf.is_phrase:
+                leaf_maps.append(self.phrase_scores(leaf.terms, leaf.boost, k1, b))
+            else:
+                leaf_maps.append(self.term_scores(leaf.terms[0], leaf.boost, k1, b))
+        musts, must_nots = set(plan.musts), set(plan.must_nots)
+        positive = [i for i in range(len(plan.leaves)) if i not in must_nots]
+        excluded = set()
+        for i in must_nots:
+            excluded |= set(leaf_maps[i])
+        if not positive:
+            scored = {d: 1.0 for d in self.doc_len if d not in excluded}
+            return sorted(scored.items(), key=lambda x: (-x[1], x[0]))[:k]
+        # musts on absent terms → empty
+        if any(not leaf_maps[i] and i in musts for i in range(len(plan.leaves))):
+            return []
+        acc: dict[int, float] = defaultdict(float)
+        must_hits: dict[int, int] = Counter()
+        for i in positive:
+            for doc_id, s in leaf_maps[i].items():
+                acc[doc_id] += s
+                if i in musts:
+                    must_hits[doc_id] += 1
+        out = [
+            (d, s)
+            for d, s in acc.items()
+            if must_hits[d] == len(musts) and d not in excluded
+        ]
+        return sorted(out, key=lambda x: (-x[1], x[0]))[:k]

@@ -1,0 +1,81 @@
+"""Posting-order fixtures (FIXTURES.md §4): tiny corpus with hand-verified
+postings, doc_len, df, N, avgdl."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fugu_spark.postings import build_index, build_postings, corpus_stats, term_stats
+
+DOCS = [
+    (0, "the quick brown fox"),
+    (1, "the quick quick fox jumps"),
+    (2, "brown foxes jump over the lazy dog"),
+    (3, "merge join merge join merge"),
+    (4, "foo.bar baz_qux"),
+    (5, ""),  # token-less doc: counts toward N and avgdl
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, content string")
+
+
+@pytest.fixture(scope="module")
+def index(spark, docs_df):
+    return build_index(docs_df)
+
+
+def test_postings_exact(index):
+    rows = {
+        (r.term, r.doc_id): (r.tf, list(r.positions), r.doc_len)
+        for r in index.postings.collect()
+    }
+    assert rows[("quick", 1)] == (2, [1, 2], 5)
+    assert rows[("the", 0)] == (1, [0], 4)
+    assert rows[("merge", 3)] == (3, [0, 2, 4], 5)
+    assert rows[("foo", 4)] == (1, [0], 4)
+    assert rows[("bar", 4)] == (1, [1], 4)
+    assert ("", 5) not in rows
+    # postings are unique per (term, doc)
+    assert len(rows) == index.postings.count()
+
+
+def test_doc_sorted_per_term(index):
+    per_term = (
+        index.postings.groupBy("term")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+        .collect()
+    )
+    the_docs = {r.term: r.docs for r in per_term}["the"]
+    assert the_docs == [0, 1, 2]
+
+
+def test_term_stats(index):
+    stats = {r.term: (r.df, r.cf) for r in index.terms.collect()}
+    assert stats["the"] == (3, 3)
+    assert stats["quick"] == (2, 3)
+    assert stats["merge"] == (1, 3)
+    assert stats["brown"] == (2, 2)
+
+
+def test_corpus_stats(index):
+    # doc lens: 4,5,7,5,4,0 → total 25, N=6 (token-less doc included)
+    assert index.stats.n_docs == 6
+    assert index.stats.total_tokens == 25
+    assert index.stats.avgdl == pytest.approx(25 / 6)
+
+
+def test_partition_count_invariance(spark, docs_df):
+    """Postings identical at 1 vs 4 partitions (SURVEY.md §5.2 property)."""
+    p1 = sorted(
+        (r.term, r.doc_id, r.tf, tuple(r.positions))
+        for r in build_postings(docs_df.repartition(1)).collect()
+    )
+    p4 = sorted(
+        (r.term, r.doc_id, r.tf, tuple(r.positions))
+        for r in build_postings(docs_df.repartition(4)).collect()
+    )
+    assert p1 == p4
