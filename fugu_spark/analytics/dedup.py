@@ -1,0 +1,282 @@
+"""Deduplication at corpus scale: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design: every near-dup path is candidate-generation-by-bucketing
+(band-hash equality join) followed by verification ONLY within buckets —
+never an all-pairs product. Signatures are computed in one vectorized
+mapInPandas pass (numpy broadcasting, deterministic hashes), so the only
+shuffles are the bucket groupBy/join and the final pair dedup.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_MERSENNE = (1 << 61) - 1
+_MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = (x + np.uint64(0x9E3779B97F4A7C15)) & _MASK64
+    x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & _MASK64
+    x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & _MASK64
+    return x ^ (x >> np.uint64(31))
+
+
+# ---------------------------------------------------------------- exact
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup by content hash: one hash-groupBy shuffle. Returns the
+    representative (min id) + duplicate count per distinct content."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("content_md5"))
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+# ---------------------------------------------------------------- minhash
+
+
+def _shingle_hashes(tokens: list[str], k: int) -> np.ndarray:
+    if len(tokens) < k:
+        grams = [" ".join(tokens)] if tokens else []
+    else:
+        grams = [" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)]
+    if not grams:
+        return np.array([], dtype=np.uint64)
+    return pd.util.hash_array(np.asarray(grams, dtype=object)).astype(np.uint64)
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, signature array<long>) — MinHash over token k-shingles.
+
+    Permutations are (a_i * x + b_i) mod 2^61-1 with a/b derived from
+    splitmix64(seed), identical across runs/partitions.
+    """
+    seeds = _splitmix64(np.arange(1, num_hashes + 1, dtype=np.uint64))
+    a = (seeds % np.uint64(_MERSENNE - 1) + np.uint64(1)).astype(np.uint64)
+    b = _splitmix64(seeds) % np.uint64(_MERSENNE)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        a_ = a.astype(object)  # python ints: exact mod-prime arithmetic
+        b_ = b.astype(object)
+        for pdf in batches:
+            toks = pdf[text_col].fillna("").str.lower().str.findall(r"[a-z0-9]+")
+            ids, sigs = [], []
+            for doc_id, ts in zip(pdf[id_col], toks):
+                sh = _shingle_hashes(list(ts), shingle_k)
+                if len(sh) == 0:
+                    ids.append(doc_id)
+                    sigs.append([0] * num_hashes)
+                    continue
+                x = sh.astype(object)[:, None]  # exact ints, no overflow
+                vals = (x * a_[None, :] + b_[None, :]) % _MERSENNE
+                sigs.append([int(v) for v in vals.min(axis=0)])
+                ids.append(doc_id)
+            yield pd.DataFrame({id_col: ids, "signature": sigs})
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("signature", T.ArrayType(T.LongType()), False),
+        ]
+    )
+    return docs.select(id_col, text_col).mapInPandas(gen, schema=schema)
+
+
+def lsh_bands(sigs: DataFrame, id_col: str = "doc_id", bands: int = 16) -> DataFrame:
+    """Signature → (id, band, band_hash) rows: shingle→minhash→band→bucket."""
+    n = bands
+    return sigs.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n - 1)),
+                lambda i: F.xxhash64(
+                    F.slice(
+                        F.col("signature"),
+                        i * (F.size("signature") / n).cast("int") + 1,
+                        (F.size("signature") / n).cast("int"),
+                    )
+                ),
+            )
+        ).alias("band", "band_hash"),
+    )
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+    bands: int = 16,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, est_jaccard ≥ threshold).
+
+    Candidates come ONLY from band-bucket equality (self-join on
+    (band, band_hash)); est_jaccard = fraction of equal signature slots.
+    """
+    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k).cache()
+    bnd = lsh_bands(sigs, id_col, bands)
+    left = bnd.select(F.col(id_col).alias("id_a"), "band", "band_hash")
+    right = bnd.select(F.col(id_col).alias("id_b"), "band", "band_hash")
+    cand = (
+        left.join(right, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")), lambda v: v == 1
+        )
+    ).cast("double") / F.size("sig_a").cast("double")
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------- simhash
+
+
+def simhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash over tf-weighted token hashes (vectorized numpy)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            toks = pdf[text_col].fillna("").str.lower().str.findall(r"[a-z0-9]+")
+            ids, hashes = [], []
+            for doc_id, ts in zip(pdf[id_col], toks):
+                ids.append(doc_id)
+                if not ts:
+                    hashes.append(0)
+                    continue
+                vc = pd.Series(ts).value_counts()
+                h = pd.util.hash_array(np.asarray(vc.index, dtype=object)).astype(np.uint64)
+                w = vc.to_numpy().astype(np.int64)
+                bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+                    np.int64
+                )
+                acc = ((bits * 2 - 1) * w[:, None]).sum(axis=0)
+                sig = np.uint64(0)
+                for j in range(64):
+                    if acc[j] > 0:
+                        sig |= np.uint64(1) << np.uint64(j)
+                hashes.append(int(sig.astype(np.int64)))  # reinterpret as signed
+            yield pd.DataFrame({id_col: ids, "simhash": hashes})
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("simhash", T.LongType(), False),
+        ]
+    )
+    return docs.select(id_col, text_col).mapInPandas(gen, schema=schema)
+
+
+def simhash_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs with Hamming(simhash) ≤ max_hamming. Candidates bucketed by
+    4 × 16-bit chunks (pigeonhole: ≤3 differing bits → ≥1 identical chunk)."""
+    sigs = simhash_signatures(docs, id_col, text_col).cache()
+    chunks = sigs.select(
+        id_col,
+        "simhash",
+        F.posexplode(
+            F.array(*[F.shiftrightunsigned("simhash", s).bitwiseAND(F.lit(0xFFFF)) for s in (0, 16, 32, 48)])
+        ).alias("chunk_id", "chunk"),
+    )
+    left = chunks.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"), "chunk_id", "chunk")
+    right = chunks.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"), "chunk_id", "chunk")
+    cand = (
+        left.join(right, ["chunk_id", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "h_a", "h_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return cand.withColumn("hamming", hamming).filter(F.col("hamming") <= max_hamming).select(
+        "id_a", "id_b", "hamming"
+    )
+
+
+# ---------------------------------------------------------------- jaccard
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    id_limit: int | None = None,
+) -> DataFrame:
+    """EXACT n-gram Jaccard pairs via an inverted gram→doc join (shared-gram
+    candidates only, never all-pairs). ``id_limit`` restricts to a prefix of
+    ids — used by the small-scale SQL oracle; leave None at scale."""
+    base = docs.select(id_col, text_col)
+    if id_limit is not None:
+        base = base.filter(F.col(id_col) < id_limit)
+    toks = base.select(
+        id_col,
+        F.filter(F.split(F.lower(text_col), "[^a-z0-9]+"), lambda x: x != "").alias("toks"),
+    )
+    grams = toks.select(
+        id_col,
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.size("toks") - (n - 1), F.lit(0))),
+                    lambda i: F.array_join(F.slice("toks", i, n), " "),
+                )
+            )
+        ).alias("gram"),
+    )
+    sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    a = grams.select(F.col(id_col).alias("id_a"), "gram")
+    bdf = grams.select(F.col(id_col).alias("id_b"), "gram")
+    inter = (
+        a.join(bdf, "gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_grams").alias("nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

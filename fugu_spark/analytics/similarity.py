@@ -1,0 +1,146 @@
+"""Similarity search over an embedding column (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k — the baseline. Pure column
+  arithmetic (zip_with dot product), scales linearly; the scan is
+  embarrassingly parallel and the top-k is TakeOrderedAndProject.
+- ``lsh_topk``: random-hyperplane LSH variant — the scale path. Signatures
+  are deterministic (splitmix64-seeded planes); candidates are rows whose
+  signature Hamming-distance to the query is ≤ ``max_probe``; exact cosine
+  re-rank within candidates. At 100 TB the signature column is tiny and
+  bucket-prunable; recall/cost trades via n_planes/max_probe.
+- ``embedding_dup_pairs``: near-duplicate pairs by cosine ≥ threshold with
+  LSH-bucket blocking (never all-pairs).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def _query_lit(query_vec: list[float]) -> Column:
+    return F.array(*[F.lit(float(v)) for v in query_vec])
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k: (id, score), (score DESC, id ASC)."""
+    q = _query_lit(query_vec)
+    return (
+        embeddings.select(
+            F.col(id_col), cosine_expr(F.col(vec_col), q).alias("score")
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def _planes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes via counter-hash → N(0,1)
+    (Box-Muller over splitmix64 uniforms)."""
+    mask = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+    def mix(x):
+        x = (x + np.uint64(0x9E3779B97F4A7C15)) & mask
+        x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & mask
+        x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & mask
+        return x ^ (x >> np.uint64(31))
+
+    n = n_planes * dim
+    i = np.arange(n, dtype=np.uint64) + np.uint64(seed * 1_000_003)
+    u1 = (mix(i).astype(np.float64) + 1.0) / 18446744073709551616.0
+    u2 = mix(i + np.uint64(0x9E3779B9)).astype(np.float64) / 18446744073709551616.0
+    g = np.sqrt(-2.0 * np.log(u1)) * np.cos(2.0 * np.pi * u2)
+    return g.reshape(n_planes, dim)
+
+
+def lsh_signature_expr(vec_col: Column, planes: np.ndarray) -> Column:
+    """Signature as a long: bit i = sign(dot(vec, plane_i))."""
+    bits = [
+        F.when(_dot(vec_col, F.array(*[F.lit(float(v)) for v in plane])) > 0, F.lit(1 << i)).otherwise(
+            F.lit(0)
+        )
+        for i, plane in enumerate(planes)
+    ]
+    out = F.lit(0)
+    for b in bits:
+        out = out + b
+    return out.cast("long")
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    max_probe: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k: prune to rows whose LSH signature is within
+    ``max_probe`` bits of the query's, then exact cosine re-rank."""
+    dim = len(query_vec)
+    planes = _planes(dim, n_planes, seed)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qsig = 0
+    for i in range(n_planes):
+        if float(planes[i] @ qv) > 0:
+            qsig |= 1 << i
+    sig = lsh_signature_expr(F.col(vec_col), planes)
+    q = _query_lit(query_vec)
+    return (
+        embeddings.withColumn("lsh_sig", sig)
+        .filter(F.bit_count(F.col("lsh_sig").bitwiseXOR(F.lit(qsig))) <= max_probe)
+        .select(F.col(id_col), cosine_expr(F.col(vec_col), q).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def embedding_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs by cosine ≥ threshold; LSH-bucket equality blocking."""
+    dim = len(embeddings.select(vec_col).first()[0])
+    planes = _planes(dim, n_planes, seed)
+    sig = embeddings.select(id_col, vec_col).withColumn(
+        "bucket", lsh_signature_expr(F.col(vec_col), planes)
+    )
+    a = sig.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket")
+    b = sig.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_expr(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+        .distinct()
+    )

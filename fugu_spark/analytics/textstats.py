@@ -1,0 +1,139 @@
+"""Text analysis for corpus curation: token counting, quality scoring,
+language-ID heuristic, document fingerprinting.
+
+All hot-path variants are pure column expressions (JVM-side, codegen'd,
+SQL-expressible for the DuckDB oracle). ``simple_tokens`` is the ASCII
+analog of the normative tokenizer — adequate for analytics columns; the
+index build always uses the full pandas tokenizer.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Small fixed stopword lists for the n-gram/stopword language heuristic.
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "den"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "no", "por"],
+    "fr": ["le", "la", "de", "et", "un", "est", "pas", "que", "en", "du"],
+}
+
+
+def simple_tokens(text_col: Column) -> Column:
+    """Lowercase alnum-run tokens as an array column (ASCII analog of the
+    normative analyzer; matches DuckDB regexp_split_to_array oracle)."""
+    return F.filter(
+        F.split(F.lower(text_col), "[^a-z0-9]+"), lambda x: x != ""
+    )
+
+
+def token_count(text_col: Column) -> Column:
+    return F.size(simple_tokens(text_col)).cast("long")
+
+
+def distinct_token_count(text_col: Column) -> Column:
+    return F.size(F.array_distinct(simple_tokens(text_col))).cast("long")
+
+
+def stopword_ratio(text_col: Column, lang: str = "en") -> Column:
+    toks = simple_tokens(text_col)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(F.size(toks) > 0, hits.cast("double") / F.size(toks).cast("double")).otherwise(
+        F.lit(0.0)
+    )
+
+
+def avg_token_len(text_col: Column) -> Column:
+    toks = simple_tokens(text_col)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(
+        F.size(toks) > 0, total.cast("double") / F.size(toks).cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def quality_score(text_col: Column) -> Column:
+    """Deterministic 0..1 quality heuristic: length saturation (40%),
+    lexical diversity (40%), penalized stopword dominance (20%)."""
+    toks = simple_tokens(text_col)
+    n = F.size(toks).cast("double")
+    length_part = F.least(F.lit(1.0), n / F.lit(100.0))
+    diversity = F.when(n > 0, F.size(F.array_distinct(toks)).cast("double") / n).otherwise(
+        F.lit(0.0)
+    )
+    sw_pen = F.lit(1.0) - stopword_ratio(text_col, "en")
+    return F.lit(0.4) * length_part + F.lit(0.4) * diversity + F.lit(0.2) * sw_pen
+
+
+def lang_id(text_col: Column, threshold: float = 0.05) -> Column:
+    """Stopword-ratio argmax over known languages; 'und' below threshold."""
+    ratios = {lang: stopword_ratio(text_col, lang) for lang in STOPWORDS}
+    best_lang = F.lit("und")
+    best_ratio = F.lit(float(threshold))
+    # deterministic order: iterate sorted langs; strict '>' keeps first-best
+    for lang in sorted(STOPWORDS):
+        r = ratios[lang]
+        cond = r > best_ratio
+        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+        best_ratio = F.when(cond, r).otherwise(best_ratio)
+    return best_lang
+
+
+def fingerprint_md5(text_col: Column) -> Column:
+    """Whitespace/punct-insensitive content fingerprint: md5 over the
+    normalized token stream (matches DuckDB md5 for the oracle)."""
+    return F.md5(F.array_join(simple_tokens(text_col), " "))
+
+
+WINNOW_SCHEMA = T.ArrayType(T.LongType())
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints (rolling k-gram hashes, per-window minima) —
+    the standard local document fingerprint for near-dup/plagiarism scans.
+    Vectorized with pandas hash_array; not SQL-expressible (rows-only check).
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out_ids, out_fps = [], []
+            toks = pdf[text_col].fillna("").str.lower().str.findall(r"[a-z0-9]+")
+            for doc_id, ts in zip(pdf[id_col], toks):
+                if len(ts) < k:
+                    out_ids.append(doc_id)
+                    out_fps.append([])
+                    continue
+                grams = pd.array(
+                    [" ".join(ts[i : i + k]) for i in range(len(ts) - k + 1)], dtype=object
+                )
+                h = pd.util.hash_array(np.asarray(grams, dtype=object)).astype(np.int64)
+                if len(h) <= window:
+                    fp = [int(h.min())]
+                else:
+                    sw = np.lib.stride_tricks.sliding_window_view(h, window)
+                    fp = sorted(set(int(x) for x in sw.min(axis=1)))
+                out_ids.append(doc_id)
+                out_fps.append(fp)
+            yield pd.DataFrame({id_col: out_ids, "fingerprints": out_fps})
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("fingerprints", WINNOW_SCHEMA, False),
+        ]
+    )
+    return docs.select(id_col, text_col).mapInPandas(gen, schema=schema)

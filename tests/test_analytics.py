@@ -1,0 +1,128 @@
+"""Analytics layer: dedup (exact/minhash/simhash/jaccard), similarity
+search (brute vs LSH recall), text stats, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fugu_spark.analytics import dedup, multimodal, similarity, textstats
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 0
+    (2, "the quick brown fox jumps over the lazy dog near a river bank"),  # near dup
+    (3, "merge sort is a stable sorting algorithm for large data sets"),
+    (4, "hash join builds a table on the smaller input then probes it"),
+    (5, "completely different content about databases and query planning"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").cache()
+
+
+def test_exact_dedup(docs):
+    out = dedup.exact_dedup(docs)
+    assert out.count() == 5  # 6 docs, one exact pair
+    dup = out.filter(F.col("n_dups") == 2).first()
+    assert dup.keep_id == 0
+
+
+def test_minhash_identical_signature(docs):
+    sigs = {r.doc_id: r.signature for r in dedup.minhash_signatures(docs).collect()}
+    assert sigs[0] == sigs[1]  # identical text → identical signature
+    sim01 = sum(a == b for a, b in zip(sigs[0], sigs[2])) / len(sigs[0])
+    sim05 = sum(a == b for a, b in zip(sigs[0], sigs[5])) / len(sigs[0])
+    assert sim01 > sim05  # near-dup closer than unrelated
+
+
+def test_minhash_dedup_pairs(docs):
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_dedup_pairs(docs, threshold=0.5).collect()
+    }
+    assert (0, 1) in pairs
+    assert (0, 2) in pairs or (1, 2) in pairs
+    assert (0, 5) not in pairs
+
+
+def test_simhash_pairs(docs):
+    sigs = {r.doc_id: r.simhash for r in dedup.simhash_signatures(docs).collect()}
+    assert sigs[0] == sigs[1]
+    pairs = {(r.id_a, r.id_b) for r in dedup.simhash_dup_pairs(docs, max_hamming=3).collect()}
+    assert (0, 1) in pairs
+
+
+def test_ngram_jaccard(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.3).collect()
+    }
+    assert pairs[(0, 1)] == pytest.approx(1.0)
+    assert (0, 2) in pairs and pairs[(0, 2)] < 1.0
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+
+def test_cosine_topk_self_first(embeddings):
+    qvec = embeddings.filter("vec_id = 0").first().embedding
+    top = similarity.cosine_topk(embeddings, list(qvec), k=5).collect()
+    assert top[0].vec_id == 0
+    assert top[0].score == pytest.approx(1.0, abs=1e-6)
+    scores = [r.score for r in top]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_lsh_topk_recall(embeddings):
+    qvec = list(embeddings.filter("vec_id = 0").first().embedding)
+    exact = [r.vec_id for r in similarity.cosine_topk(embeddings, qvec, k=10).collect()]
+    approx = [
+        r.vec_id
+        for r in similarity.lsh_topk(embeddings, qvec, k=10, n_planes=10, max_probe=3).collect()
+    ]
+    recall = len(set(exact) & set(approx)) / 10
+    assert approx[0] == 0  # the query vector itself always survives pruning
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_textstats(docs):
+    out = docs.select(
+        "doc_id",
+        textstats.token_count(F.col("text")).alias("n_tok"),
+        textstats.quality_score(F.col("text")).alias("q"),
+        textstats.lang_id(F.col("text")).alias("lang"),
+        textstats.fingerprint_md5(F.col("text")).alias("fp"),
+    )
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[0].n_tok == 13
+    assert rows[0].lang == "en"  # 'the' x3, 'over' ... stopword-heavy
+    assert rows[0].fp == rows[1].fp  # identical normalized content
+    assert 0.0 < rows[0].q <= 1.0
+
+
+def test_winnow_fingerprints(docs):
+    fps = {r.doc_id: r.fingerprints for r in textstats.winnow_fingerprints(docs).collect()}
+    assert fps[0] == fps[1]
+    overlap02 = len(set(fps[0]) & set(fps[2])) / max(len(set(fps[0])), 1)
+    overlap05 = len(set(fps[0]) & set(fps[5])) / max(len(set(fps[0])), 1)
+    assert overlap02 > overlap05
+
+
+def test_multimodal_plumbing(spark):
+    assets = multimodal.generate_fake_assets(spark, 30)
+    assert assets.count() == 30
+    feats = multimodal.extract_features(assets)
+    rows = feats.collect()
+    assert all(len(r.features) == multimodal.FEATURE_DIM for r in rows)
+    assert all(r.n_bytes > 0 for r in rows)
+    # strict mode marks the real-codec integration point
+    with pytest.raises(Exception, match="NotImplementedError|decode"):
+        multimodal.extract_features(assets, strict=True).collect()
+    frames = multimodal.sample_frames(assets, every_ms=10000)
+    assert frames.count() > 0
+    assert frames.columns == ["asset_id", "frame_ts_ms"]
