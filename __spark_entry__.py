@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship BM25 top-10 over sf0.001.
+``queries()`` / ``oracle_sql()`` — one pair per implemented operator from
+SURVEY.md §2; the driver runs both at sf0.01 and compares row-count +
+schema + order-insensitive value-hash (CORRECTNESS_r{N}.json).
+
+Engine code lives in fugu_spark/; this file adapts it to the driver's
+``documents(doc_id, text, lang, source, n_chars)`` / ``embeddings``
+tables. Computed columns are aliased identically on both sides; scores
+are rounded to 6 decimals on both sides (f64 throughout).
 """
 
 from __future__ import annotations
@@ -12,27 +16,398 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fugu_spark import postings as P
+from fugu_spark.analytics import dedup, similarity, textstats
+from fugu_spark.facets import (
+    combine_filters,
+    derive_facets,
+    facet_counts,
+    facet_tree_counts,
+    filter_values_at_path,
+    search_facets,
+    suggestions_udf,
+)
+from fugu_spark.search import search
+
+_CACHE: dict[str, tuple] = {}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _index(spark: SparkSession, sf_dir: str):
+    key = sf_dir
+    if key not in _CACHE:
+        docs = _docs(spark, sf_dir).cache()
+        _CACHE[key] = (docs, P.build_index(docs, id_col="doc_id", text_col="text"))
+    return _CACHE[key]
+
+
+def _search_q(query: str, k: int = 10, lang: str | None = None):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs, idx = _index(spark, sf_dir)
+        flt = (F.col("lang") == lang) if lang else None
+        out = search(idx, query, k=k, doc_filter=flt, docs=docs)
+        return out.select("doc_id", F.round("score", 6).alias("score"))
+
+    return run
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 top-10 for 'merge join' on sf0.001 (SURVEY.md §7.2)."""
+    return _search_q("merge join", k=10)(spark, "/root/testdata/sf0.001")
+
+
+# --------------------------------------------------------------------------
+# Spark-side queries
+# --------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    def postings_tf(spark, sf_dir):
+        _, idx = _index(spark, sf_dir)
+        return idx.postings.select(
+            "term", "doc_id", F.col("tf").cast("long").alias("tf")
+        )
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def doc_len(spark, sf_dir):
+        _, idx = _index(spark, sf_dir)
+        return P.doc_stats(idx.postings).select(
+            "doc_id", F.col("doc_len").cast("long").alias("doc_len")
+        )
+
+    def term_dict(spark, sf_dir):
+        _, idx = _index(spark, sf_dir)
+        return idx.terms.select(
+            "term", F.col("df").cast("long").alias("df"), F.col("cf").cast("long").alias("cf")
+        )
+
+    def corpus_stats(spark, sf_dir):
+        docs, idx = _index(spark, sf_dir)
+        s = idx.stats
+        return spark.createDataFrame(
+            [(s.n_docs, s.total_tokens, round(s.avgdl, 6))],
+            "n_docs long, total_tokens long, avgdl double",
+        )
+
+    def allquery(spark, sf_dir):
+        docs, idx = _index(spark, sf_dir)
+        return search(idx, "", k=1_000_000, docs=docs).select(
+            "doc_id", F.round("score", 6).alias("score")
+        )
+
+    def point_lookup(spark, sf_dir):
+        docs = _docs(spark, sf_dir)
+        return docs.filter(F.col("doc_id") == 42).select("doc_id", "lang", "source", "n_chars")
+
+    def facet_counts_lang(spark, sf_dir):
+        docs = _facet_docs(spark, sf_dir)
+        return facet_counts(docs, "/lang").select(
+            "child", F.col("count").cast("long").alias("count")
+        )
+
+    def facet_tree(spark, sf_dir):
+        docs = _facet_docs(spark, sf_dir)
+        return facet_tree_counts(docs).select(
+            "prefix", F.col("count").cast("long").alias("count")
+        )
+
+    def filter_values_lang(spark, sf_dir):
+        return filter_values_at_path(_facet_docs(spark, sf_dir), "/lang")
+
+    def search_facets_src1(spark, sf_dir):
+        return search_facets(_facet_docs(spark, sf_dir), "/source", text="1").select(
+            "facet", F.col("count").cast("long").alias("count")
+        )
+
+    def exact_dedup_q(spark, sf_dir):
+        return dedup.exact_dedup(_docs(spark, sf_dir)).select(
+            "content_md5", "keep_id", F.col("n_dups").cast("long").alias("n_dups")
+        )
+
+    def token_stats(spark, sf_dir):
+        docs = _docs(spark, sf_dir)
+        return docs.select(
+            "doc_id",
+            textstats.token_count(F.col("text")).alias("n_tok"),
+            textstats.distinct_token_count(F.col("text")).alias("n_distinct"),
+            F.round(textstats.avg_token_len(F.col("text")), 6).alias("avg_len"),
+        )
+
+    def quality(spark, sf_dir):
+        return _docs(spark, sf_dir).select(
+            "doc_id", F.round(textstats.quality_score(F.col("text")), 6).alias("q")
+        )
+
+    def lang_id_q(spark, sf_dir):
+        return _docs(spark, sf_dir).select(
+            "doc_id", textstats.lang_id(F.col("text")).alias("pred_lang")
+        )
+
+    def fingerprint(spark, sf_dir):
+        return _docs(spark, sf_dir).select(
+            "doc_id", textstats.fingerprint_md5(F.col("text")).alias("fp")
+        )
+
+    def ngram_jaccard(spark, sf_dir):
+        return dedup.ngram_jaccard_pairs(
+            _docs(spark, sf_dir), n=3, threshold=0.01, id_limit=60
+        ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+    def ann_cosine_all(spark, sf_dir):
+        emb = _emb(spark, sf_dir)
+        qvec = list(emb.filter(F.col("vec_id") == 0).first().embedding)
+        return emb.select(
+            "vec_id",
+            F.round(similarity.cosine_expr(F.col("embedding"), similarity._query_lit(qvec)), 6).alias(
+                "cosine"
+            ),
+        )
+
+    def suggestions_q(spark, sf_dir):
+        docs = _docs(spark, sf_dir)
+        return docs.select(
+            "doc_id", F.explode(suggestions_udf(F.col("text"))).alias("suggestion")
+        )
+
+    out = {
+        "postings_tf": postings_tf,
+        "doc_len": doc_len,
+        "term_dict": term_dict,
+        "corpus_stats": corpus_stats,
+        "bm25_top10_single": _search_q("merge", 10),
+        "bm25_top10_or": _search_q("merge join", 10),
+        "bm25_top10_and": _search_q("merge AND join", 10),
+        "bm25_top10_not": _search_q("merge NOT window", 10),
+        "bm25_phrase": _search_q('"merge join"', 10),
+        "bm25_boost": _search_q("merge^2 join", 10),
+        "bm25_or_k100": _search_q("merge join", 100),
+        "bm25_filtered_lang": _search_q("merge", 10, lang="es"),
+        "allquery": allquery,
+        "point_lookup": point_lookup,
+        "facet_counts_lang": facet_counts_lang,
+        "facet_tree": facet_tree,
+        "filter_values_lang": filter_values_lang,
+        "search_facets_src1": search_facets_src1,
+        "exact_dedup": exact_dedup_q,
+        "token_stats": token_stats,
+        "quality": quality,
+        "lang_id": lang_id_q,
+        "fingerprint": fingerprint,
+        "ngram_jaccard": ngram_jaccard,
+        "ann_cosine_all": ann_cosine_all,
+        "suggestions": suggestions_q,
+        # rows-only (non-SQL-expressible) coverage:
+        "minhash_pairs": lambda spark, sf_dir: dedup.minhash_dedup_pairs(
+            _docs(spark, sf_dir), threshold=0.5
+        ),
+        "simhash_sigs": lambda spark, sf_dir: dedup.simhash_signatures(_docs(spark, sf_dir)),
+        "winnow_fps": lambda spark, sf_dir: textstats.winnow_fingerprints(_docs(spark, sf_dir)),
+        "ann_lsh_top10": lambda spark, sf_dir: similarity.lsh_topk(
+            _emb(spark, sf_dir),
+            list(_emb(spark, sf_dir).filter(F.col("vec_id") == 0).first().embedding),
+            k=10,
+        ),
+    }
+    return out
+
+
+def _facet_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.withColumn(
+        "facets", derive_facets(("lang", F.col("lang")), ("source", F.col("source")))
+    )
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracles
+# --------------------------------------------------------------------------
+
+# Shared CTE: tokenization identical to the engine's normative analyzer for
+# this corpus (pure lowercase-ascii space-separated words), with ordinal
+# positions via a lateral generate_series.
+_TOK = """
+tok AS (
+  SELECT doc_id, l[i] AS term, i - 1 AS pos
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS l
+        FROM documents),
+       unnest(generate_series(1, len(l))) AS t(i)
+),
+post AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS doc_len FROM tok GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(doc_len) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+tstat AS (SELECT term, count(*) AS df, sum(tf) AS cf FROM post GROUP BY 1)
+"""
+
+# BM25 per-(term,doc) score over `post`:
+_SCORE = (
+    "ln(1 + (s.n - t.df + 0.5) / (t.df + 0.5)) * p.tf * 2.2 "
+    "/ (p.tf + 1.2 * (0.25 + 0.75 * d.doc_len / s.avgdl))"
+)
+
+_SCORED = f"""
+scored AS (
+  SELECT p.doc_id, p.term, {_SCORE} AS sc
+  FROM post p JOIN tstat t USING (term) JOIN dl d USING (doc_id), stats s
+)
+"""
+
+
+def _topk_sql(where: str, k: int = 10, having: str = "") -> str:
+    return f"""WITH {_TOK}, {_SCORED}
+SELECT doc_id, round(sum(sc), 6) AS score
+FROM scored WHERE {where}
+GROUP BY doc_id {having}
+ORDER BY sum(sc) DESC, doc_id ASC LIMIT {k}"""
+
+
+_PHRASE_SQL = f"""WITH {_TOK},
+phr AS (
+  SELECT a.doc_id, count(*) AS tfp
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'merge' AND b.term = 'join'
+  GROUP BY 1
+),
+idfs AS (
+  SELECT sum(ln(1 + (s.n - t.df + 0.5) / (t.df + 0.5))) AS idf_sum
+  FROM tstat t, stats s WHERE t.term IN ('merge', 'join')
+)
+SELECT p.doc_id,
+       round(i.idf_sum * p.tfp * 2.2 / (p.tfp + 1.2 * (0.25 + 0.75 * d.doc_len / s.avgdl)), 6) AS score
+FROM phr p JOIN dl d USING (doc_id), stats s, idfs i
+ORDER BY 2 DESC, doc_id ASC LIMIT 10"""
+
+_BOOST_SQL = f"""WITH {_TOK}, {_SCORED}
+SELECT doc_id, round(sum(CASE WHEN term = 'merge' THEN 2.0 * sc ELSE sc END), 6) AS score
+FROM scored WHERE term IN ('merge', 'join')
+GROUP BY doc_id
+ORDER BY sum(CASE WHEN term = 'merge' THEN 2.0 * sc ELSE sc END) DESC, doc_id ASC LIMIT 10"""
+
+_FILTERED_SQL = f"""WITH {_TOK}, {_SCORED}
+SELECT sc.doc_id, round(sum(sc.sc), 6) AS score
+FROM scored sc JOIN documents doc ON sc.doc_id = doc.doc_id AND doc.lang = 'es'
+WHERE sc.term = 'merge'
+GROUP BY sc.doc_id ORDER BY sum(sc.sc) DESC, sc.doc_id ASC LIMIT 10"""
+
+_STOPWORDS_EN = "'the','a','and','of','to','in','is','it','that','for'"
+_SW = {
+    "de": "'der','die','das','und','ist','nicht','ein','mit','zu','den'",
+    "en": _STOPWORDS_EN,
+    "es": "'el','la','de','que','y','en','un','es','no','por'",
+    "fr": "'le','la','de','et','un','est','pas','que','en','du'",
+}
+
+_RATIOS = ", ".join(
+    f"(SELECT count(*) FROM tok t2 WHERE t2.doc_id = dl.doc_id AND t2.term IN ({words}))::DOUBLE / dl.doc_len AS r_{lang}"
+    for lang, words in _SW.items()
+)
+
+_NGRAM_SQL = """WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS l
+  FROM documents WHERE doc_id < 60
+),
+grams AS (
+  SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS gram
+  FROM toks, unnest(generate_series(1, len(l) - 2)) AS t(i)
+),
+sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(i::DOUBLE / (sa.n_grams + sb.n_grams - i), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE i::DOUBLE / (sa.n_grams + sb.n_grams - i) >= 0.01"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "postings_tf": f"WITH {_TOK} SELECT term, doc_id, tf FROM post",
+        "doc_len": f"WITH {_TOK} SELECT doc_id, doc_len FROM dl",
+        "term_dict": f"WITH {_TOK} SELECT term, df, cf FROM tstat",
+        "corpus_stats": f"""WITH {_TOK}
+            SELECT (SELECT count(*) FROM documents) AS n_docs,
+                   (SELECT sum(doc_len) FROM dl) AS total_tokens,
+                   round((SELECT sum(doc_len) FROM dl)::DOUBLE / (SELECT count(*) FROM documents), 6) AS avgdl""",
+        "bm25_top10_single": _topk_sql("term = 'merge'"),
+        "bm25_top10_or": _topk_sql("term IN ('merge','join')"),
+        "bm25_top10_and": _topk_sql(
+            "term IN ('merge','join')", having="HAVING count(DISTINCT term) = 2"
+        ),
+        "bm25_top10_not": _topk_sql(
+            "term = 'merge' AND doc_id NOT IN (SELECT doc_id FROM post WHERE term = 'window')"
+        ),
+        "bm25_phrase": _PHRASE_SQL,
+        "bm25_boost": _BOOST_SQL,
+        "bm25_or_k100": _topk_sql("term IN ('merge','join')", k=100),
+        "bm25_filtered_lang": _FILTERED_SQL,
+        "allquery": "SELECT doc_id, 1.0::DOUBLE AS score FROM documents",
+        "point_lookup": "SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id = 42",
+        "facet_counts_lang": "SELECT '/lang/' || lang AS child, count(*) AS count FROM documents GROUP BY lang",
+        "facet_tree": """
+            SELECT '/lang' AS prefix, count(*) AS count FROM documents
+            UNION ALL SELECT '/lang/' || lang, count(*) FROM documents GROUP BY lang
+            UNION ALL SELECT '/source', count(*) FROM documents
+            UNION ALL SELECT '/source/' || source, count(*) FROM documents GROUP BY source""",
+        "filter_values_lang": "SELECT DISTINCT lang AS value FROM documents",
+        "search_facets_src1": """
+            SELECT '/source/' || source AS facet, count(*) AS count FROM documents
+            WHERE source LIKE '%1%' GROUP BY source""",
+        "exact_dedup": """
+            SELECT md5(text) AS content_md5, min(doc_id) AS keep_id, count(*) AS n_dups
+            FROM documents GROUP BY text""",
+        "token_stats": f"""WITH {_TOK}
+            SELECT doc_id, count(*) AS n_tok, count(DISTINCT term) AS n_distinct,
+                   round(avg(len(term)), 6) AS avg_len
+            FROM tok GROUP BY doc_id""",
+        "quality": f"""WITH {_TOK}
+            SELECT dl.doc_id,
+                   round(0.4 * least(1.0, dl.doc_len / 100.0)
+                       + 0.4 * (SELECT count(DISTINCT term) FROM tok t2 WHERE t2.doc_id = dl.doc_id)::DOUBLE / dl.doc_len
+                       + 0.2 * (1.0 - (SELECT count(*) FROM tok t3 WHERE t3.doc_id = dl.doc_id AND t3.term IN ({_STOPWORDS_EN}))::DOUBLE / dl.doc_len),
+                     6) AS q
+            FROM dl""",
+        "lang_id": f"""WITH {_TOK},
+            ratios AS (SELECT dl.doc_id, {_RATIOS} FROM dl)
+            SELECT doc_id,
+                   CASE WHEN greatest(r_de, r_en, r_es, r_fr) <= 0.05 THEN 'und'
+                        WHEN r_de >= r_en AND r_de >= r_es AND r_de >= r_fr THEN 'de'
+                        WHEN r_en >= r_es AND r_en >= r_fr THEN 'en'
+                        WHEN r_es >= r_fr THEN 'es'
+                        ELSE 'fr' END AS pred_lang
+            FROM ratios""",
+        "fingerprint": """
+            SELECT doc_id,
+                   md5(array_to_string(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''), ' ')) AS fp
+            FROM documents""",
+        "ngram_jaccard": _NGRAM_SQL,
+        "ann_cosine_all": """
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   round(sum(e.embedding[i]::DOUBLE * q.qe[i]::DOUBLE)
+                         / (sqrt(sum(e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))
+                            * sqrt(sum(q.qe[i]::DOUBLE * q.qe[i]::DOUBLE))), 6) AS cosine
+            FROM embeddings e, q, unnest(generate_series(1, len(e.embedding))) t(i)
+            GROUP BY e.vec_id""",
+        "suggestions": """
+            WITH toks AS (
+              SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+            )
+            SELECT doc_id, array_to_string(w[1:least(3, len(w))], ' ') AS suggestion
+            FROM toks
+            WHERE len(array_to_string(w[1:least(3, len(w))], ' ')) > 3
+              AND len(array_to_string(w[1:least(3, len(w))], ' ')) < 50""",
+    }
