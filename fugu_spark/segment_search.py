@@ -1,0 +1,300 @@
+"""Query engine v2: BM25 top-k over compressed segment files (SURVEY.md M5/M6).
+
+Read path per query:
+
+  dictionary lookup (driver, cached broadcast-sized parquet)
+    → segments scan pruned by term_bucket (partition dirs) + term
+      (parquet row-group min/max on the sorted term column)
+    → vectorized block decode (mapInPandas, numpy varint)
+      with BLOCK-MAX skipping: a block is skipped when its best possible
+      score plus the other query terms' global upper bounds cannot beat
+      the current threshold θ (Tantivy's block_wand analog; we use the
+      rank-safe MaxScore form of the criterion)
+    → per-partition bounded top-k heap → global top-k merge.
+
+θ is seeded by fully scoring the highest-upper-bound query term (real doc
+scores are a valid lower bound on the final top-k threshold, so pruning
+is rank-safe: results are IDENTICAL to the exhaustive path — asserted in
+tests). Terms whose cumulative upper bounds cannot reach θ ("non-
+essential", the stop-word case) are only scored for docs already matched
+by an essential term (semi-join), never scanned in full.
+
+Boolean/phrase queries run through the exhaustive decode path and reuse
+the table-native combiner (fugu_spark.search.execute_plan) — identical
+semantics, one code path for correctness.
+"""
+
+from __future__ import annotations
+
+import heapq
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import BM25_B, BM25_K1
+from .bm25 import idf_py
+from .codecs import decode_posting_block
+from .postings import InvertedIndex
+from .queryparse import QueryPlan, parse_query
+from .search import execute_plan, top_k
+from .segments import SegmentIndex
+from .tokenizer import DEFAULT_MODE
+
+_DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("term", T.StringType(), False),
+        T.StructField("tf", T.IntegerType(), False),
+        T.StructField("positions", T.ArrayType(T.IntegerType()), False),
+        T.StructField("doc_len", T.IntegerType(), False),
+    ]
+)
+
+
+def _tf_norm_np(tf: np.ndarray, dl: np.ndarray, avgdl: float, k1: float, b: float) -> np.ndarray:
+    tf = tf.astype(np.float64)
+    return tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl.astype(np.float64) / avgdl))
+
+
+def term_upper_bound(
+    idf: float, max_tf: int, min_doc_len: int, avgdl: float, k1: float = BM25_K1, b: float = BM25_B
+) -> float:
+    """Global/block score upper bound from skip metadata (B6)."""
+    tf = float(max_tf)
+    return idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * min_doc_len / avgdl))
+
+
+def decode_postings(
+    si: SegmentIndex,
+    terms: list[str],
+    term_meta: dict[str, dict],
+    with_positions: bool = False,
+    theta: float = 0.0,
+    other_ub: dict[str, float] | None = None,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Pruned scan + vectorized decode of the terms' posting blocks.
+
+    ``other_ub[t]`` = Σ upper bounds of the OTHER query terms; blocks with
+    idf_t·tfnorm(max_tf, min_dl) + other_ub[t] < theta are skipped without
+    decoding (block-max pruning)."""
+    buckets = sorted({term_meta[t]["term_bucket"] for t in terms})
+    seg = si.segments_df(terms=terms, buckets=buckets)
+    cols = [
+        "term",
+        "n_docs",
+        "max_tf",
+        "min_doc_len",
+        "doc_ids_enc",
+        "tfs_enc",
+        "doc_lens_enc",
+    ] + (["pos_counts_enc", "positions_enc"] if with_positions else [])
+    seg = seg.select(cols)
+    avgdl = si.stats.avgdl
+    idf = {t: term_meta[t]["idf"] for t in terms}
+    oub = other_ub or {t: float("inf") for t in terms}
+    skip_on = theta > 0.0 and other_ub is not None
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for row in pdf.itertuples(index=False):
+                if skip_on:
+                    ub = term_upper_bound(
+                        idf[row.term], row.max_tf, row.min_doc_len, avgdl, k1, b
+                    )
+                    if ub + oub[row.term] < theta:
+                        continue  # block-max skip: cannot reach top-k
+                blk = {
+                    "n_docs": row.n_docs,
+                    "doc_ids_enc": row.doc_ids_enc,
+                    "tfs_enc": row.tfs_enc,
+                    "doc_lens_enc": row.doc_lens_enc,
+                }
+                if with_positions:
+                    blk["pos_counts_enc"] = row.pos_counts_enc
+                    blk["positions_enc"] = row.positions_enc
+                dec = decode_posting_block(blk)
+                n = row.n_docs
+                out = pd.DataFrame(
+                    {
+                        "doc_id": dec["doc_ids"].view(np.int64),
+                        "term": row.term,
+                        "tf": dec["tfs"].astype(np.int64).astype("int32"),
+                        "positions": [
+                            p.astype(np.int64).astype("int32") for p in dec["positions"]
+                        ]
+                        if with_positions
+                        else [np.array([], dtype="int32")] * n,
+                        "doc_len": dec["doc_lens"].astype(np.int64).astype("int32"),
+                    }
+                )
+                outs.append(out)
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return seg.mapInPandas(gen, schema=_DECODED_SCHEMA)
+
+
+def heap_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Per-partition bounded min-heap → global merge (R2: the explicit form
+    of TopDocs::with_limit). Ties break (score DESC, doc_id ASC)."""
+
+    def part_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        heap: list[tuple] = []  # min-heap of (score, -doc_id)
+        for pdf in batches:
+            for doc_id, score in zip(pdf["doc_id"], pdf["score"]):
+                item = (float(score), -int(doc_id))
+                if len(heap) < k:
+                    heapq.heappush(heap, item)
+                elif item > heap[0]:
+                    heapq.heapreplace(heap, item)
+        if heap:
+            yield pd.DataFrame(
+                {"doc_id": [-d for _, d in heap], "score": [s for s, _ in heap]}
+            )
+
+    parts = scored.mapInPandas(part_topk, schema="doc_id long, score double")
+    return parts.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def _term_meta(si: SegmentIndex, terms: list[str]) -> dict[str, dict]:
+    rows = si.terms.filter(F.col("term").isin(terms)).collect()
+    out = {}
+    for r in rows:
+        out[r["term"]] = {
+            "df": r["df"],
+            "term_bucket": r["term_bucket"],
+            "max_tf": r["max_tf"],
+            "min_doc_len": r["min_doc_len"],
+            "idf": idf_py(r["df"], si.stats.n_docs),
+        }
+    return out
+
+
+def _score_col(idf: dict[str, float], avgdl: float, k1: float, b: float) -> Column:
+    tf = F.col("tf").cast("double")
+    norm = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("doc_len").cast("double") / F.lit(avgdl))
+    idf_col = F.coalesce(
+        *[F.when(F.col("term") == t, F.lit(v)) for t, v in idf.items()]
+    ) if idf else F.lit(0.0)
+    return idf_col * tf * F.lit(k1 + 1.0) / (tf + norm)
+
+
+def search_segments(
+    si: SegmentIndex,
+    query_text: str | None,
+    k: int = 10,
+    docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    doc_filter: Column | None = None,
+    mode: str = DEFAULT_MODE,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    use_wand: bool = True,
+) -> DataFrame:
+    """Top-k search over the segment index → DataFrame(doc_id, score)."""
+    plan = parse_query(query_text, mode=mode)
+    spark = si.spark
+
+    pure_or = (
+        not plan.is_all
+        and plan.leaves
+        and all(l.occur == "should" and not l.is_phrase for l in plan.leaves)
+        and doc_filter is None
+    )
+    if pure_or and use_wand:
+        return _search_maxscore(si, plan, k, k1, b)
+
+    # exhaustive path: decode plan terms, reuse the table-native combiner
+    all_terms = plan.all_terms()
+    need_pos = any(l.is_phrase for l in plan.leaves)
+    meta = _term_meta(si, all_terms)
+    live_terms = [t for t in all_terms if t in meta]
+    if plan.is_all or not live_terms:
+        decoded = spark.createDataFrame([], _DECODED_SCHEMA)
+    else:
+        decoded = decode_postings(si, live_terms, meta, with_positions=need_pos, k1=k1, b=b)
+    idx = InvertedIndex(postings=decoded, terms=si.terms, stats=si.stats)
+    scored = execute_plan(idx, plan, docs=docs, id_col=id_col, k1=k1, b=b)
+    if doc_filter is not None:
+        if docs is None:
+            raise ValueError("doc_filter requires docs")
+        keep = docs.filter(doc_filter).select(F.col(id_col).cast("long").alias("doc_id"))
+        scored = scored.join(keep, "doc_id", "left_semi")
+    return top_k(scored, k=k)
+
+
+def _search_maxscore(
+    si: SegmentIndex, plan: QueryPlan, k: int, k1: float, b: float
+) -> DataFrame:
+    """Rank-safe MaxScore/block-max execution for pure-OR term queries."""
+    # fold duplicate terms' boosts together (a OR a ≡ 2a in summed scoring)
+    boosts: dict[str, float] = {}
+    for leaf in plan.leaves:
+        boosts[leaf.terms[0]] = boosts.get(leaf.terms[0], 0.0) + leaf.boost
+    meta = _term_meta(si, list(boosts))
+    terms = [t for t in boosts if t in meta]
+    spark = si.spark
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    avgdl = si.stats.avgdl
+    ub = {
+        t: boosts[t]
+        * term_upper_bound(meta[t]["idf"], meta[t]["max_tf"], meta[t]["min_doc_len"], avgdl, k1, b)
+        for t in terms
+    }
+    idf_boosted = {t: meta[t]["idf"] * boosts[t] for t in terms}
+
+    # θ seed: fully score the highest-upper-bound term (rank-safe lower bound)
+    seed = max(terms, key=lambda t: ub[t])
+    seed_scored = decode_postings(si, [seed], meta, k1=k1, b=b).select(
+        "doc_id", _score_col({seed: idf_boosted[seed]}, avgdl, k1, b).alias("score")
+    )
+    seed_top = seed_scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
+    theta = seed_top[-1]["score"] if len(seed_top) == k else 0.0
+
+    # essential/non-essential split (ubs ascending; strict < keeps rank safety)
+    by_ub = sorted(terms, key=lambda t: ub[t])
+    cum, non_essential = 0.0, []
+    for t in by_ub:
+        if t == seed:
+            continue
+        if cum + ub[t] < theta:
+            non_essential.append(t)
+            cum += ub[t]
+        else:
+            break
+    essential = [t for t in terms if t not in non_essential]
+
+    other_ub = {t: sum(ub[u] for u in terms if u != t) for t in terms}
+    ess = decode_postings(
+        si, essential, meta, theta=theta, other_ub=other_ub, k1=k1, b=b
+    ).select("doc_id", "term", _score_col(idf_boosted, avgdl, k1, b).alias("score"))
+
+    if non_essential:
+        cand = ess.select("doc_id").distinct()
+        non = (
+            decode_postings(si, non_essential, meta, k1=k1, b=b)
+            .join(cand, "doc_id", "left_semi")
+            .select("doc_id", "term", _score_col(idf_boosted, avgdl, k1, b).alias("score"))
+        )
+        all_scores = ess.unionByName(non)
+    else:
+        all_scores = ess
+
+    # deterministic sum (sorted by term) then per-partition heap + merge
+    summed = (
+        all_scores.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("term", "score"))).alias("parts"))
+        .select(
+            "doc_id",
+            F.aggregate("parts", F.lit(0.0), lambda acc, p: acc + p["score"]).alias("score"),
+        )
+    )
+    return heap_topk(summed, k)

@@ -1,0 +1,362 @@
+"""Segment build: compressed posting-list files + term dictionary +
+manifest with per-partition lineage and resume (SURVEY.md §2.4 B2-B8).
+
+The dataflow (north_star made explicit):
+
+  corpus ──build_postings──▶ postings_raw (parquet, bucketed by term)   [stage 1]
+     │ df-sketch → salt map (hot-term skew split)
+     ▼
+  groupBy(term, salt).applyInPandas(encode)  ←─ the salted repartition-
+     │   by-term shuffle; each (term, salt) group is doc-sorted and
+     │   delta+varint-encoded into 128-doc blocks with skip metadata
+     ▼
+  segments/ (parquet, partitionBy(term_bucket))                         [stage 2]
+     ▼
+  groupBy(term) merge ──▶ terms/ dictionary (df, cf, ubs, buckets)      [stage 3]
+  stats.json + manifest/ (build_id, stage, lineage rows, metrics)       [stage 4]
+
+Each stage is idempotent and checkpointed: a manifest row (build_id,
+stage, status=complete, metrics) plus the stage's _SUCCESS marker is the
+resume point — ``build_segments(resume=True)`` skips completed stages
+byte-identically (corpus generation and encoding are deterministic).
+Skew: a term with df > hot_df_threshold is split into
+ceil(df/threshold) salted sub-lists (salt = xxhash64(doc_id) % n), so
+no single shuffle partition receives an unbounded posting list; the
+dictionary merge (stage 3) re-aggregates the sub-lists.
+
+Reference anchors: segment-per-commit layout /root/reference/src/db/
+core.rs:238-249; writer commit = publish point /root/reference/src/db/
+document.rs:65. Tantivy's 128-doc block format is public; encoding lives
+in fugu_spark.codecs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .codecs import BLOCK_SIZE, encode_posting_block
+from .postings import CorpusStats, build_postings
+from .tokenizer import DEFAULT_MODE
+
+SEGMENT_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("salt", T.IntegerType(), False),
+        T.StructField("block_id", T.IntegerType(), False),
+        T.StructField("n_docs", T.IntegerType(), False),
+        T.StructField("sum_tf", T.LongType(), False),
+        T.StructField("min_doc_id", T.LongType(), False),
+        T.StructField("max_doc_id", T.LongType(), False),
+        T.StructField("max_tf", T.IntegerType(), False),
+        T.StructField("min_doc_len", T.IntegerType(), False),
+        T.StructField("doc_ids_enc", T.BinaryType(), False),
+        T.StructField("tfs_enc", T.BinaryType(), False),
+        T.StructField("doc_lens_enc", T.BinaryType(), False),
+        T.StructField("pos_counts_enc", T.BinaryType(), True),
+        T.StructField("positions_enc", T.BinaryType(), True),
+        T.StructField("term_bucket", T.IntegerType(), False),
+    ]
+)
+
+MANIFEST_SCHEMA = (
+    "build_id string, stage string, partition_key string, status string, "
+    "n_postings long, n_blocks long, bytes_encoded long, wall_sec double, ts double"
+)
+
+
+def _stage_done(spark: SparkSession, index_dir: str, stage: str) -> bool:
+    mpath = os.path.join(index_dir, "manifest")
+    if not os.path.exists(mpath):
+        return False
+    m = spark.read.parquet(mpath)
+    done = (
+        m.filter((F.col("stage") == stage) & (F.col("status") == "complete")).count() > 0
+    )
+    out_dir = os.path.join(index_dir, STAGE_OUTPUT[stage])
+    marker = os.path.join(out_dir, "_SUCCESS")
+    return done and (os.path.exists(marker) or os.path.exists(out_dir))
+
+
+STAGE_OUTPUT = {
+    "postings_raw": "postings_raw",
+    "segments": "segments",
+    "terms": "terms",
+    "stats": "stats.json",
+}
+
+
+def _append_manifest(spark: SparkSession, index_dir: str, rows: list[tuple]) -> None:
+    spark.createDataFrame(rows, MANIFEST_SCHEMA).coalesce(1).write.mode("append").parquet(
+        os.path.join(index_dir, "manifest")
+    )
+
+
+def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """applyInPandas kernel: one (term, salt) posting sub-list →
+    delta+varint 128-doc block rows with skip metadata."""
+    pdf = pdf.sort_values("doc_id", kind="mergesort")
+    term = pdf["term"].iloc[0]
+    salt = int(pdf["salt"].iloc[0])
+    bucket = int(pdf["term_bucket"].iloc[0])
+    doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64).astype(np.uint64)
+    tfs = pdf["tf"].to_numpy(dtype=np.int64).astype(np.uint64)
+    doc_lens = pdf["doc_len"].to_numpy(dtype=np.int64).astype(np.uint64)
+    pos_lists = pdf["positions"].to_list()
+    rows = []
+    for b in range(0, len(pdf), BLOCK_SIZE):
+        sl = slice(b, b + BLOCK_SIZE)
+        pl = pos_lists[sl]
+        counts = np.array([len(p) for p in pl], dtype=np.uint64)
+        flat = (
+            np.concatenate([np.asarray(p, dtype=np.uint64) for p in pl])
+            if counts.sum()
+            else np.array([], dtype=np.uint64)
+        )
+        enc = encode_posting_block(doc_ids[sl], tfs[sl], doc_lens[sl], flat, counts)
+        # min/max metadata from the SIGNED ids (uint64 reinterpretation of
+        # negative xxhash64 ids would overflow parquet int64)
+        signed = pdf["doc_id"].to_numpy(dtype=np.int64)[sl]
+        rows.append(
+            (
+                term,
+                salt,
+                b // BLOCK_SIZE,
+                enc["n_docs"],
+                int(tfs[sl].sum()),
+                int(signed[0]),
+                int(signed[-1]),
+                enc["max_tf"],
+                enc["min_doc_len"],
+                enc["doc_ids_enc"],
+                enc["tfs_enc"],
+                enc["doc_lens_enc"],
+                enc["pos_counts_enc"],
+                enc["positions_enc"],
+                bucket,
+            )
+        )
+    return pd.DataFrame(rows, columns=[f.name for f in SEGMENT_SCHEMA.fields])
+
+
+@dataclass
+class SegmentIndex:
+    spark: SparkSession
+    index_dir: str
+    terms: DataFrame  # dictionary: term, df, cf, max_tf, min_doc_len, term_bucket, n_blocks
+    stats: CorpusStats
+
+    @classmethod
+    def load(cls, spark: SparkSession, index_dir: str) -> "SegmentIndex":
+        with open(os.path.join(index_dir, "stats.json")) as f:
+            s = json.load(f)
+        terms = spark.read.parquet(os.path.join(index_dir, "terms")).cache()
+        return cls(
+            spark=spark,
+            index_dir=index_dir,
+            terms=terms,
+            stats=CorpusStats(
+                n_docs=s["n_docs"], avgdl=s["avgdl"], total_tokens=s["total_tokens"]
+            ),
+        )
+
+    def segments_df(self, terms: list[str] | None = None, buckets: list[int] | None = None) -> DataFrame:
+        df = self.spark.read.parquet(os.path.join(self.index_dir, "segments"))
+        if buckets is not None:
+            df = df.filter(F.col("term_bucket").isin(buckets))  # partition pruning
+        if terms is not None:
+            df = df.filter(F.col("term").isin(terms))  # row-group pruning
+        return df
+
+
+def build_segments(
+    docs: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    mode: str = DEFAULT_MODE,
+    n_buckets: int = 32,
+    hot_df_threshold: int = 250_000,
+    build_id: str | None = None,
+    resume: bool = True,
+) -> SegmentIndex:
+    spark = docs.sparkSession
+    build_id = build_id or uuid.uuid4().hex[:12]
+    os.makedirs(index_dir, exist_ok=True)
+    raw_path = os.path.join(index_dir, "postings_raw")
+    seg_path = os.path.join(index_dir, "segments")
+    terms_path = os.path.join(index_dir, "terms")
+
+    # ---- stage 1: postings (tokenize + per-doc aggregate, no shuffle) ----
+    if not (resume and _stage_done(spark, index_dir, "postings_raw")):
+        t0 = time.time()
+        postings = build_postings(docs, id_col=id_col, text_col=text_col, mode=mode)
+        postings = postings.withColumn(
+            "term_bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
+        )
+        postings.write.mode("overwrite").parquet(raw_path)
+        wall = time.time() - t0
+        n_post = spark.read.parquet(raw_path).count()
+        _append_manifest(
+            spark,
+            index_dir,
+            [(build_id, "postings_raw", "all", "complete", n_post, 0, 0, wall, time.time())],
+        )
+
+    raw = spark.read.parquet(raw_path)
+
+    # ---- stage 2: salted repartition-by-term → encoded segment blocks ----
+    if not (resume and _stage_done(spark, index_dir, "segments")):
+        t0 = time.time()
+        dfreq = raw.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        hot = dfreq.filter(F.col("df") > hot_df_threshold).select(
+            "term",
+            F.ceil(F.col("df") / hot_df_threshold).cast("int").alias("n_salts"),
+        )
+        salted = (
+            raw.join(F.broadcast(hot), "term", "left")
+            .withColumn(
+                "salt",
+                F.when(
+                    F.col("n_salts").isNotNull(),
+                    F.pmod(F.xxhash64("doc_id"), F.col("n_salts")).cast("int"),
+                ).otherwise(F.lit(0)),
+            )
+            .drop("n_salts")
+        )
+        seg = salted.groupBy("term", "salt").applyInPandas(_encode_group, SEGMENT_SCHEMA)
+        seg.write.mode("overwrite").partitionBy("term_bucket").parquet(seg_path)
+        wall = time.time() - t0
+        # per-partition lineage + metrics from the written metadata (cheap scan)
+        meta = spark.read.parquet(seg_path).select(
+            "term_bucket",
+            "n_docs",
+            (
+                F.length("doc_ids_enc")
+                + F.length("tfs_enc")
+                + F.length("doc_lens_enc")
+                + F.length("pos_counts_enc")
+                + F.length("positions_enc")
+            ).alias("bytes"),
+        )
+        lineage = (
+            meta.groupBy("term_bucket")
+            .agg(
+                F.sum("n_docs").alias("n_postings"),
+                F.count(F.lit(1)).alias("n_blocks"),
+                F.sum("bytes").alias("bytes_encoded"),
+            )
+            .collect()
+        )
+        rows = [
+            (
+                build_id,
+                "segments",
+                f"term_bucket={r['term_bucket']}",
+                "complete",
+                r["n_postings"],
+                r["n_blocks"],
+                r["bytes_encoded"],
+                0.0,
+                time.time(),
+            )
+            for r in lineage
+        ]
+        tot_post = sum(r["n_postings"] for r in lineage)
+        rows.append(
+            (
+                build_id,
+                "segments",
+                "all",
+                "complete",
+                tot_post,
+                sum(r["n_blocks"] for r in lineage),
+                sum(r["bytes_encoded"] for r in lineage),
+                wall,
+                time.time(),
+            )
+        )
+        _append_manifest(spark, index_dir, rows)
+
+    # ---- stage 3: distributed merge → final term dictionary ----
+    if not (resume and _stage_done(spark, index_dir, "terms")):
+        t0 = time.time()
+        seg = spark.read.parquet(seg_path)
+        terms = seg.groupBy("term").agg(
+            F.sum("n_docs").alias("df"),
+            F.sum("sum_tf").alias("cf"),
+            F.max("max_tf").alias("max_tf"),
+            F.min("min_doc_len").alias("min_doc_len"),
+            F.first("term_bucket").alias("term_bucket"),
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.countDistinct("salt").alias("n_salts"),
+        )
+        terms.write.mode("overwrite").parquet(terms_path)
+        _append_manifest(
+            spark,
+            index_dir,
+            [
+                (
+                    build_id,
+                    "terms",
+                    "all",
+                    "complete",
+                    0,
+                    0,
+                    0,
+                    time.time() - t0,
+                    time.time(),
+                )
+            ],
+        )
+
+    # ---- stage 4: corpus stats + build metrics ----
+    stats_path = os.path.join(index_dir, "stats.json")
+    if not (resume and _stage_done(spark, index_dir, "stats")):
+        n_docs = docs.count()
+        total = raw.agg(F.sum("tf")).collect()[0][0] or 0
+        m = spark.read.parquet(os.path.join(index_dir, "manifest"))
+        seg_row = (
+            m.filter((F.col("stage") == "segments") & (F.col("partition_key") == "all"))
+            .orderBy(F.desc("ts"))
+            .first()
+        )
+        raw_row = (
+            m.filter((F.col("stage") == "postings_raw") & (F.col("partition_key") == "all"))
+            .orderBy(F.desc("ts"))
+            .first()
+        )
+        build_wall = (raw_row["wall_sec"] if raw_row else 0.0) + (
+            seg_row["wall_sec"] if seg_row else 0.0
+        )
+        payload = {
+            "n_docs": int(n_docs),
+            "total_tokens": int(total),
+            "avgdl": (total / n_docs) if n_docs else 0.0,
+            "build_id": build_id,
+            "n_postings": int(seg_row["n_postings"]) if seg_row else 0,
+            "bytes_encoded": int(seg_row["bytes_encoded"]) if seg_row else 0,
+            "build_wall_sec": build_wall,
+            "postings_per_sec": (seg_row["n_postings"] / build_wall)
+            if seg_row and build_wall > 0
+            else 0.0,
+        }
+        tmp = stats_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(payload, f, indent=2)
+        os.replace(tmp, stats_path)
+        _append_manifest(
+            spark, index_dir, [(build_id, "stats", "all", "complete", 0, 0, 0, 0.0, time.time())]
+        )
+
+    return SegmentIndex.load(spark, index_dir)

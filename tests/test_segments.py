@@ -1,0 +1,209 @@
+"""Segment format + query-v2 fixtures: codec round-trips (128-block
+boundaries, FIXTURES.md §4), build/decode parity, rank identity vs the
+table-native engine, salting under a hot term, checkpoint/resume."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fugu_spark import codecs
+from fugu_spark.postings import build_index
+from fugu_spark.search import search
+from fugu_spark.segment_search import decode_postings, heap_topk, search_segments, _term_meta
+from fugu_spark.segments import build_segments
+
+from .test_search import DOCS
+
+
+class TestCodecs:
+    def test_varint_roundtrip(self):
+        vals = np.array([0, 1, 127, 128, 300, 2**21, 2**42, 2**63, 2**64 - 1], dtype=np.uint64)
+        assert list(codecs.varint_decode(codecs.varint_encode(vals), len(vals))) == list(vals)
+
+    def test_delta_roundtrip_negative_ids(self):
+        # signed int64 doc ids (xxhash64) reinterpreted as uint64: wrap-exact
+        ids = np.array([-(2**62), -5, -3, 2, 2**62], dtype=np.int64)
+        enc = codecs.delta_encode(ids.view(np.uint64))
+        dec = codecs.delta_decode(enc).view(np.int64)
+        assert list(dec) == list(ids)
+
+    def test_block_roundtrip_with_positions(self):
+        doc_ids = np.arange(0, 128, dtype=np.uint64) * 7
+        tfs = (doc_ids % 5 + 1).astype(np.uint64)
+        doc_lens = (doc_ids % 90 + 10).astype(np.uint64)
+        pos_counts = tfs.copy()
+        flat = np.concatenate([np.arange(t, dtype=np.uint64) * 3 + 1 for t in tfs])
+        enc = codecs.encode_posting_block(doc_ids, tfs, doc_lens, flat, pos_counts)
+        dec = codecs.decode_posting_block(enc)
+        assert list(dec["doc_ids"]) == list(doc_ids)
+        assert list(dec["tfs"]) == list(tfs)
+        assert list(dec["doc_lens"]) == list(doc_lens)
+        got_flat = np.concatenate(dec["positions"])
+        assert list(got_flat) == list(flat)
+        assert enc["max_doc_id"] == int(doc_ids[-1])
+        assert enc["max_tf"] == int(tfs.max())
+        assert enc["min_doc_len"] == int(doc_lens.min())
+
+    def test_compression_shrinks(self):
+        doc_ids = np.sort(np.arange(1000, dtype=np.uint64) * 3)
+        enc = codecs.varint_encode(codecs.delta_encode(doc_ids))
+        assert len(enc) < 1000 * 3  # gaps of 3 → 1 byte each vs 8 raw
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(list(DOCS.items()), "doc_id long, content string")
+
+
+@pytest.fixture(scope="module")
+def seg_index(spark, docs_df, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("segidx"))
+    return build_segments(docs_df, d, id_col="doc_id", text_col="content", n_buckets=4)
+
+
+def test_segment_block_boundaries(spark, tmp_path_factory):
+    """One term across 300 docs → 3 blocks (128/128/44), FIXTURES.md §4."""
+    docs = spark.createDataFrame(
+        [(i, "blockterm filler%d" % i) for i in range(300)], "doc_id long, content string"
+    )
+    d = str(tmp_path_factory.mktemp("blk"))
+    si = build_segments(docs, d, n_buckets=2)
+    blocks = (
+        si.segments_df(terms=["blockterm"]).orderBy("block_id").select("block_id", "n_docs").collect()
+    )
+    assert [(r.block_id, r.n_docs) for r in blocks] == [(0, 128), (1, 128), (2, 44)]
+
+
+def test_decode_matches_table_native(spark, docs_df, seg_index):
+    idx = build_index(docs_df)
+    expected = sorted(
+        (r.term, r.doc_id, r.tf, tuple(r.positions), r.doc_len) for r in idx.postings.collect()
+    )
+    terms = sorted({t for t, *_ in expected})
+    meta = _term_meta(seg_index, terms)
+    got = sorted(
+        (r.term, r.doc_id, r.tf, tuple(r.positions), r.doc_len)
+        for r in decode_postings(seg_index, terms, meta, with_positions=True).collect()
+    )
+    assert got == expected
+
+
+QUERIES = [
+    "merge",
+    "merge join",
+    "merge join sort quick",
+    "merge AND join",
+    "merge NOT join",
+    '"merge join"',
+    "merge^2 join",
+    "the quick brown",  # includes hot term
+    "zzznotfound merge",
+]
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_rank_parity_segments_vs_table(spark, docs_df, seg_index, query):
+    idx = build_index(docs_df)
+    expected = [(r.doc_id, r.score) for r in search(idx, query, k=10, docs=docs_df).collect()]
+    wand = [
+        (r.doc_id, r.score)
+        for r in search_segments(seg_index, query, k=10, docs=docs_df, use_wand=True).collect()
+    ]
+    exhaustive = [
+        (r.doc_id, r.score)
+        for r in search_segments(seg_index, query, k=10, docs=docs_df, use_wand=False).collect()
+    ]
+    assert [d for d, _ in wand] == [d for d, _ in expected], f"wand ranks: {query!r}"
+    assert [d for d, _ in exhaustive] == [d for d, _ in expected]
+    for (gd, gs), (ed, es) in zip(wand, expected):
+        assert gs == pytest.approx(es, abs=1e-9)
+
+
+def test_salting_preserves_results(spark, docs_df, tmp_path_factory):
+    """hot_df_threshold=2 → every term with df>2 splits into salted
+    sub-lists; merged results must be identical."""
+    d = str(tmp_path_factory.mktemp("salted"))
+    si = build_segments(docs_df, d, n_buckets=4, hot_df_threshold=2)
+    n_salts = si.terms.filter(F.col("term") == "merge").first()["n_salts"]
+    assert n_salts >= 2  # 'merge' df=5 → split
+    idx = build_index(docs_df)
+    for q in ["merge", "merge join", '"merge join"']:
+        expected = [(r.doc_id, round(r.score, 9)) for r in search(idx, q, k=12).collect()]
+        got = [
+            (r.doc_id, round(r.score, 9))
+            for r in search_segments(si, q, k=12, docs=docs_df).collect()
+        ]
+        assert got == expected, q
+
+
+def test_resume_skips_completed_stages(spark, docs_df, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("resume"))
+    si1 = build_segments(docs_df, d, n_buckets=4, build_id="build1")
+    m1 = spark.read.parquet(f"{d}/manifest").count()
+    si2 = build_segments(docs_df, d, n_buckets=4, build_id="build2", resume=True)
+    m2 = spark.read.parquet(f"{d}/manifest").count()
+    assert m1 == m2  # nothing re-ran → no new manifest rows
+    assert si2.stats.n_docs == si1.stats.n_docs
+
+
+def test_resume_rebuilds_missing_stage(spark, docs_df, tmp_path_factory):
+    import shutil
+
+    d = str(tmp_path_factory.mktemp("resume2"))
+    build_segments(docs_df, d, n_buckets=4, build_id="b1")
+    before = {r.term: r.df for r in spark.read.parquet(f"{d}/terms").collect()}
+    shutil.rmtree(f"{d}/terms")
+    si = build_segments(docs_df, d, n_buckets=4, build_id="b2", resume=True)
+    after = {r.term: r.df for r in si.terms.collect()}
+    assert after == before  # stage 3 rebuilt deterministically
+
+
+def test_manifest_lineage_and_metrics(spark, seg_index):
+    m = spark.read.parquet(f"{seg_index.index_dir}/manifest")
+    per_bucket = m.filter(
+        (F.col("stage") == "segments") & (F.col("partition_key") != "all")
+    )
+    assert per_bucket.count() > 0  # per-partition lineage rows exist
+    assert per_bucket.filter(F.col("bytes_encoded") <= 0).count() == 0
+    import json
+
+    with open(f"{seg_index.index_dir}/stats.json") as f:
+        stats = json.load(f)
+    assert stats["n_postings"] > 0
+    assert stats["postings_per_sec"] > 0
+    assert stats["bytes_encoded"] > 0
+
+
+def test_heap_topk_matches_orderby(spark):
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 97).cast("double").alias("score")
+    ).repartition(8)
+    got = [(r.doc_id, r.score) for r in heap_topk(df, 10).collect()]
+    exp = [
+        (r.doc_id, r.score)
+        for r in df.orderBy(F.desc("score"), F.asc("doc_id")).limit(10).collect()
+    ]
+    assert got == exp
+
+
+def test_negative_doc_ids_roundtrip(spark, tmp_path_factory):
+    """xxhash64-style ids (negative int64) survive the segment round-trip."""
+    docs = spark.createDataFrame(
+        [(-(2**62) - 5, "alpha beta"), (-7, "alpha gamma"), (9, "alpha beta beta")],
+        "doc_id long, content string",
+    )
+    d = str(tmp_path_factory.mktemp("negids"))
+    si = build_segments(docs, d, n_buckets=2)
+    meta = _term_meta(si, ["alpha", "beta"])
+    rows = sorted(
+        (r.term, r.doc_id, r.tf) for r in decode_postings(si, ["alpha", "beta"], meta).collect()
+    )
+    assert rows == [
+        ("alpha", -(2**62) - 5, 1),
+        ("alpha", -7, 1),
+        ("alpha", 9, 1),
+        ("beta", -(2**62) - 5, 1),
+        ("beta", 9, 2),
+    ]
