@@ -1,0 +1,207 @@
+"""Benchmark entry point (BASELINE.md targets).
+
+Phases:
+  A. Headline BM25 queries over $SPARK_GRAFT_SF_DIR/documents.parquet
+     (default sf0.1) through the segment engine on local[$SPARK_GRAFT_CPUS]:
+     fresh segment build (timed) + a 10-query battery (per-query wall, p50).
+  B. Scaling evidence (north rule: N → 4N executors, efficiency ≥ 0.8):
+     the SAME deterministic synthetic corpus indexed at local[8] and
+     local[32] in separate subprocesses; postings/sec at both +
+     efficiency = T_32 / (4 · T_8).
+
+Prints ONE JSON line:
+  {"metric": "bm25_top10_p50_sec", "value": <p50 sec>, "unit": "sec",
+   "queries": {...}, "sf": <sf>, "build": {...}, "scaling": {...}}
+and mirrors a human-readable table into BENCH.md.
+
+Run `python bench.py --scale-worker N ROWS DIR` for the internal worker.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+QUERY_SET = {
+    "q01_single": "merge",
+    "q02_or2": "merge join",
+    "q03_and2": "merge AND join",
+    "q04_not": "merge NOT window",
+    "q05_phrase": '"merge join"',
+    "q06_boost": "merge^2 join",
+    "q07_hot": "the",
+    "q08_or4": "merge join sort window",
+    "q09_and3": "merge AND join AND sort",
+    "q10_k100": "merge join",
+}
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    name = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def scale_worker(cpus: int, rows: int, out_dir: str) -> None:
+    """Index the deterministic corpus at local[cpus]; print timing json."""
+    from fugu_spark.corpus import generate_corpus
+    from fugu_spark.segments import build_segments
+    from fugu_spark.session import get_spark
+    from pyspark.sql import functions as F
+
+    spark = get_spark(app_name=f"bench_scale_{cpus}", master=f"local[{cpus}]")
+    corpus = generate_corpus(spark, rows).withColumn(
+        "doc_id", F.xxhash64("repo", "path", "commit")
+    )
+    corpus.write.mode("overwrite").parquet(f"{out_dir}/corpus")  # materialize input
+    docs = spark.read.parquet(f"{out_dir}/corpus")
+    t0 = time.time()
+    si = build_segments(
+        docs, f"{out_dir}/index", id_col="doc_id", text_col="content", resume=False
+    )
+    wall = time.time() - t0
+    with open(f"{si.index_dir}/stats.json") as f:
+        stats = json.load(f)
+    print(
+        json.dumps(
+            {
+                "cpus": cpus,
+                "rows": rows,
+                "n_postings": stats["n_postings"],
+                "total_tokens": stats["total_tokens"],
+                "bytes_encoded": stats["bytes_encoded"],
+                "wall_sec": wall,
+                "postings_per_sec": stats["n_postings"] / wall,
+            }
+        )
+    )
+    spark.stop()
+
+
+def run_scaling(rows: int) -> dict:
+    out = {}
+    for cpus in (8, 32):
+        d = f"/tmp/fugu_bench_scale_{cpus}"
+        shutil.rmtree(d, ignore_errors=True)
+        r = subprocess.run(
+            [sys.executable, __file__, "--scale-worker", str(cpus), str(rows), d],
+            capture_output=True,
+            text=True,
+            timeout=3600,
+        )
+        line = [l for l in r.stdout.strip().splitlines() if l.startswith("{")][-1]
+        out[f"local[{cpus}]"] = json.loads(line)
+    t8 = out["local[8]"]["postings_per_sec"]
+    t32 = out["local[32]"]["postings_per_sec"]
+    out["efficiency_8_to_32"] = round(t32 / (4.0 * t8), 4)
+    return out
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--scale-worker":
+        scale_worker(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+        return
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    rows = int(os.environ.get("FUGU_BENCH_ROWS", "20000"))
+    do_scaling = os.environ.get("FUGU_BENCH_SCALING", "1") == "1"
+
+    from fugu_spark.segment_search import search_segments
+    from fugu_spark.segments import build_segments
+    from fugu_spark.session import get_spark
+
+    spark = get_spark(app_name="fugu_bench", master=f"local[{cpus}]")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+    n_docs = docs.count()
+
+    idx_dir = f"/tmp/fugu_bench_idx_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    t0 = time.time()
+    si = build_segments(docs, idx_dir, id_col="doc_id", text_col="text", resume=False)
+    build_wall = time.time() - t0
+    with open(f"{idx_dir}/stats.json") as f:
+        bstats = json.load(f)
+
+    # warm-up (JVM/codegen/Arrow), unmeasured
+    search_segments(si, "merge", k=10, docs=docs).collect()
+
+    qtimes: dict[str, float] = {}
+    for name, q in QUERY_SET.items():
+        k = 100 if name.endswith("k100") else 10
+        t0 = time.time()
+        search_segments(si, q, k=k, docs=docs).collect()
+        qtimes[name] = round(time.time() - t0, 4)
+
+    p50 = statistics.median(qtimes.values())
+    result = {
+        "metric": "bm25_top10_p50_sec",
+        "value": round(p50, 4),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": _sf_from_dir(sf_dir),
+        "build": {
+            "n_docs": n_docs,
+            "n_postings": bstats["n_postings"],
+            "wall_sec": round(build_wall, 2),
+            "postings_per_sec": round(bstats["n_postings"] / build_wall, 1),
+            "bytes_encoded": bstats["bytes_encoded"],
+        },
+    }
+    if do_scaling:
+        result["scaling"] = run_scaling(rows)
+
+    _write_bench_md(result)
+    print(json.dumps(result))
+
+
+def _write_bench_md(r: dict) -> None:
+    lines = [
+        "# BENCH — latest local run",
+        "",
+        f"- corpus: sf={r['sf']} documents ({r['build']['n_docs']} docs, "
+        f"{r['build']['n_postings']} postings)",
+        f"- segment build: {r['build']['wall_sec']}s → "
+        f"**{r['build']['postings_per_sec']:.0f} postings/sec**, "
+        f"{r['build']['bytes_encoded']} bytes encoded",
+        f"- BM25 top-k p50 latency: **{r['value']}s**",
+        "",
+        "| query | sec |",
+        "|---|---|",
+    ]
+    lines += [f"| {k} | {v} |" for k, v in r["queries"].items()]
+    if "scaling" in r:
+        s = r["scaling"]
+        lines += [
+            "",
+            "## Scaling (N → 4N cores, same deterministic corpus)",
+            "",
+            "| config | rows | postings | wall s | postings/sec |",
+            "|---|---|---|---|---|",
+        ]
+        for key in ("local[8]", "local[32]"):
+            w = s[key]
+            lines.append(
+                f"| {key} | {w['rows']} | {w['n_postings']} | {w['wall_sec']:.1f} | {w['postings_per_sec']:.0f} |"
+            )
+        lines += [
+            "",
+            f"**Scaling efficiency (8→32 cores): {s['efficiency_8_to_32']}** "
+            "(north-rule target ≥ 0.8; sandbox proxy for N vs 4N executors)",
+        ]
+    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -51,8 +51,22 @@ _DECODED_SCHEMA = T.StructType(
         T.StructField("tf", T.IntegerType(), False),
         T.StructField("positions", T.ArrayType(T.IntegerType()), False),
         T.StructField("doc_len", T.IntegerType(), False),
+        T.StructField("gen", T.IntegerType(), False),
     ]
 )
+
+
+def _apply_delete_mask(si: SegmentIndex, decoded: DataFrame) -> DataFrame:
+    """Drop postings masked by the delete table: a (doc_id, del_gen) row
+    kills the doc's postings in all generations < del_gen."""
+    mask = si.deletes_df()
+    if mask is None:
+        return decoded.drop("gen")
+    return (
+        decoded.join(F.broadcast(mask), "doc_id", "left")
+        .filter(F.col("del_gen").isNull() | (F.col("gen") >= F.col("del_gen")))
+        .drop("del_gen", "gen")
+    )
 
 
 def _tf_norm_np(tf: np.ndarray, dl: np.ndarray, avgdl: float, k1: float, b: float) -> np.ndarray:
@@ -85,19 +99,38 @@ def decode_postings(
     decoding (block-max pruning)."""
     buckets = sorted({term_meta[t]["term_bucket"] for t in terms})
     seg = si.segments_df(terms=terms, buckets=buckets)
+    return _decode_seg_df(si, seg, with_positions, theta, other_ub, term_meta, k1, b)
+
+
+def decode_all_postings(si: SegmentIndex, with_positions: bool = False) -> DataFrame:
+    """Decode every live posting (compaction / full rebuilds)."""
+    return _decode_seg_df(si, si.segments_df(), with_positions, 0.0, None, None, BM25_K1, BM25_B)
+
+
+def _decode_seg_df(
+    si: SegmentIndex,
+    seg: DataFrame,
+    with_positions: bool,
+    theta: float,
+    other_ub: dict[str, float] | None,
+    term_meta: dict[str, dict] | None,
+    k1: float,
+    b: float,
+) -> DataFrame:
     cols = [
         "term",
         "n_docs",
         "max_tf",
         "min_doc_len",
+        "gen",
         "doc_ids_enc",
         "tfs_enc",
         "doc_lens_enc",
     ] + (["pos_counts_enc", "positions_enc"] if with_positions else [])
     seg = seg.select(cols)
     avgdl = si.stats.avgdl
-    idf = {t: term_meta[t]["idf"] for t in terms}
-    oub = other_ub or {t: float("inf") for t in terms}
+    idf = {t: m["idf"] for t, m in (term_meta or {}).items()}
+    oub = other_ub or {}
     skip_on = theta > 0.0 and other_ub is not None
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -132,13 +165,14 @@ def decode_postings(
                         if with_positions
                         else [np.array([], dtype="int32")] * n,
                         "doc_len": dec["doc_lens"].astype(np.int64).astype("int32"),
+                        "gen": np.int32(row.gen),
                     }
                 )
                 outs.append(out)
             if outs:
                 yield pd.concat(outs, ignore_index=True)
 
-    return seg.mapInPandas(gen, schema=_DECODED_SCHEMA)
+    return _apply_delete_mask(si, seg.mapInPandas(gen, schema=_DECODED_SCHEMA))
 
 
 def heap_topk(scored: DataFrame, k: int) -> DataFrame:
@@ -197,8 +231,14 @@ def search_segments(
     k1: float = BM25_K1,
     b: float = BM25_B,
     use_wand: bool = True,
+    wand_min_postings: int = 100_000,
 ) -> DataFrame:
-    """Top-k search over the segment index → DataFrame(doc_id, score)."""
+    """Top-k search over the segment index → DataFrame(doc_id, score).
+
+    MaxScore/block-max pruning costs one extra θ-seeding job, so it only
+    engages for pure-OR queries whose posting volume exceeds
+    ``wand_min_postings`` — below that the exhaustive single-pass is
+    faster (and identical in results)."""
     plan = parse_query(query_text, mode=mode)
     spark = si.spark
 
@@ -209,7 +249,9 @@ def search_segments(
         and doc_filter is None
     )
     if pure_or and use_wand:
-        return _search_maxscore(si, plan, k, k1, b)
+        meta = _term_meta(si, plan.all_terms())
+        if sum(m["df"] for m in meta.values()) >= wand_min_postings:
+            return _search_maxscore(si, plan, k, k1, b, meta=meta)
 
     # exhaustive path: decode plan terms, reuse the table-native combiner
     all_terms = plan.all_terms()
@@ -231,14 +273,19 @@ def search_segments(
 
 
 def _search_maxscore(
-    si: SegmentIndex, plan: QueryPlan, k: int, k1: float, b: float
+    si: SegmentIndex,
+    plan: QueryPlan,
+    k: int,
+    k1: float,
+    b: float,
+    meta: dict[str, dict] | None = None,
 ) -> DataFrame:
     """Rank-safe MaxScore/block-max execution for pure-OR term queries."""
     # fold duplicate terms' boosts together (a OR a ≡ 2a in summed scoring)
     boosts: dict[str, float] = {}
     for leaf in plan.leaves:
         boosts[leaf.terms[0]] = boosts.get(leaf.terms[0], 0.0) + leaf.boost
-    meta = _term_meta(si, list(boosts))
+    meta = meta if meta is not None else _term_meta(si, list(boosts))
     terms = [t for t in boosts if t in meta]
     spark = si.spark
     if not terms:

@@ -149,6 +149,55 @@ def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=[f.name for f in SEGMENT_SCHEMA.fields])
 
 
+def merge_dictionary(spark: SparkSession, seg_path: str, terms_path: str) -> None:
+    """Stage-3 kernel (B7): distributed merge of per-partition sub-lists
+    across salts and generations into the final term dictionary. Like
+    Lucene/Tantivy, df/cf count masked-deleted postings until compaction
+    (documented divergence from live counts)."""
+    seg = spark.read.parquet(seg_path)
+    terms = seg.groupBy("term").agg(
+        F.sum("n_docs").alias("df"),
+        F.sum("sum_tf").alias("cf"),
+        F.max("max_tf").alias("max_tf"),
+        F.min("min_doc_len").alias("min_doc_len"),
+        F.first("term_bucket").alias("term_bucket"),
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.countDistinct("salt").alias("n_salts"),
+    )
+    terms.write.mode("overwrite").parquet(terms_path)
+
+
+def encode_postings_df(
+    raw: DataFrame, seg_path: str, hot_df_threshold: int, gen: int, append: bool
+) -> None:
+    """Stage-2 kernel: salted repartition-by-term → sorted, delta+varint
+    128-doc blocks, written under segments/gen=N/term_bucket=B/."""
+    dfreq = raw.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    hot = dfreq.filter(F.col("df") > hot_df_threshold).select(
+        "term",
+        F.ceil(F.col("df") / hot_df_threshold).cast("int").alias("n_salts"),
+    )
+    salted = (
+        raw.join(F.broadcast(hot), "term", "left")
+        .withColumn(
+            "salt",
+            F.when(
+                F.col("n_salts").isNotNull(),
+                F.pmod(F.xxhash64("doc_id"), F.col("n_salts")).cast("int"),
+            ).otherwise(F.lit(0)),
+        )
+        .drop("n_salts")
+    )
+    seg = (
+        salted.groupBy("term", "salt")
+        .applyInPandas(_encode_group, SEGMENT_SCHEMA)
+        .withColumn("gen", F.lit(gen))
+    )
+    seg.write.mode("append" if append else "overwrite").partitionBy(
+        "gen", "term_bucket"
+    ).parquet(seg_path)
+
+
 @dataclass
 class SegmentIndex:
     spark: SparkSession
@@ -177,6 +226,25 @@ class SegmentIndex:
         if terms is not None:
             df = df.filter(F.col("term").isin(terms))  # row-group pruning
         return df
+
+    def deletes_df(self) -> DataFrame | None:
+        """Delete mask: (doc_id, del_gen) — doc's postings in generations
+        < del_gen are dead (Tantivy/Lucene delete-bitset analog)."""
+        p = os.path.join(self.index_dir, "deletes")
+        if not os.path.exists(p):
+            return None
+        return self.spark.read.parquet(p).groupBy("doc_id").agg(
+            F.max("del_gen").alias("del_gen")
+        )
+
+    def max_gen(self) -> int:
+        seg_root = os.path.join(self.index_dir, "segments")
+        gens = [
+            int(d.split("=")[1])
+            for d in os.listdir(seg_root)
+            if d.startswith("gen=")
+        ]
+        return max(gens) if gens else 0
 
 
 def build_segments(
@@ -218,24 +286,7 @@ def build_segments(
     # ---- stage 2: salted repartition-by-term → encoded segment blocks ----
     if not (resume and _stage_done(spark, index_dir, "segments")):
         t0 = time.time()
-        dfreq = raw.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-        hot = dfreq.filter(F.col("df") > hot_df_threshold).select(
-            "term",
-            F.ceil(F.col("df") / hot_df_threshold).cast("int").alias("n_salts"),
-        )
-        salted = (
-            raw.join(F.broadcast(hot), "term", "left")
-            .withColumn(
-                "salt",
-                F.when(
-                    F.col("n_salts").isNotNull(),
-                    F.pmod(F.xxhash64("doc_id"), F.col("n_salts")).cast("int"),
-                ).otherwise(F.lit(0)),
-            )
-            .drop("n_salts")
-        )
-        seg = salted.groupBy("term", "salt").applyInPandas(_encode_group, SEGMENT_SCHEMA)
-        seg.write.mode("overwrite").partitionBy("term_bucket").parquet(seg_path)
+        encode_postings_df(raw, seg_path, hot_df_threshold, gen=0, append=False)
         wall = time.time() - t0
         # per-partition lineage + metrics from the written metadata (cheap scan)
         meta = spark.read.parquet(seg_path).select(
@@ -291,17 +342,7 @@ def build_segments(
     # ---- stage 3: distributed merge → final term dictionary ----
     if not (resume and _stage_done(spark, index_dir, "terms")):
         t0 = time.time()
-        seg = spark.read.parquet(seg_path)
-        terms = seg.groupBy("term").agg(
-            F.sum("n_docs").alias("df"),
-            F.sum("sum_tf").alias("cf"),
-            F.max("max_tf").alias("max_tf"),
-            F.min("min_doc_len").alias("min_doc_len"),
-            F.first("term_bucket").alias("term_bucket"),
-            F.count(F.lit(1)).alias("n_blocks"),
-            F.countDistinct("salt").alias("n_salts"),
-        )
-        terms.write.mode("overwrite").parquet(terms_path)
+        merge_dictionary(spark, seg_path, terms_path)
         _append_manifest(
             spark,
             index_dir,
@@ -360,3 +401,124 @@ def build_segments(
         )
 
     return SegmentIndex.load(spark, index_dir)
+
+
+# --------------------------------------------------------------- updates
+#
+# Generational writes, the Tantivy/Lucene model (D1/D2/B7): an upsert
+# appends a new segment generation plus delete-mask rows for the replaced
+# ids; queries read all generations and drop masked postings; stats and
+# df keep "maxDoc" semantics (deleted docs counted) until compact() — the
+# exact behaviour of the reference's engine between commits and merges.
+
+
+def _write_stats_json(spark: SparkSession, index_dir: str, n_docs: int, total_tokens: int, extra: dict | None = None) -> None:
+    stats_path = os.path.join(index_dir, "stats.json")
+    with open(stats_path) as f:
+        payload = json.load(f)
+    payload.update(
+        {
+            "n_docs": int(n_docs),
+            "total_tokens": int(total_tokens),
+            "avgdl": (total_tokens / n_docs) if n_docs else 0.0,
+        }
+    )
+    payload.update(extra or {})
+    tmp = stats_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f, indent=2)
+    os.replace(tmp, stats_path)
+
+
+def upsert_segments(
+    si: SegmentIndex,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    mode: str = DEFAULT_MODE,
+    hot_df_threshold: int = 250_000,
+) -> SegmentIndex:
+    """Upsert a batch: mask old postings of the batch's ids, append a new
+    segment generation, re-merge the dictionary (D1)."""
+    spark = si.spark
+    new_gen = si.max_gen() + 1
+    ids = batch.select(F.col(id_col).cast("long").alias("doc_id")).distinct()
+    ids.withColumn("del_gen", F.lit(new_gen)).write.mode("append").parquet(
+        os.path.join(si.index_dir, "deletes")
+    )
+    raw = build_postings(batch, id_col=id_col, text_col=text_col, mode=mode).withColumn(
+        "term_bucket", F.pmod(F.xxhash64("term"), F.lit(_n_buckets(si))).cast("int")
+    )
+    new_tokens = raw.agg(F.sum("tf")).collect()[0][0] or 0
+    encode_postings_df(
+        raw, os.path.join(si.index_dir, "segments"), hot_df_threshold, gen=new_gen, append=True
+    )
+    merge_dictionary(
+        spark, os.path.join(si.index_dir, "segments"), os.path.join(si.index_dir, "terms")
+    )
+    n_batch = batch.count()
+    _write_stats_json(
+        spark,
+        si.index_dir,
+        si.stats.n_docs + n_batch,  # maxDoc semantics until compact()
+        si.stats.total_tokens + int(new_tokens),
+        extra={"last_gen": new_gen},
+    )
+    _append_manifest(
+        spark,
+        si.index_dir,
+        [("upsert", "generation", f"gen={new_gen}", "complete", int(new_tokens), 0, 0, 0.0, time.time())],
+    )
+    return SegmentIndex.load(spark, si.index_dir)
+
+
+def delete_doc_ids(si: SegmentIndex, ids: DataFrame, id_col: str = "doc_id") -> SegmentIndex:
+    """Mask ids everywhere (D2). Stats keep maxDoc semantics; derived
+    counts refresh at compact() — mirroring the reference's staleness
+    warning (/root/reference/src/db/search.rs:444-455 analog)."""
+    new_gen = si.max_gen() + 1
+    ids.select(F.col(id_col).cast("long").alias("doc_id")).distinct().withColumn(
+        "del_gen", F.lit(new_gen)
+    ).write.mode("append").parquet(os.path.join(si.index_dir, "deletes"))
+    return SegmentIndex.load(si.spark, si.index_dir)
+
+
+def _n_buckets(si: SegmentIndex) -> int:
+    seg_root = os.path.join(si.index_dir, "segments")
+    gen0 = os.path.join(seg_root, "gen=0")
+    return max(
+        1,
+        len([d for d in os.listdir(gen0) if d.startswith("term_bucket=")]),
+    )
+
+
+def compact(si: SegmentIndex, hot_df_threshold: int = 250_000) -> SegmentIndex:
+    """Background-merge analog (B7): decode all LIVE postings, rewrite as a
+    single gen=0, clear deletes, rebuild dictionary + exact stats."""
+    import shutil
+
+    from .segment_search import decode_all_postings
+
+    spark = si.spark
+    live = decode_all_postings(si, with_positions=True).withColumn(
+        "term_bucket", F.pmod(F.xxhash64("term"), F.lit(_n_buckets(si))).cast("int")
+    )
+    raw_path = os.path.join(si.index_dir, "postings_raw")
+    live.write.mode("overwrite").parquet(raw_path)
+    raw = spark.read.parquet(raw_path)
+    seg_path = os.path.join(si.index_dir, "segments")
+    shutil.rmtree(seg_path)
+    encode_postings_df(raw, seg_path, hot_df_threshold, gen=0, append=False)
+    merge_dictionary(spark, seg_path, os.path.join(si.index_dir, "terms"))
+    del_path = os.path.join(si.index_dir, "deletes")
+    if os.path.exists(del_path):
+        shutil.rmtree(del_path)
+    n_docs = raw.select("doc_id").distinct().count()
+    total = raw.agg(F.sum("tf")).collect()[0][0] or 0
+    _write_stats_json(spark, si.index_dir, n_docs, int(total), extra={"last_gen": 0})
+    _append_manifest(
+        spark,
+        si.index_dir,
+        [("compact", "compact", "all", "complete", int(total), 0, 0, 0.0, time.time())],
+    )
+    return SegmentIndex.load(spark, si.index_dir)

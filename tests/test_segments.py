@@ -109,7 +109,9 @@ def test_rank_parity_segments_vs_table(spark, docs_df, seg_index, query):
     expected = [(r.doc_id, r.score) for r in search(idx, query, k=10, docs=docs_df).collect()]
     wand = [
         (r.doc_id, r.score)
-        for r in search_segments(seg_index, query, k=10, docs=docs_df, use_wand=True).collect()
+        for r in search_segments(
+            seg_index, query, k=10, docs=docs_df, use_wand=True, wand_min_postings=0
+        ).collect()
     ]
     exhaustive = [
         (r.doc_id, r.score)
