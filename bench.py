@@ -52,19 +52,28 @@ def _sf_from_dir(sf_dir: str) -> float:
         return -1.0
 
 
-def scale_worker(cpus: int, rows: int, out_dir: str) -> None:
-    """Index the deterministic corpus at local[cpus]; print timing json."""
+def gen_worker(rows: int, corpus_dir: str) -> None:
+    """Materialize the deterministic corpus once (shared by both levels)."""
     from fugu_spark.corpus import generate_corpus
-    from fugu_spark.segments import build_segments
     from fugu_spark.session import get_spark
     from pyspark.sql import functions as F
 
-    spark = get_spark(app_name=f"bench_scale_{cpus}", master=f"local[{cpus}]")
-    corpus = generate_corpus(spark, rows).withColumn(
+    spark = get_spark(app_name="bench_gen", master="local[32]")
+    generate_corpus(spark, rows).withColumn(
         "doc_id", F.xxhash64("repo", "path", "commit")
-    )
-    corpus.write.mode("overwrite").parquet(f"{out_dir}/corpus")  # materialize input
-    docs = spark.read.parquet(f"{out_dir}/corpus")
+    ).write.mode("overwrite").parquet(corpus_dir)
+    spark.stop()
+
+
+def scale_worker(cpus: int, corpus_dir: str, out_dir: str) -> None:
+    """Build the index over the SAME materialized corpus at local[cpus],
+    in a fresh process (what a per-job spark-submit looks like)."""
+    from fugu_spark.segments import build_segments
+    from fugu_spark.session import get_spark
+
+    spark = get_spark(app_name=f"bench_scale_{cpus}", master=f"local[{cpus}]")
+    docs = spark.read.parquet(corpus_dir)
+    docs.count()  # warm read path + python workers before timing
     t0 = time.time()
     si = build_segments(
         docs, f"{out_dir}/index", id_col="doc_id", text_col="content", resume=False
@@ -76,7 +85,7 @@ def scale_worker(cpus: int, rows: int, out_dir: str) -> None:
         json.dumps(
             {
                 "cpus": cpus,
-                "rows": rows,
+                "rows": docs.count(),
                 "n_postings": stats["n_postings"],
                 "total_tokens": stats["total_tokens"],
                 "bytes_encoded": stats["bytes_encoded"],
@@ -89,12 +98,21 @@ def scale_worker(cpus: int, rows: int, out_dir: str) -> None:
 
 
 def run_scaling(rows: int) -> dict:
+    corpus_dir = f"/tmp/fugu_bench_corpus_{rows}"
+    if not os.path.exists(f"{corpus_dir}/_SUCCESS"):
+        subprocess.run(
+            [sys.executable, __file__, "--gen-worker", str(rows), corpus_dir],
+            capture_output=True,
+            text=True,
+            timeout=3600,
+            check=True,
+        )
     out = {}
     for cpus in (8, 32):
         d = f"/tmp/fugu_bench_scale_{cpus}"
         shutil.rmtree(d, ignore_errors=True)
         r = subprocess.run(
-            [sys.executable, __file__, "--scale-worker", str(cpus), str(rows), d],
+            [sys.executable, __file__, "--scale-worker", str(cpus), corpus_dir, d],
             capture_output=True,
             text=True,
             timeout=3600,
@@ -109,12 +127,15 @@ def run_scaling(rows: int) -> dict:
 
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--scale-worker":
-        scale_worker(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+        scale_worker(int(sys.argv[2]), sys.argv[3], sys.argv[4])
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--gen-worker":
+        gen_worker(int(sys.argv[2]), sys.argv[3])
         return
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    rows = int(os.environ.get("FUGU_BENCH_ROWS", "20000"))
+    rows = int(os.environ.get("FUGU_BENCH_ROWS", "80000"))
     do_scaling = os.environ.get("FUGU_BENCH_SCALING", "1") == "1"
 
     from fugu_spark.segment_search import search_segments
@@ -159,6 +180,7 @@ def main() -> None:
         },
     }
     if do_scaling:
+        spark.stop()  # free the query session before the timed subprocesses
         result["scaling"] = run_scaling(rows)
 
     _write_bench_md(result)

@@ -87,16 +87,53 @@ def _phrase_frame(
     )
 
 
+def _term_leaves_frame(
+    index: InvertedIndex,
+    term_leaves: list[tuple[int, Leaf]],
+    df_map: dict[str, int],
+    k1: float,
+    b: float,
+    extra_mult: float = 1.0,
+) -> DataFrame | None:
+    """ALL term leaves scored in ONE postings scan: each posting row
+    explodes into its matching (leaf_id, idf·boost) entries — no
+    per-leaf re-scan of the (potentially decoded-from-segments) input."""
+    per_term: dict[str, list[tuple[int, float]]] = {}
+    for i, leaf in term_leaves:
+        t = leaf.terms[0]
+        if t in df_map:
+            per_term.setdefault(t, []).append(
+                (i, idf_py(df_map[t], index.stats.n_docs) * leaf.boost * extra_mult)
+            )
+    if not per_term:
+        return None
+    cand = index.postings.filter(F.col("term").isin(list(per_term)))
+    chain = None
+    for t, entries in per_term.items():
+        arr = F.array(
+            *[F.struct(F.lit(i).alias("leaf_id"), F.lit(m).alias("mult")) for i, m in entries]
+        )
+        chain = F.when(F.col("term") == t, arr) if chain is None else chain.when(
+            F.col("term") == t, arr
+        )
+    tf_norm = _tf_norm(F.col("tf"), F.col("doc_len"), index.stats.avgdl, k1, b)
+    return cand.select(
+        "doc_id", F.explode(chain).alias("lp"), tf_norm.alias("tfn")
+    ).select(
+        "doc_id",
+        F.col("lp.leaf_id").alias("leaf_id"),
+        (F.col("lp.mult") * F.col("tfn")).alias("score"),
+    )
+
+
 def leaf_score_frames(
     index: InvertedIndex, plan: QueryPlan, k1: float = BM25_K1, b: float = BM25_B
 ) -> list[tuple[int, DataFrame | None]]:
-    """One (leaf_id, DataFrame(doc_id, score)) per leaf; None = term absent."""
+    """One (leaf_id, DataFrame(doc_id, score)) per leaf; None = term absent.
+    (Retained for inspection/tests; execute_plan uses the fused scan.)"""
     terms = plan.all_terms()
     cand = index.postings.filter(F.col("term").isin(terms))
-    df_map = {
-        r["term"]: r["df"]
-        for r in index.terms.filter(F.col("term").isin(terms)).select("term", "df").collect()
-    }
+    df_map = _df_map(index, terms)
     frames: list[tuple[int, DataFrame | None]] = []
     for i, leaf in enumerate(plan.leaves):
         if leaf.is_phrase:
@@ -116,6 +153,13 @@ def leaf_score_frames(
         )
         frames.append((i, frame))
     return frames
+
+
+def _df_map(index: InvertedIndex, terms: list[str]) -> dict[str, int]:
+    return {
+        r["term"]: r["df"]
+        for r in index.terms.filter(F.col("term").isin(terms)).select("term", "df").collect()
+    }
 
 
 def execute_plan(
@@ -140,43 +184,187 @@ def execute_plan(
     if plan.is_all:
         return all_docs()  # AllQuery, score 1.0 (src/db/search.rs:115-117,146-149)
 
-    frames = leaf_score_frames(index, plan, k1=k1, b=b)
-    # A Must leaf on an absent term means nothing can match.
-    if any(f is None and i in musts for i, f in frames):
-        return spark.createDataFrame([], "doc_id long, score double")
-    live = [(i, f) for i, f in frames if f is not None]
-    positive = [(i, f) for i, f in live if i not in must_nots]
-    exclusions = [f for i, f in live if i in must_nots]
-    plan_has_positive = any(i not in must_nots for i in range(len(plan.leaves)))
+    all_terms = plan.all_terms()
+    df_map = _df_map(index, all_terms)
+    cand = index.postings.filter(F.col("term").isin(all_terms))
 
+    term_leaves = [(i, l) for i, l in enumerate(plan.leaves) if not l.is_phrase]
+    phrase_leaves = [(i, l) for i, l in enumerate(plan.leaves) if l.is_phrase]
+
+    # A Must leaf on an absent term means nothing can match.
+    for i, leaf in enumerate(plan.leaves):
+        if i in musts and any(t not in df_map for t in leaf.terms):
+            return spark.createDataFrame([], "doc_id long, score double")
+
+    frames: list[DataFrame] = []
+    fused = _term_leaves_frame(index, term_leaves, df_map, k1, b)
+    if fused is not None:
+        frames.append(fused)
+    for i, leaf in phrase_leaves:
+        pf = _phrase_frame(cand, leaf, df_map, index.stats, k1, b)
+        if pf is not None:
+            frames.append(pf.select("doc_id", F.lit(i).alias("leaf_id"), "score"))
+
+    plan_has_positive = any(i not in must_nots for i in range(len(plan.leaves)))
+    live_leaf_ids = {
+        i
+        for i, l in enumerate(plan.leaves)
+        if all(t in df_map for t in l.terms)
+    }
     if not plan_has_positive:
         base = all_docs()  # pinned divergence: NOT-only query = AllQuery minus exclusions
-    elif not positive:
+        for i in must_nots & live_leaf_ids:
+            leaf = plan.leaves[i]
+            if leaf.is_phrase:
+                excl = _phrase_frame(cand, leaf, df_map, index.stats, k1, b)
+            else:
+                excl = cand.filter(F.col("term") == leaf.terms[0])
+            base = base.join(excl.select("doc_id"), "doc_id", "left_anti")
+        return base
+    if not frames or not (live_leaf_ids - must_nots):
         # positive leaves exist but all reference absent terms → no match
         return spark.createDataFrame([], "doc_id long, score double")
-    else:
-        tagged = [
-            f.select("doc_id", F.lit(i).alias("leaf_id"), "score") for i, f in positive
-        ]
-        union = reduce(DataFrame.unionByName, tagged)
-        must_ids = sorted(musts)
-        agg = union.groupBy("doc_id").agg(
-            F.array_sort(F.collect_list(F.struct("leaf_id", "score"))).alias("parts"),
-            F.count_distinct(
-                F.when(F.col("leaf_id").isin(must_ids) if must_ids else F.lit(False), F.col("leaf_id"))
-            ).alias("must_cnt"),
-        )
-        base = (
-            agg.filter(F.col("must_cnt") == len(musts))
-            .withColumn(
-                "score",
-                F.aggregate("parts", F.lit(0.0), lambda acc, p: acc + p["score"]),
+
+    return _combine_frames(frames, musts, must_nots)
+
+
+def execute_plan_fields(
+    indexes: dict[str, InvertedIndex],
+    plan: QueryPlan,
+    docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    field_boosts: dict[str, float] | None = None,
+) -> DataFrame:
+    """Multi-field boolean combine (Q9): the reference queries over
+    ``[text, name]`` (/root/reference/src/db/search.rs:108-112) — a doc
+    satisfies a leaf if it matches in ANY field; leaf scores sum across
+    fields with per-field stats (Lucene/Tantivy multi-field semantics)."""
+    first = next(iter(indexes.values()))
+    spark = first.postings.sparkSession
+    musts, must_nots = set(plan.musts), set(plan.must_nots)
+    boosts = field_boosts or {}
+
+    def all_docs() -> DataFrame:
+        if docs is not None:
+            return docs.select(F.col(id_col).cast("long").alias("doc_id")).withColumn(
+                "score", F.lit(1.0)
             )
-            .select("doc_id", "score")
+        return (
+            reduce(
+                DataFrame.unionByName,
+                [idx.postings.select("doc_id") for idx in indexes.values()],
+            )
+            .distinct()
+            .withColumn("score", F.lit(1.0))
         )
-    for excl in exclusions:
-        base = base.join(excl.select("doc_id"), "doc_id", "left_anti")
-    return base
+
+    if plan.is_all:
+        return all_docs()
+
+    all_terms = plan.all_terms()
+    df_maps = {f: _df_map(idx, all_terms) for f, idx in indexes.items()}
+    term_leaves = [(i, l) for i, l in enumerate(plan.leaves) if not l.is_phrase]
+    phrase_leaves = [(i, l) for i, l in enumerate(plan.leaves) if l.is_phrase]
+
+    def live_in_any_field(leaf: Leaf) -> bool:
+        return any(all(t in dm for t in leaf.terms) for dm in df_maps.values())
+
+    for i, leaf in enumerate(plan.leaves):
+        if i in musts and not live_in_any_field(leaf):
+            return spark.createDataFrame([], "doc_id long, score double")
+
+    frames: list[DataFrame] = []
+    for f, idx in indexes.items():
+        fused = _term_leaves_frame(
+            idx, term_leaves, df_maps[f], k1, b, extra_mult=boosts.get(f, 1.0)
+        )
+        if fused is not None:
+            frames.append(fused)
+        cand = idx.postings.filter(F.col("term").isin(all_terms))
+        for i, leaf in phrase_leaves:
+            pf = _phrase_frame(cand, leaf, df_maps[f], idx.stats, k1, b)
+            if pf is not None:
+                mult = boosts.get(f, 1.0)
+                frames.append(
+                    pf.select(
+                        "doc_id",
+                        F.lit(i).alias("leaf_id"),
+                        (F.col("score") * F.lit(mult)).alias("score"),
+                    )
+                )
+
+    plan_has_positive = any(i not in must_nots for i in range(len(plan.leaves)))
+    live_leaf_ids = {i for i, l in enumerate(plan.leaves) if live_in_any_field(l)}
+    if not plan_has_positive:
+        base = all_docs()
+        for f, idx in indexes.items():
+            cand = idx.postings.filter(F.col("term").isin(all_terms))
+            for i in must_nots:
+                leaf = plan.leaves[i]
+                if not all(t in df_maps[f] for t in leaf.terms):
+                    continue
+                excl = (
+                    _phrase_frame(cand, leaf, df_maps[f], idx.stats, k1, b)
+                    if leaf.is_phrase
+                    else cand.filter(F.col("term") == leaf.terms[0])
+                )
+                if excl is not None:
+                    base = base.join(excl.select("doc_id"), "doc_id", "left_anti")
+        return base
+    if not frames or not (live_leaf_ids - must_nots):
+        return spark.createDataFrame([], "doc_id long, score double")
+
+    return _combine_frames(frames, musts, must_nots)
+
+
+def _combine_frames(frames: list[DataFrame], musts: set[int], must_nots: set[int]) -> DataFrame:
+    """Shared boolean combine: one shuffle; deterministic score fold."""
+    union = reduce(DataFrame.unionByName, frames)
+    must_ids = sorted(musts)
+    mustnot_arr = F.array(*[F.lit(i) for i in sorted(must_nots)]) if must_nots else None
+    agg = union.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("leaf_id", "score"))).alias("parts"),
+        F.count_distinct(
+            F.when(F.col("leaf_id").isin(must_ids) if must_ids else F.lit(False), F.col("leaf_id"))
+        ).alias("must_cnt"),
+        (
+            F.max(F.when(F.col("leaf_id").isin(sorted(must_nots)), 1).otherwise(0))
+            if must_nots
+            else F.max(F.lit(0))
+        ).alias("excl"),
+    )
+    scoring = (
+        F.filter("parts", lambda p: ~F.array_contains(mustnot_arr, p["leaf_id"]))
+        if must_nots
+        else F.col("parts")
+    )
+    return (
+        agg.filter((F.col("must_cnt") == len(musts)) & (F.col("excl") == 0))
+        .withColumn("score", F.aggregate(scoring, F.lit(0.0), lambda acc, p: acc + p["score"]))
+        .select("doc_id", "score")
+    )
+
+
+def search_fields(
+    indexes: dict[str, InvertedIndex],
+    query_text: str | None,
+    k: int = 10,
+    offset: int = 0,
+    docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    mode: str = DEFAULT_MODE,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    field_boosts: dict[str, float] | None = None,
+) -> DataFrame:
+    """Multi-field search entry point (fugu queries [text, name])."""
+    plan = parse_query(query_text, mode=mode)
+    scored = execute_plan_fields(
+        indexes, plan, docs=docs, id_col=id_col, k1=k1, b=b, field_boosts=field_boosts
+    )
+    return top_k(scored, k=k, offset=offset)
 
 
 def top_k(

@@ -268,6 +268,12 @@ def build_segments(
     # ---- stage 1: postings (tokenize + per-doc aggregate, no shuffle) ----
     if not (resume and _stage_done(spark, index_dir, "postings_raw")):
         t0 = time.time()
+        # Small inputs bin-pack into fewer read splits than cores; widen so
+        # tokenization saturates the executors. (At real scale the source
+        # has >> defaultParallelism splits and this is a no-op.)
+        target = spark.sparkContext.defaultParallelism
+        if docs.rdd.getNumPartitions() < target:
+            docs = docs.repartition(target)
         postings = build_postings(docs, id_col=id_col, text_col=text_col, mode=mode)
         postings = postings.withColumn(
             "term_bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")

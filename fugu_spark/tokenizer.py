@@ -102,15 +102,38 @@ def tokenize_batch(texts: pd.Series, mode: str = DEFAULT_MODE) -> pd.DataFrame:
     occurrence, where ``idx`` is the input Series index label.
     """
     if mode == "tantivy_default":
+        import numpy as np
+
         toks = texts.fillna("").str.findall(TANTIVY_TOKEN_RE)
-        ex = toks.explode().dropna()
-        if ex.empty:
+        counts = toks.map(len).to_numpy(dtype=np.int64)
+        nonempty = counts > 0
+        if not nonempty.any():
             return pd.DataFrame({"idx": [], "term": [], "pos": []})
-        pos = ex.groupby(level=0).cumcount()  # ordinal BEFORE long-filter
-        keep = ex.str.encode("utf-8").str.len() < MAX_TOKEN_BYTES
-        ex, pos = ex[keep], pos[keep]
+        ex = toks[nonempty].explode()
+        counts_ne = counts[nonempty]
+        total = int(counts_ne.sum())
+        # ordinals BEFORE the long-filter, via arange — no groupby.cumcount
+        starts = np.concatenate([[0], np.cumsum(counts_ne)[:-1]])
+        pos = np.arange(total, dtype=np.int64) - np.repeat(starts, counts_ne)
+        idx = ex.index.to_numpy()
+        terms = ex.to_numpy()
+        # byte-length filter: chars*4 bounds UTF-8 bytes, so only tokens with
+        # >= MAX/4 chars need the (expensive) exact encode check
+        charlen = ex.str.len().to_numpy(dtype=np.int64)
+        keep = charlen < MAX_TOKEN_BYTES // 4
+        suspect = ~keep
+        if suspect.any():
+            exact = (
+                pd.Series(terms[suspect]).str.encode("utf-8").str.len().to_numpy()
+                < MAX_TOKEN_BYTES
+            )
+            keep[np.flatnonzero(suspect)[exact]] = True
         return pd.DataFrame(
-            {"idx": ex.index.to_numpy(), "term": ex.str.lower().to_numpy(), "pos": pos.to_numpy()}
+            {
+                "idx": idx[keep],
+                "term": pd.Series(terms[keep]).str.lower().to_numpy(),
+                "pos": pos[keep],
+            }
         )
     if mode == "standard_tokenizer":
         rows: list[tuple] = []

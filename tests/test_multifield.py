@@ -1,0 +1,75 @@
+"""Multi-field search (Q9): fugu queries [text, name] — leaf matches in
+ANY field, scores sum across fields with per-field stats."""
+
+from __future__ import annotations
+
+import pytest
+
+from fugu_spark.postings import build_index
+from fugu_spark.search import search_fields
+
+from .oracle import PyIndex
+
+DOCS = [
+    (0, "merge join hash", "core engine"),
+    (1, "sort filter scan", "merge utils"),
+    (2, "merge merge merge", "join helpers"),
+    (3, "unrelated text here", "other name"),
+]
+
+
+@pytest.fixture(scope="module")
+def indexes(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, content string, name string")
+    return {
+        "content": build_index(df, text_col="content"),
+        "name": build_index(df, text_col="name"),
+    }, df
+
+
+def _oracle_scores(query):
+    content = PyIndex({d: c for d, c, _ in DOCS})
+    name = PyIndex({d: n for d, _, n in DOCS})
+    per_field = [dict(content.search(query, k=100)), dict(name.search(query, k=100))]
+    out = {}
+    for m in per_field:
+        for doc, s in m.items():
+            out[doc] = out.get(doc, 0.0) + s
+    return out
+
+
+def test_or_sums_across_fields(indexes):
+    idxs, df = indexes
+    got = {r.doc_id: r.score for r in search_fields(idxs, "merge", k=10, docs=df).collect()}
+    exp = _oracle_scores("merge")
+    assert set(got) == set(exp) == {0, 1, 2}
+    for d in got:
+        assert got[d] == pytest.approx(exp[d], abs=1e-9)
+
+
+def test_and_across_fields(indexes):
+    """doc 1 has 'merge' only in name, 'sort' only in content → AND matches."""
+    idxs, df = indexes
+    got = [r.doc_id for r in search_fields(idxs, "merge AND sort", k=10, docs=df).collect()]
+    assert got == [1]
+
+
+def test_not_across_fields(indexes):
+    """'join' in either field excludes (docs 0 and 2)."""
+    idxs, df = indexes
+    got = [r.doc_id for r in search_fields(idxs, "merge NOT join", k=10, docs=df).collect()]
+    assert got == [1]
+
+
+def test_field_boost(indexes):
+    idxs, df = indexes
+    plain = {r.doc_id: r.score for r in search_fields(idxs, "merge", k=10, docs=df).collect()}
+    boosted = {
+        r.doc_id: r.score
+        for r in search_fields(
+            idxs, "merge", k=10, docs=df, field_boosts={"name": 3.0}
+        ).collect()
+    }
+    # doc 1 matches only via name → exactly 3x; doc 2 only via content → unchanged
+    assert boosted[1] == pytest.approx(3.0 * plain[1], abs=1e-9)
+    assert boosted[2] == pytest.approx(plain[2], abs=1e-9)

@@ -25,6 +25,8 @@ def main(cpus: int, rows: int):
     ).write.mode("overwrite").parquet(f"{base}/corpus")
     t["corpus_gen"] = time.time() - t0
     docs = spark.read.parquet(f"{base}/corpus")
+    if docs.rdd.getNumPartitions() < cpus:
+        docs = docs.repartition(cpus)
 
     t0 = time.time()
     raw = build_postings(docs, id_col="doc_id", text_col="content").withColumn(
