@@ -29,9 +29,10 @@ from fugu_spark.facets import (
     search_facets,
     suggestions_udf,
 )
-from fugu_spark.search import search
+from fugu_spark.search import search, search_fields
 
 _CACHE: dict[str, tuple] = {}
+_SEG_CACHE: dict[str, object] = {}
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -48,6 +49,48 @@ def _index(spark: SparkSession, sf_dir: str):
         docs = _docs(spark, sf_dir).cache()
         _CACHE[key] = (docs, P.build_index(docs, id_col="doc_id", text_col="text"))
     return _CACHE[key]
+
+
+def _seg_index(spark: SparkSession, sf_dir: str):
+    """Segment-file index over the driver table (cached per sf_dir)."""
+    if sf_dir not in _SEG_CACHE:
+        import os
+
+        from fugu_spark.segments import SegmentIndex, build_segments
+
+        docs, _ = _index(spark, sf_dir)
+        d = f"/tmp/fugu_entry_seg_{os.path.basename(sf_dir.rstrip('/'))}"
+        _SEG_CACHE[sf_dir] = build_segments(
+            docs, d, id_col="doc_id", text_col="text", resume=True
+        )
+    return _SEG_CACHE[sf_dir]
+
+
+def _seg_search_q(query: str, k: int = 10, force_wand: bool = False):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from fugu_spark.segment_search import search_segments
+
+        docs, _ = _index(spark, sf_dir)
+        si = _seg_index(spark, sf_dir)
+        out = search_segments(
+            si, query, k=k, docs=docs, wand_min_postings=0 if force_wand else 100_000
+        )
+        return out.select("doc_id", F.round("score", 6).alias("score"))
+
+    return run
+
+
+def _multifield_q(query: str, k: int = 10):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs, idx_text = _index(spark, sf_dir)
+        key = sf_dir + "#srcfield"
+        if key not in _CACHE:
+            _CACHE[key] = (docs, P.build_index(docs, id_col="doc_id", text_col="source"))
+        _, idx_src = _CACHE[key]
+        out = search_fields({"text": idx_text, "source": idx_src}, query, k=k, docs=docs)
+        return out.select("doc_id", F.round("score", 6).alias("score"))
+
+    return run
 
 
 def _search_q(query: str, k: int = 10, lang: str | None = None):
@@ -190,6 +233,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_boost": _search_q("merge^2 join", 10),
         "bm25_or_k100": _search_q("merge join", 100),
         "bm25_filtered_lang": _search_q("merge", 10, lang="es"),
+        "bm25_segments_or": _seg_search_q("merge join", 10),
+        "bm25_segments_wand": _seg_search_q("merge join", 10, force_wand=True),
+        "bm25_segments_and": _seg_search_q("merge AND join", 10),
+        "bm25_segments_phrase": _seg_search_q('"merge join"', 10),
+        "multifield_or": _multifield_q("merge src1", 10),
         "allquery": allquery,
         "point_lookup": point_lookup,
         "facet_counts_lang": facet_counts_lang,
@@ -313,6 +361,24 @@ _RATIOS = ", ".join(
     for lang, words in _SW.items()
 )
 
+# Multi-field 'merge src1' over fields text + source. The source field has
+# exactly one token per doc (tf=1, dl=1, avgdl=1) so its tf-norm is exactly
+# 1.0 and the field score reduces to the idf.
+_MULTIFIELD_SQL = f"""WITH {_TOK}, {_SCORED},
+txt AS (
+  SELECT doc_id, sum(sc) AS s FROM scored WHERE term IN ('merge', 'src1') GROUP BY doc_id
+),
+sstat AS (SELECT source, count(*) AS df FROM documents GROUP BY source),
+src AS (
+  SELECT d.doc_id, ln(1 + (s.n - st.df + 0.5) / (st.df + 0.5)) AS s
+  FROM documents d JOIN sstat st ON d.source = st.source, stats s
+  WHERE d.source IN ('merge', 'src1')
+)
+SELECT COALESCE(txt.doc_id, src.doc_id) AS doc_id,
+       round(COALESCE(txt.s, 0) + COALESCE(src.s, 0), 6) AS score
+FROM txt FULL OUTER JOIN src ON txt.doc_id = src.doc_id
+ORDER BY COALESCE(txt.s, 0) + COALESCE(src.s, 0) DESC, 1 ASC LIMIT 10"""
+
 _NGRAM_SQL = """WITH toks AS (
   SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS l
   FROM documents WHERE doc_id < 60
@@ -354,6 +420,13 @@ def oracle_sql() -> dict[str, str]:
         "bm25_boost": _BOOST_SQL,
         "bm25_or_k100": _topk_sql("term IN ('merge','join')", k=100),
         "bm25_filtered_lang": _FILTERED_SQL,
+        "bm25_segments_or": _topk_sql("term IN ('merge','join')"),
+        "bm25_segments_wand": _topk_sql("term IN ('merge','join')"),
+        "bm25_segments_and": _topk_sql(
+            "term IN ('merge','join')", having="HAVING count(DISTINCT term) = 2"
+        ),
+        "bm25_segments_phrase": _PHRASE_SQL,
+        "multifield_or": _MULTIFIELD_SQL,
         "allquery": "SELECT doc_id, 1.0::DOUBLE AS score FROM documents",
         "point_lookup": "SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id = 42",
         "facet_counts_lang": "SELECT '/lang/' || lang AS child, count(*) AS count FROM documents GROUP BY lang",

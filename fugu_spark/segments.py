@@ -272,19 +272,17 @@ def build_segments(
         # tokenization saturates the executors. (At real scale the source
         # has >> defaultParallelism splits and this is a no-op.)
         target = spark.sparkContext.defaultParallelism
-        if docs.rdd.getNumPartitions() < target:
-            docs = docs.repartition(target)
-        postings = build_postings(docs, id_col=id_col, text_col=text_col, mode=mode)
+        src = docs.repartition(target) if docs.rdd.getNumPartitions() < target else docs
+        postings = build_postings(src, id_col=id_col, text_col=text_col, mode=mode)
         postings = postings.withColumn(
             "term_bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
         )
         postings.write.mode("overwrite").parquet(raw_path)
         wall = time.time() - t0
-        n_post = spark.read.parquet(raw_path).count()
         _append_manifest(
             spark,
             index_dir,
-            [(build_id, "postings_raw", "all", "complete", n_post, 0, 0, wall, time.time())],
+            [(build_id, "postings_raw", "all", "complete", 0, 0, 0, wall, time.time())],
         )
 
     raw = spark.read.parquet(raw_path)
@@ -298,6 +296,7 @@ def build_segments(
         meta = spark.read.parquet(seg_path).select(
             "term_bucket",
             "n_docs",
+            "sum_tf",
             (
                 F.length("doc_ids_enc")
                 + F.length("tfs_enc")
@@ -312,9 +311,11 @@ def build_segments(
                 F.sum("n_docs").alias("n_postings"),
                 F.count(F.lit(1)).alias("n_blocks"),
                 F.sum("bytes").alias("bytes_encoded"),
+                F.sum("sum_tf").alias("sum_tf"),
             )
             .collect()
         )
+        tot_tf = sum(r["sum_tf"] for r in lineage)
         rows = [
             (
                 build_id,
@@ -343,6 +344,10 @@ def build_segments(
                 time.time(),
             )
         )
+        # total token count from block metadata → stage 4 needs no re-scan
+        rows.append(
+            (build_id, "token_total", "all", "complete", tot_tf, 0, 0, 0.0, time.time())
+        )
         _append_manifest(spark, index_dir, rows)
 
     # ---- stage 3: distributed merge → final term dictionary ----
@@ -370,19 +375,18 @@ def build_segments(
     # ---- stage 4: corpus stats + build metrics ----
     stats_path = os.path.join(index_dir, "stats.json")
     if not (resume and _stage_done(spark, index_dir, "stats")):
-        n_docs = docs.count()
-        total = raw.agg(F.sum("tf")).collect()[0][0] or 0
+        n_docs = docs.count()  # parquet sources: metadata-only count
         m = spark.read.parquet(os.path.join(index_dir, "manifest"))
-        seg_row = (
-            m.filter((F.col("stage") == "segments") & (F.col("partition_key") == "all"))
-            .orderBy(F.desc("ts"))
-            .first()
-        )
-        raw_row = (
-            m.filter((F.col("stage") == "postings_raw") & (F.col("partition_key") == "all"))
-            .orderBy(F.desc("ts"))
-            .first()
-        )
+
+        def _latest(stage: str):
+            return (
+                m.filter((F.col("stage") == stage) & (F.col("partition_key") == "all"))
+                .orderBy(F.desc("ts"))
+                .first()
+            )
+
+        seg_row, raw_row, tf_row = _latest("segments"), _latest("postings_raw"), _latest("token_total")
+        total = int(tf_row["n_postings"]) if tf_row else 0  # block-metadata sum, no re-scan
         build_wall = (raw_row["wall_sec"] if raw_row else 0.0) + (
             seg_row["wall_sec"] if seg_row else 0.0
         )
