@@ -165,6 +165,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def filter_values_lang(spark, sf_dir):
         return filter_values_at_path(_facet_docs(spark, sf_dir), "/lang")
 
+    def all_filter_paths_q(spark, sf_dir):
+        from fugu_spark.facets import all_filter_paths
+
+        return all_filter_paths(_facet_docs(spark, sf_dir))
+
     def search_facets_src1(spark, sf_dir):
         return search_facets(_facet_docs(spark, sf_dir), "/source", text="1").select(
             "facet", F.col("count").cast("long").alias("count")
@@ -243,6 +248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_counts_lang": facet_counts_lang,
         "facet_tree": facet_tree,
         "filter_values_lang": filter_values_lang,
+        "all_filter_paths": all_filter_paths_q,
         "search_facets_src1": search_facets_src1,
         "exact_dedup": exact_dedup_q,
         "token_stats": token_stats,
@@ -436,6 +442,9 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT '/source', count(*) FROM documents
             UNION ALL SELECT '/source/' || source, count(*) FROM documents GROUP BY source""",
         "filter_values_lang": "SELECT DISTINCT lang AS value FROM documents",
+        "all_filter_paths": """
+            SELECT DISTINCT '/lang' AS parent, lang AS leaf FROM documents
+            UNION SELECT DISTINCT '/source', source FROM documents""",
         "search_facets_src1": """
             SELECT '/source/' || source AS facet, count(*) AS count FROM documents
             WHERE source LIKE '%1%' GROUP BY source""",

@@ -1,0 +1,203 @@
+"""Engine facade: the reference's HTTP API surface as one Python object.
+
+Every route of the reference server (/root/reference/src/server/routes.rs:29-84)
+maps to a method here, so a fugu user can switch 1:1:
+
+| fugu route | method |
+|---|---|
+| GET/POST /search            | ``search(query, k, offset, filters)`` |
+| GET /objects/{id}           | ``get(doc_id)`` |
+| GET /objects                | ``list_objects(n)`` |
+| PUT /objects, POST /ingest, /batch/upsert | ``ingest(batch)`` |
+| DELETE /objects/{id}        | ``delete(ids)`` |
+| GET /namespaces             | ``namespaces()`` |
+| GET /namespaces/{ns}/facets | ``namespace_filters(ns)`` |
+| GET /filters, /filters/all  | ``all_filters()`` |
+| GET /filters/path/{path}    | ``filter_values(path)`` |
+| GET /facets/tree            | ``facet_tree(max_depth)`` |
+| (query_index)               | ``suggest(prefix, n)`` |
+| GET /health                 | ``health()`` |
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import facets as FC
+from .dataset import Dataset, build_dataset, validate
+from .segment_search import search_segments
+from .segments import (
+    SegmentIndex,
+    build_segments,
+    compact,
+    delete_doc_ids,
+    upsert_segments,
+)
+from .tokenizer import DEFAULT_MODE
+
+
+@dataclass
+class FuguSparkEngine:
+    spark: SparkSession
+    index_dir: str
+    docs: DataFrame
+    si: SegmentIndex
+    ds: Dataset
+    id_col: str = "doc_id"
+    text_col: str = "text"
+    facets_col: str = "facets"
+    mode: str = DEFAULT_MODE
+
+    # ---- lifecycle -------------------------------------------------
+
+    @classmethod
+    def build(
+        cls,
+        docs: DataFrame,
+        index_dir: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        facets_col: str | None = "facets",
+        strict_validation: bool = False,
+        mode: str = DEFAULT_MODE,
+    ) -> "FuguSparkEngine":
+        good, _bad = validate(
+            docs,
+            id_col=id_col,
+            text_col=text_col,
+            facets_col=facets_col if facets_col and facets_col in docs.columns else None,
+            strict=strict_validation,
+        )
+        good = good.cache()
+        si = build_segments(good, index_dir, id_col=id_col, text_col=text_col, mode=mode)
+        ds = build_dataset(good, id_col=id_col, text_col=text_col, facets_col=facets_col)
+        return cls(
+            spark=docs.sparkSession,
+            index_dir=index_dir,
+            docs=good,
+            si=si,
+            ds=ds,
+            id_col=id_col,
+            text_col=text_col,
+            facets_col=facets_col or "facets",
+            mode=mode,
+        )
+
+    def health(self) -> dict:
+        return {
+            "status": "ok",
+            "n_docs": self.si.stats.n_docs,
+            "avgdl": self.si.stats.avgdl,
+            "generations": self.si.max_gen() + 1,
+        }
+
+    # ---- search ----------------------------------------------------
+
+    def search(
+        self,
+        query: str | None,
+        k: int = 20,
+        offset: int = 0,
+        filters: list[str] | None = None,
+        min_score: float | None = None,
+    ) -> DataFrame:
+        """Scored search with facet filters; per_page clamp like the
+        reference ((0,100] → 20, src/server/handlers/search.rs:370-374)."""
+        if k <= 0 or k > 100:
+            k = 20
+        doc_filter = (
+            FC.combine_filters(filters, F.col(self.facets_col)) if filters else None
+        )
+        out = search_segments(
+            self.si,
+            query,
+            k=k + offset,
+            docs=self.docs,
+            id_col=self.id_col,
+            doc_filter=doc_filter,
+            mode=self.mode,
+        )
+        if min_score is not None:
+            out = out.filter(F.col("score") >= min_score)
+        if offset:
+            rows = out.collect()[offset : offset + k]
+            return self.spark.createDataFrame(rows or [], "doc_id long, score double")
+        return out
+
+    def get(self, doc_id) -> DataFrame:
+        return self.docs.filter(F.col(self.id_col) == doc_id).limit(1)
+
+    def list_objects(self, n: int = 20) -> DataFrame:
+        return self.docs.limit(n)
+
+    def suggest(self, prefix: str, n: int = 10) -> DataFrame:
+        return (
+            self.ds.query_index.filter(F.lower(F.col("suggestion")).startswith(prefix.lower()))
+            .groupBy("suggestion")
+            .agg(F.count(F.lit(1)).alias("count"))
+            .orderBy(F.desc("count"), "suggestion")
+            .limit(n)
+        )
+
+    # ---- DML -------------------------------------------------------
+
+    def ingest(self, batch: DataFrame, strict: bool = True) -> "FuguSparkEngine":
+        good, _ = validate(
+            batch,
+            id_col=self.id_col,
+            text_col=self.text_col,
+            facets_col=self.facets_col if self.facets_col in batch.columns else None,
+            strict=strict,
+        )
+        self.si = upsert_segments(
+            self.si, good, id_col=self.id_col, text_col=self.text_col, mode=self.mode
+        )
+        from .dataset import upsert as ds_upsert
+
+        self.docs = ds_upsert(self.docs, good, id_col=self.id_col).cache()
+        self.ds = build_dataset(
+            self.docs, id_col=self.id_col, text_col=self.text_col, facets_col=self.facets_col
+        )
+        return self
+
+    def delete(self, ids: DataFrame) -> "FuguSparkEngine":
+        self.si = delete_doc_ids(self.si, ids, id_col=self.id_col)
+        self.docs = self.docs.join(ids, self.id_col, "left_anti").cache()
+        return self
+
+    def compact(self) -> "FuguSparkEngine":
+        self.si = compact(self.si)
+        return self
+
+    # ---- facet analytics --------------------------------------------
+
+    def _fd(self) -> DataFrame:
+        return self.docs
+
+    def namespaces(self) -> DataFrame:
+        return FC.namespaces(self._fd(), self.facets_col)
+
+    def facet_tree(self, max_depth: int | None = None) -> dict:
+        rows = [
+            (r["prefix"], r["count"])
+            for r in FC.facet_tree_counts(self._fd(), self.facets_col).collect()
+        ]
+        return FC.assemble_tree(rows, max_depth=max_depth)
+
+    def facet_counts(self, root: str) -> DataFrame:
+        return FC.facet_counts(self._fd(), root, self.facets_col)
+
+    def all_filters(self) -> DataFrame:
+        return FC.all_filter_paths(self._fd(), self.facets_col)
+
+    def namespace_filters(self, namespace: str) -> DataFrame:
+        return FC.namespace_filter_paths(self._fd(), namespace, self.facets_col)
+
+    def filter_values(self, path: str) -> DataFrame:
+        return FC.filter_values_at_path(self._fd(), path, self.facets_col)
+
+    def search_facets(self, prefix: str, text: str | None = None) -> DataFrame:
+        return FC.search_facets(self._fd(), prefix, text, self.facets_col)

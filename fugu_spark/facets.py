@@ -256,6 +256,37 @@ def search_facets(
     return out.orderBy("facet")
 
 
+def namespaces(docs: DataFrame, facets_col: str = "facets") -> DataFrame:
+    """Namespace enumeration (A2, src/db/facet.rs:54-75): children of
+    '/namespace', stripped, deduped, sorted."""
+    return filter_values_at_path(docs, "/namespace", facets_col)
+
+
+def all_filter_paths(docs: DataFrame, facets_col: str = "facets") -> DataFrame:
+    """Map parent path → leaf children (A4, src/db/facet.rs:236-270),
+    exploded as (parent, leaf) rows for oracle-friendly comparison."""
+    parts = F.split("facet", "/")
+    return (
+        _exploded(docs, facets_col)
+        .select(
+            F.array_join(F.slice(parts, 1, F.size(parts) - 1), "/").alias("parent"),
+            F.element_at(parts, -1).alias("leaf"),
+        )
+        .distinct()
+        .orderBy("parent", "leaf")
+    )
+
+
+def namespace_filter_paths(
+    docs: DataFrame, namespace: str, facets_col: str = "facets"
+) -> DataFrame:
+    """A5 (src/db/facet.rs:273-384): filter paths restricted to docs that
+    hold the '/namespace/{ns}' facet. The reference caps the scan at
+    10,000 docs (:286-289); we do not (documented divergence)."""
+    scoped = docs.filter(F.array_contains(F.col(facets_col), f"/namespace/{namespace}"))
+    return all_filter_paths(scoped, facets_col)
+
+
 # ---------------------------------------------------------------- suggestions
 
 
