@@ -1,0 +1,59 @@
+"""spark-submit entry: build (or resume) the inverted index.
+
+    spark-submit --py-files fugu_spark.zip jobs/build_index.py \
+        --source s3a://bucket/corpus --format iceberg \
+        --index-dir s3a://bucket/index --text-col content
+
+Package the library with:  cd /root/repo && zip -r fugu_spark.zip fugu_spark
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--source", required=True)
+    p.add_argument("--format", default="parquet")
+    p.add_argument("--index-dir", required=True)
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="content")
+    p.add_argument("--mode", default="tantivy_default")
+    p.add_argument("--n-buckets", type=int, default=32)
+    p.add_argument("--hot-df-threshold", type=int, default=250_000)
+    p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--skip-sha-check", action="store_true")
+    args = p.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from fugu_spark.segments import build_segments
+    from fugu_spark.sources import check_sha256_invariant, load_corpus
+
+    spark = SparkSession.builder.appName("fugu_build_index").getOrCreate()
+    docs = load_corpus(spark, args.source, fmt=args.format)
+    if not args.skip_sha_check:
+        bad = check_sha256_invariant(docs, args.text_col)
+        if bad:
+            print(json.dumps({"error": "sha256_invariant_violations", "rows": bad}))
+            return 1
+    si = build_segments(
+        docs,
+        args.index_dir,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        mode=args.mode,
+        n_buckets=args.n_buckets,
+        hot_df_threshold=args.hot_df_threshold,
+        resume=not args.no_resume,
+    )
+    with open(f"{si.index_dir}/stats.json") as f:
+        print(f.read())
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
