@@ -56,10 +56,14 @@ def _seg_index(spark: SparkSession, sf_dir: str):
     if sf_dir not in _SEG_CACHE:
         import os
 
+        import fugu_spark
         from fugu_spark.segments import SegmentIndex, build_segments
 
         docs, _ = _index(spark, sf_dir)
-        d = f"/tmp/fugu_entry_seg_{os.path.basename(sf_dir.rstrip('/'))}"
+        d = (
+            f"/tmp/fugu_entry_seg_{os.path.basename(sf_dir.rstrip('/'))}"
+            f"_v{fugu_spark.__version__}"
+        )
         _SEG_CACHE[sf_dir] = build_segments(
             docs, d, id_col="doc_id", text_col="text", resume=True
         )

@@ -154,7 +154,7 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    rows = int(os.environ.get("FUGU_BENCH_ROWS", "40000"))
+    rows = int(os.environ.get("FUGU_BENCH_ROWS", "80000"))
     do_scaling = os.environ.get("FUGU_BENCH_SCALING", "1") == "1"
 
     from fugu_spark.segment_search import search_segments

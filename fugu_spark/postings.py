@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .tokenizer import DEFAULT_MODE, tokenize_batch
+from .tokenizer import DEFAULT_MODE, postings_batch
 
 POSTINGS_SCHEMA = T.StructType(
     [
@@ -55,40 +55,16 @@ def build_postings(
     # concurrent Python workers don't thrash caches/allocator
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         for whole in batches:
             for lo in range(0, len(whole), CHUNK):
                 pdf = whole.iloc[lo : lo + CHUNK].reset_index(drop=True)
-                tok = tokenize_batch(pdf[text_col], mode)
-                if tok.empty:
+                grouped = postings_batch(pdf[text_col], mode)
+                if grouped.empty:
                     continue
-                # pure-numpy (doc, term) grouping — no pandas list-agg in
-                # the hot path: factorize terms, sort one composite key;
-                # the group runs ARE the posting rows + position slices.
-                idx = tok["idx"].to_numpy(dtype=np.int64)
-                pos = tok["pos"].to_numpy(dtype=np.int64).astype("int32")
-                codes, uniques = pd.factorize(tok["term"].to_numpy(), sort=False)
-                doc_len = np.bincount(idx, minlength=len(pdf)).astype("int32")
-                key = idx * np.int64(len(uniques)) + codes
-                order = np.argsort(key, kind="stable")  # stable → positions ascend
-                key_s = key[order]
-                bounds = np.flatnonzero(np.diff(key_s)) + 1
-                starts = np.concatenate([[0], bounds]).astype(np.int64)
-                ends = np.concatenate([bounds, [len(key_s)]]).astype(np.int64)
-                gkey = key_s[starts]
-                g_idx = gkey // len(uniques)
-                g_code = gkey % len(uniques)
                 ids = pdf[id_col].to_numpy()
-                yield pd.DataFrame(
-                    {
-                        "doc_id": ids[g_idx],
-                        "term": uniques[g_code],
-                        "tf": (ends - starts).astype("int32"),
-                        "positions": np.split(pos[order], bounds),
-                        "doc_len": doc_len[g_idx],
-                    }
-                )
+                grouped = grouped.rename(columns={"idx": "doc_id"})
+                grouped["doc_id"] = ids[grouped["doc_id"].to_numpy(dtype="int64")]
+                yield grouped
 
     return docs.select(id_col, text_col).mapInPandas(extract, schema=POSTINGS_SCHEMA)
 

@@ -58,6 +58,15 @@ _DROPPED_CLASSES = {"punctuation", "pagehead"}  # src/tokeinze.rs:332-341
 MODES = ("tantivy_default", "standard_tokenizer")
 DEFAULT_MODE = "tantivy_default"
 
+# ASCII fast path: lookup table of [0-9A-Za-z] (Tantivy's is_alphanumeric
+# restricted to ASCII — exact on ASCII input, which is the overwhelming
+# case for source code; non-ASCII batches take the general regex path).
+import numpy as _np
+
+_ALNUM = _np.zeros(256, dtype=bool)
+for _c in b"0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz":
+    _ALNUM[_c] = True
+
 
 def classify_token(text: str) -> str:
     """Token class per the reference cascade (src/tokeinze.rs:192-235)."""
@@ -144,3 +153,136 @@ def tokenize_batch(texts: pd.Series, mode: str = DEFAULT_MODE) -> pd.DataFrame:
             {"idx": [], "term": [], "pos": []}
         )
     raise ValueError(f"unknown tokenizer mode: {mode}")
+
+
+_EMPTY_POSTINGS = pd.DataFrame(
+    {"idx": [], "term": [], "tf": [], "positions": [], "doc_len": []}
+)
+
+
+def _group_tokens(idx, codes_or_terms, pos, n_terms: int | None = None):
+    """Composite-key grouping shared by both paths → (g_idx, g_key,
+    tf, positions_per_group). Stable sort keeps positions ascending."""
+    import numpy as np
+
+    span = n_terms if n_terms is not None else int(codes_or_terms.max()) + 1
+    key = idx.astype(np.int64) * np.int64(span) + codes_or_terms
+    order = np.argsort(key, kind="stable")
+    key_s = key[order]
+    bounds = np.flatnonzero(np.diff(key_s)) + 1
+    starts = np.concatenate([[0], bounds]).astype(np.int64)
+    ends = np.concatenate([bounds, [len(key_s)]]).astype(np.int64)
+    gkey = key_s[starts]
+    return (
+        gkey // span,
+        gkey % span,
+        (ends - starts).astype("int32"),
+        np.split(pos[order].astype("int32"), bounds),
+    )
+
+
+def postings_batch(texts: pd.Series, mode: str = DEFAULT_MODE) -> pd.DataFrame:
+    """Batch → GROUPED postings ``(idx, term, tf, positions, doc_len)``.
+
+    The index-build hot path. For ASCII batches this runs entirely in the
+    byte domain: one lookup-table alnum mask, run detection via diff,
+    vectorized lowercasing, and term identity via ``np.unique`` over
+    per-length byte matrices — Python strings are materialized only for
+    the (small) per-batch vocabulary, never per token. Non-ASCII batches
+    fall back to the general regex path (identical semantics, asserted in
+    tests)."""
+    import numpy as np
+
+    if mode == "tantivy_default":
+        is_ascii = texts.map(lambda t: t is None or t.isascii())
+        if bool(is_ascii.all()):
+            return _ascii_postings(texts)
+        if bool(is_ascii.any()):
+            # per-doc split: byte path for ASCII docs (the overwhelming
+            # majority in source code), regex path for the rest
+            fast = _ascii_postings(texts[is_ascii])
+            slow = postings_batch(texts[~is_ascii], mode)
+            return pd.concat([fast, slow], ignore_index=True)
+    # general path: per-token frame then group
+    tok = tokenize_batch(texts, mode)
+    if tok.empty:
+        return _EMPTY_POSTINGS.copy()
+    idx = tok["idx"].to_numpy(dtype=np.int64)
+    pos = tok["pos"].to_numpy(dtype=np.int64)
+    codes, uniques = pd.factorize(tok["term"].to_numpy(), sort=False)
+    doc_len_map = pd.Series(idx).value_counts()
+    g_idx, g_code, tf, positions = _group_tokens(idx, codes, pos, len(uniques))
+    return pd.DataFrame(
+        {
+            "idx": g_idx,
+            "term": uniques[g_code],
+            "tf": tf,
+            "positions": positions,
+            "doc_len": doc_len_map.reindex(g_idx).to_numpy().astype("int32"),
+        }
+    )
+
+
+def _ascii_postings(texts: pd.Series) -> pd.DataFrame | None:
+    """tantivy_default over an all-ASCII batch, byte-domain vectorized."""
+    import numpy as np
+
+    values = texts.fillna("").tolist()
+    blob = "\n".join(values)
+    if not blob.isascii():
+        return None
+    if not blob:
+        return _EMPTY_POSTINGS.copy()
+    b = np.frombuffer(blob.encode("ascii"), dtype=np.uint8)
+    mask = _ALNUM[b]
+    m8 = mask.astype(np.int8)
+    dif = np.diff(m8)
+    starts = np.flatnonzero(dif == 1) + 1
+    ends = np.flatnonzero(dif == -1) + 1
+    if mask[0]:
+        starts = np.concatenate([[0], starts])
+    if mask[-1]:
+        ends = np.concatenate([ends, [len(b)]])
+    if len(starts) == 0:
+        return _EMPTY_POSTINGS.copy()
+    lens = ends - starts
+    doc_starts = np.concatenate(
+        [[0], np.cumsum(np.fromiter((len(t) + 1 for t in values), dtype=np.int64))[:-1]]
+    )
+    doc_of = (np.searchsorted(doc_starts, starts, side="right") - 1).astype(np.int64)
+    # ordinal positions BEFORE the long-token filter (gaps preserved)
+    per_doc = np.bincount(doc_of, minlength=len(values))
+    first_tok = np.concatenate([[0], np.cumsum(per_doc)[:-1]])
+    pos = np.arange(len(starts), dtype=np.int64) - first_tok[doc_of]
+    keep = lens < MAX_TOKEN_BYTES
+    if not keep.any():
+        return _EMPTY_POSTINGS.copy()
+    # vectorized ASCII lowercase of the whole buffer
+    low = b.copy()
+    upper = (b >= 65) & (b <= 90)
+    low[upper] += 32
+    k_starts, k_lens = starts[keep], lens[keep]
+    k_doc, k_pos = doc_of[keep], pos[keep]
+    # term identity: slice the lowered buffer once (string creation is the
+    # only per-token Python cost) and factorize C-side
+    lowblob = low.tobytes().decode("ascii")
+    toks = np.fromiter(
+        (lowblob[s : s + l] for s, l in zip(k_starts.tolist(), k_lens.tolist())),
+        dtype=object,
+        count=len(k_starts),
+    )
+    codes, vocab_arr = pd.factorize(toks, sort=False)
+    doc_len = np.bincount(k_doc, minlength=len(values)).astype("int32")
+    g_idx, g_code, tf, positions = _group_tokens(
+        k_doc, codes.astype(np.int64), k_pos, len(vocab_arr)
+    )
+    labels = texts.index.to_numpy()
+    return pd.DataFrame(
+        {
+            "idx": labels[g_idx],
+            "term": vocab_arr[g_code],
+            "tf": tf,
+            "positions": positions,
+            "doc_len": doc_len[g_idx],
+        }
+    )

@@ -140,6 +140,28 @@ def test_salting_preserves_results(spark, docs_df, tmp_path_factory):
         assert got == expected, q
 
 
+def test_salting_bounds_sublists_under_zipf(spark, tmp_path_factory):
+    """Hot-term skew (SURVEY.md §7.4): with threshold H, every (term, salt)
+    posting sub-list stays ≤ 2H on a Zipf corpus — no unbounded reducer."""
+    from fugu_spark.corpus import generate_corpus
+
+    H = 100
+    docs = generate_corpus(spark, 600).withColumn("doc_id", F.xxhash64("repo", "path", "commit"))
+    d = str(tmp_path_factory.mktemp("zipf"))
+    si = build_segments(docs, d, id_col="doc_id", text_col="content", hot_df_threshold=H)
+    sizes = (
+        si.segments_df()
+        .groupBy("term", "salt")
+        .agg(F.sum("n_docs").alias("n"))
+        .agg(F.max("n").alias("mx"))
+        .first()
+    )
+    hot = si.terms.orderBy(F.desc("df")).first()
+    assert hot["df"] > H  # the corpus really has a hot term
+    assert hot["n_salts"] >= 2
+    assert sizes["mx"] <= 2 * H
+
+
 def test_resume_skips_completed_stages(spark, docs_df, tmp_path_factory):
     d = str(tmp_path_factory.mktemp("resume"))
     si1 = build_segments(docs_df, d, n_buckets=4, build_id="build1")
