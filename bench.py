@@ -65,12 +65,33 @@ def gen_worker(rows: int, corpus_dir: str) -> None:
     spark.stop()
 
 
+def _burn(secs: float) -> int:
+    t0 = time.time()
+    x = 0
+    while time.time() - t0 < secs:
+        x += 1
+    return x
+
+
+def _calibrate(cpus: int, secs: float = 2.0) -> float:
+    """Measured host CPU delivery at this worker count (iters/sec total).
+    The sandbox VM throttles sustained load unevenly across runs; this
+    per-run calibration lets BENCH report a host-normalized efficiency
+    alongside the raw one."""
+    import multiprocessing as mp
+
+    with mp.Pool(cpus) as p:
+        res = p.map(_burn, [secs] * cpus)
+    return sum(res) / secs
+
+
 def scale_worker(cpus: int, corpus_dir: str, out_dir: str) -> None:
     """Build the index over the SAME materialized corpus at local[cpus],
     in a fresh process (what a per-job spark-submit looks like)."""
     from fugu_spark.segments import build_segments
     from fugu_spark.session import get_spark
 
+    calib = _calibrate(cpus)
     spark = get_spark(app_name=f"bench_scale_{cpus}", master=f"local[{cpus}]")
     docs = spark.read.parquet(corpus_dir)
     docs.count()  # warm read path + python workers before timing
@@ -91,6 +112,7 @@ def scale_worker(cpus: int, corpus_dir: str, out_dir: str) -> None:
                 "bytes_encoded": stats["bytes_encoded"],
                 "wall_sec": wall,
                 "postings_per_sec": stats["n_postings"] / wall,
+                "host_calib_iters_per_sec": calib,
             }
         )
     )
@@ -132,13 +154,23 @@ def run_scaling(rows: int) -> dict:
             key = f"local[{cpus}]"
             if key not in out or res["wall_sec"] < out[key]["wall_sec"]:
                 out[key] = res
+    def _eff(lo: str, hi: str, factor: float) -> tuple[float, float]:
+        raw = out[hi]["postings_per_sec"] / (factor * out[lo]["postings_per_sec"])
+        host_ratio = (
+            out[hi]["host_calib_iters_per_sec"] / out[lo]["host_calib_iters_per_sec"]
+        )
+        # host-normalized: engine speedup relative to what the host's own
+        # CPU delivery scaled by between the two configs
+        norm = (out[hi]["postings_per_sec"] / out[lo]["postings_per_sec"]) / host_ratio
+        return round(raw, 4), round(norm, 4)
+
     if "local[2]" in out and "local[8]" in out:
-        out["efficiency_2_to_8"] = round(
-            out["local[8]"]["postings_per_sec"] / (4.0 * out["local[2]"]["postings_per_sec"]), 4
+        out["efficiency_2_to_8"], out["efficiency_2_to_8_host_normalized"] = _eff(
+            "local[2]", "local[8]", 4.0
         )
     if "local[8]" in out and "local[32]" in out:
-        out["efficiency_8_to_32"] = round(
-            out["local[32]"]["postings_per_sec"] / (4.0 * out["local[8]"]["postings_per_sec"]), 4
+        out["efficiency_8_to_32"], out["efficiency_8_to_32_host_normalized"] = _eff(
+            "local[8]", "local[32]", 4.0
         )
     out["repeats"] = repeats
     return out
@@ -241,16 +273,25 @@ def _write_bench_md(r: dict) -> None:
         if "efficiency_2_to_8" in s:
             lines += [
                 "",
-                f"**Scaling efficiency N→4N (local[2]→local[8]): {s['efficiency_2_to_8']}** "
+                f"**Scaling efficiency N→4N (local[2]→local[8]): raw {s['efficiency_2_to_8']}, "
+                f"host-normalized {s['efficiency_2_to_8_host_normalized']}** "
                 "(north-rule target ≥ 0.8; sandbox proxy for N vs 4N executors).",
             ]
         if "efficiency_8_to_32" in s:
             lines += [
                 "",
-                f"Secondary 8→32 point: {s['efficiency_8_to_32']} — the sandbox host "
-                "throttles beyond ~8-16 vCPUs (a pure-CPU process-pool burn test "
-                "scales only 3.0x from 8→32 workers, i.e. 0.75 ceiling), so 8→32 "
-                "under-reports the engine's scaling; 2→8 runs below that ceiling.",
+                f"Secondary 8→32 point: raw {s['efficiency_8_to_32']}, host-normalized "
+                f"{s['efficiency_8_to_32_host_normalized']}.",
+                "",
+                "The sandbox is a shared, burst-throttled VM: a pure-CPU process-pool "
+                "burn test run immediately before each build (the `host_calib_*` "
+                "fields) shows the host itself delivers well under NxCPU when "
+                "thread count or sustained load rises. Raw efficiency divides by the "
+                "ideal 4x; host-normalized divides the engine's measured speedup by "
+                "the speedup of the host's own CPU delivery between the same two "
+                "configs — i.e. how well the ENGINE scales on whatever the host "
+                "actually provides. On a real cluster the raw number is the one "
+                "that matters; both are reported.",
             ]
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
         f.write("\n".join(lines) + "\n")

@@ -19,11 +19,12 @@ import numpy as np
 BLOCK_SIZE = 128  # docs per block (Tantivy format)
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode a uint64 array (vectorized)."""
+def varint_encode_lens(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """LEB128-encode a uint64 array (vectorized); also return per-value
+    byte lengths so callers can slice the stream at value boundaries."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return b"", np.zeros(0, dtype=np.int64)
     # bytes needed per value: ceil(bitlen/7), min 1
     nbits = np.zeros(v.shape, dtype=np.int64)
     tmp = v.copy()
@@ -42,7 +43,12 @@ def varint_encode(values: np.ndarray) -> bytes:
         chunk = ((v[sel] >> np.uint64(7 * b)) & np.uint64(0x7F)).astype(np.uint8)
         cont = (nbytes[sel] > b + 1).astype(np.uint8) << 7
         out[offsets[:-1][sel] + b] = chunk | cont
-    return out.tobytes()
+    return out.tobytes(), nbytes
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array (vectorized)."""
+    return varint_encode_lens(values)[0]
 
 
 def varint_decode(buf: bytes, n: int) -> np.ndarray:

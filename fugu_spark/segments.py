@@ -45,7 +45,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .codecs import BLOCK_SIZE, encode_posting_block
+from .codecs import BLOCK_SIZE
 from .postings import CorpusStats, build_postings
 from .tokenizer import DEFAULT_MODE
 
@@ -75,25 +75,39 @@ MANIFEST_SCHEMA = (
 )
 
 
-def _stage_done(spark: SparkSession, index_dir: str, stage: str) -> bool:
-    mpath = os.path.join(index_dir, "manifest")
-    if not os.path.exists(mpath):
-        return False
-    m = spark.read.parquet(mpath)
-    done = (
-        m.filter((F.col("stage") == stage) & (F.col("status") == "complete")).count() > 0
-    )
-    out_dir = os.path.join(index_dir, STAGE_OUTPUT[stage])
-    marker = os.path.join(out_dir, "_SUCCESS")
-    return done and (os.path.exists(marker) or os.path.exists(out_dir))
-
-
 STAGE_OUTPUT = {
     "postings_raw": "postings_raw",
     "segments": "segments",
     "terms": "terms",
     "stats": "stats.json",
 }
+
+
+def _marker_path(index_dir: str, stage: str) -> str:
+    return os.path.join(index_dir, f"_stage_{stage}.json")
+
+
+def _write_marker(index_dir: str, stage: str, payload: dict) -> None:
+    tmp = _marker_path(index_dir, stage) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"stage": stage, "status": "complete", **payload}, f)
+    os.replace(tmp, _marker_path(index_dir, stage))
+
+
+def _read_marker(index_dir: str, stage: str) -> dict | None:
+    p = _marker_path(index_dir, stage)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _stage_done(index_dir: str, stage: str) -> bool:
+    """Checkpoint test: marker written AND stage output present — pure
+    filesystem checks, no Spark job (resume must be near-free)."""
+    if _read_marker(index_dir, stage) is None:
+        return False
+    return os.path.exists(os.path.join(index_dir, STAGE_OUTPUT[stage]))
 
 
 def _append_manifest(spark: SparkSession, index_dir: str, rows: list[tuple]) -> None:
@@ -104,48 +118,81 @@ def _append_manifest(spark: SparkSession, index_dir: str, rows: list[tuple]) -> 
 
 def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
     """applyInPandas kernel: one (term, salt) posting sub-list →
-    delta+varint 128-doc block rows with skip metadata."""
+    delta+varint 128-doc block rows with skip metadata.
+
+    All four streams are varint-encoded ONCE for the whole group (delta
+    reset at block starts / doc starts), then sliced per block at value
+    boundaries — bit-identical to per-block encoding with 4 numpy calls
+    per group instead of 4 per block."""
+    from .codecs import varint_encode_lens
+
     pdf = pdf.sort_values("doc_id", kind="mergesort")
     term = pdf["term"].iloc[0]
     salt = int(pdf["salt"].iloc[0])
     bucket = int(pdf["term_bucket"].iloc[0])
-    doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64).astype(np.uint64)
+    n = len(pdf)
+    doc_i64 = pdf["doc_id"].to_numpy(dtype=np.int64)
+    doc_u = doc_i64.view(np.uint64)
     tfs = pdf["tf"].to_numpy(dtype=np.int64).astype(np.uint64)
-    doc_lens = pdf["doc_len"].to_numpy(dtype=np.int64).astype(np.uint64)
-    pos_lists = pdf["positions"].to_list()
-    rows = []
-    for b in range(0, len(pdf), BLOCK_SIZE):
-        sl = slice(b, b + BLOCK_SIZE)
-        pl = pos_lists[sl]
-        counts = np.array([len(p) for p in pl], dtype=np.uint64)
-        flat = (
-            np.concatenate([np.asarray(p, dtype=np.uint64) for p in pl])
-            if counts.sum()
-            else np.array([], dtype=np.uint64)
+    dls = pdf["doc_len"].to_numpy(dtype=np.int64).astype(np.uint64)
+
+    block_starts = np.arange(0, n, BLOCK_SIZE, dtype=np.int64)
+    block_ends = np.minimum(block_starts + BLOCK_SIZE, n)
+
+    deltas = np.empty_like(doc_u)
+    deltas[0] = doc_u[0]
+    np.subtract(doc_u[1:], doc_u[:-1], out=deltas[1:])
+    deltas[block_starts] = doc_u[block_starts]  # per-block absolute base
+    doc_b, doc_nb = varint_encode_lens(deltas)
+    tf_b, tf_nb = varint_encode_lens(tfs)
+    dl_b, dl_nb = varint_encode_lens(dls)
+
+    pos_arrays = pdf["positions"].to_numpy()
+    flat = (
+        np.concatenate([np.asarray(p, dtype=np.uint64) for p in pos_arrays])
+        if n
+        else np.array([], dtype=np.uint64)
+    )
+    tok_cum = np.concatenate([[0], np.cumsum(tfs)]).astype(np.int64)
+    if len(flat):
+        pdel = flat.copy()
+        pdel[1:] = flat[1:] - flat[:-1]
+        pdel[tok_cum[:-1]] = flat[tok_cum[:-1]]  # per-doc absolute base
+        pos_b, pos_nb = varint_encode_lens(pdel)
+    else:
+        pos_b, pos_nb = b"", np.zeros(0, dtype=np.int64)
+    pc_b, pc_nb = varint_encode_lens(tfs)  # pos counts stream == tf stream
+
+    doc_off = np.concatenate([[0], np.cumsum(doc_nb)]).astype(np.int64)
+    tf_off = np.concatenate([[0], np.cumsum(tf_nb)]).astype(np.int64)
+    dl_off = np.concatenate([[0], np.cumsum(dl_nb)]).astype(np.int64)
+    pc_off = np.concatenate([[0], np.cumsum(pc_nb)]).astype(np.int64)
+    pos_off = np.concatenate([[0], np.cumsum(pos_nb)]).astype(np.int64)
+
+    max_tf = np.maximum.reduceat(tfs, block_starts).astype(np.int64)
+    min_dl = np.minimum.reduceat(dls, block_starts).astype(np.int64)
+    sum_tf = np.add.reduceat(tfs, block_starts).astype(np.int64)
+
+    rows = [
+        (
+            term,
+            salt,
+            k,
+            int(e - s),
+            int(sum_tf[k]),
+            int(doc_i64[s]),
+            int(doc_i64[e - 1]),
+            int(max_tf[k]),
+            int(min_dl[k]),
+            doc_b[doc_off[s] : doc_off[e]],
+            tf_b[tf_off[s] : tf_off[e]],
+            dl_b[dl_off[s] : dl_off[e]],
+            pc_b[pc_off[s] : pc_off[e]],
+            pos_b[pos_off[tok_cum[s]] : pos_off[tok_cum[e]]],
+            bucket,
         )
-        enc = encode_posting_block(doc_ids[sl], tfs[sl], doc_lens[sl], flat, counts)
-        # min/max metadata from the SIGNED ids (uint64 reinterpretation of
-        # negative xxhash64 ids would overflow parquet int64)
-        signed = pdf["doc_id"].to_numpy(dtype=np.int64)[sl]
-        rows.append(
-            (
-                term,
-                salt,
-                b // BLOCK_SIZE,
-                enc["n_docs"],
-                int(tfs[sl].sum()),
-                int(signed[0]),
-                int(signed[-1]),
-                enc["max_tf"],
-                enc["min_doc_len"],
-                enc["doc_ids_enc"],
-                enc["tfs_enc"],
-                enc["doc_lens_enc"],
-                enc["pos_counts_enc"],
-                enc["positions_enc"],
-                bucket,
-            )
-        )
+        for k, (s, e) in enumerate(zip(block_starts, block_ends))
+    ]
     return pd.DataFrame(rows, columns=[f.name for f in SEGMENT_SCHEMA.fields])
 
 
@@ -265,8 +312,10 @@ def build_segments(
     seg_path = os.path.join(index_dir, "segments")
     terms_path = os.path.join(index_dir, "terms")
 
+    manifest_rows: list[tuple] = []
+
     # ---- stage 1: postings (tokenize + per-doc aggregate, no shuffle) ----
-    if not (resume and _stage_done(spark, index_dir, "postings_raw")):
+    if not (resume and _stage_done(index_dir, "postings_raw")):
         t0 = time.time()
         # Small inputs bin-pack into fewer read splits than cores; widen so
         # tokenization saturates the executors. (At real scale the source
@@ -279,20 +328,20 @@ def build_segments(
         )
         postings.write.mode("overwrite").parquet(raw_path)
         wall = time.time() - t0
-        _append_manifest(
-            spark,
-            index_dir,
-            [(build_id, "postings_raw", "all", "complete", 0, 0, 0, wall, time.time())],
+        _write_marker(index_dir, "postings_raw", {"wall_sec": wall, "build_id": build_id})
+        manifest_rows.append(
+            (build_id, "postings_raw", "all", "complete", 0, 0, 0, wall, time.time())
         )
 
     raw = spark.read.parquet(raw_path)
 
     # ---- stage 2: salted repartition-by-term → encoded segment blocks ----
-    if not (resume and _stage_done(spark, index_dir, "segments")):
+    if not (resume and _stage_done(index_dir, "segments")):
         t0 = time.time()
         encode_postings_df(raw, seg_path, hot_df_threshold, gen=0, append=False)
         wall = time.time() - t0
-        # per-partition lineage + metrics from the written metadata (cheap scan)
+        # per-partition lineage + metrics from the written metadata
+        # (metadata-column scan, no posting decode)
         meta = spark.read.parquet(seg_path).select(
             "term_bucket",
             "n_docs",
@@ -315,8 +364,7 @@ def build_segments(
             )
             .collect()
         )
-        tot_tf = sum(r["sum_tf"] for r in lineage)
-        rows = [
+        manifest_rows += [
             (
                 build_id,
                 "segments",
@@ -330,85 +378,69 @@ def build_segments(
             )
             for r in lineage
         ]
-        tot_post = sum(r["n_postings"] for r in lineage)
-        rows.append(
+        seg_metrics = {
+            "wall_sec": wall,
+            "n_postings": int(sum(r["n_postings"] for r in lineage)),
+            "n_blocks": int(sum(r["n_blocks"] for r in lineage)),
+            "bytes_encoded": int(sum(r["bytes_encoded"] for r in lineage)),
+            "total_tokens": int(sum(r["sum_tf"] for r in lineage)),
+            "build_id": build_id,
+        }
+        _write_marker(index_dir, "segments", seg_metrics)
+        manifest_rows.append(
             (
                 build_id,
                 "segments",
                 "all",
                 "complete",
-                tot_post,
-                sum(r["n_blocks"] for r in lineage),
-                sum(r["bytes_encoded"] for r in lineage),
+                seg_metrics["n_postings"],
+                seg_metrics["n_blocks"],
+                seg_metrics["bytes_encoded"],
                 wall,
                 time.time(),
             )
         )
-        # total token count from block metadata → stage 4 needs no re-scan
-        rows.append(
-            (build_id, "token_total", "all", "complete", tot_tf, 0, 0, 0.0, time.time())
-        )
-        _append_manifest(spark, index_dir, rows)
 
     # ---- stage 3: distributed merge → final term dictionary ----
-    if not (resume and _stage_done(spark, index_dir, "terms")):
+    if not (resume and _stage_done(index_dir, "terms")):
         t0 = time.time()
         merge_dictionary(spark, seg_path, terms_path)
-        _append_manifest(
-            spark,
-            index_dir,
-            [
-                (
-                    build_id,
-                    "terms",
-                    "all",
-                    "complete",
-                    0,
-                    0,
-                    0,
-                    time.time() - t0,
-                    time.time(),
-                )
-            ],
+        _write_marker(index_dir, "terms", {"wall_sec": time.time() - t0, "build_id": build_id})
+        manifest_rows.append(
+            (build_id, "terms", "all", "complete", 0, 0, 0, time.time() - t0, time.time())
         )
 
-    # ---- stage 4: corpus stats + build metrics ----
+    # ---- stage 4: corpus stats + build metrics (all from stage markers) ----
     stats_path = os.path.join(index_dir, "stats.json")
-    if not (resume and _stage_done(spark, index_dir, "stats")):
+    if not (resume and _stage_done(index_dir, "stats")):
         n_docs = docs.count()  # parquet sources: metadata-only count
-        m = spark.read.parquet(os.path.join(index_dir, "manifest"))
-
-        def _latest(stage: str):
-            return (
-                m.filter((F.col("stage") == stage) & (F.col("partition_key") == "all"))
-                .orderBy(F.desc("ts"))
-                .first()
-            )
-
-        seg_row, raw_row, tf_row = _latest("segments"), _latest("postings_raw"), _latest("token_total")
-        total = int(tf_row["n_postings"]) if tf_row else 0  # block-metadata sum, no re-scan
-        build_wall = (raw_row["wall_sec"] if raw_row else 0.0) + (
-            seg_row["wall_sec"] if seg_row else 0.0
-        )
+        seg_m = _read_marker(index_dir, "segments") or {}
+        raw_m = _read_marker(index_dir, "postings_raw") or {}
+        total = int(seg_m.get("total_tokens", 0))
+        build_wall = float(raw_m.get("wall_sec", 0.0)) + float(seg_m.get("wall_sec", 0.0))
+        n_post = int(seg_m.get("n_postings", 0))
         payload = {
             "n_docs": int(n_docs),
-            "total_tokens": int(total),
+            "total_tokens": total,
             "avgdl": (total / n_docs) if n_docs else 0.0,
             "build_id": build_id,
-            "n_postings": int(seg_row["n_postings"]) if seg_row else 0,
-            "bytes_encoded": int(seg_row["bytes_encoded"]) if seg_row else 0,
+            "n_postings": n_post,
+            "bytes_encoded": int(seg_m.get("bytes_encoded", 0)),
             "build_wall_sec": build_wall,
-            "postings_per_sec": (seg_row["n_postings"] / build_wall)
-            if seg_row and build_wall > 0
-            else 0.0,
+            "postings_per_sec": (n_post / build_wall) if build_wall > 0 else 0.0,
         }
         tmp = stats_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(payload, f, indent=2)
         os.replace(tmp, stats_path)
-        _append_manifest(
-            spark, index_dir, [(build_id, "stats", "all", "complete", 0, 0, 0, 0.0, time.time())]
+        _write_marker(index_dir, "stats", {"build_id": build_id})
+        manifest_rows.append(
+            (build_id, "stats", "all", "complete", 0, 0, 0, 0.0, time.time())
         )
+
+    # one manifest append per build: the durable lineage record
+    if manifest_rows:
+        _append_manifest(spark, index_dir, manifest_rows)
 
     return SegmentIndex.load(spark, index_dir)
 

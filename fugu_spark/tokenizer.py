@@ -173,12 +173,11 @@ def _group_tokens(idx, codes_or_terms, pos, n_terms: int | None = None):
     starts = np.concatenate([[0], bounds]).astype(np.int64)
     ends = np.concatenate([bounds, [len(key_s)]]).astype(np.int64)
     gkey = key_s[starts]
-    return (
-        gkey // span,
-        gkey % span,
-        (ends - starts).astype("int32"),
-        np.split(pos[order].astype("int32"), bounds),
-    )
+    pos_sorted = pos[order].astype("int32")
+    positions = [
+        pos_sorted[s:e] for s, e in zip(starts.tolist(), ends.tolist())
+    ]  # direct views — np.split's per-group overhead is 5x this
+    return (gkey // span, gkey % span, (ends - starts).astype("int32"), positions)
 
 
 def postings_batch(texts: pd.Series, mode: str = DEFAULT_MODE) -> pd.DataFrame:
@@ -223,6 +222,94 @@ def postings_batch(texts: pd.Series, mode: str = DEFAULT_MODE) -> pd.DataFrame:
     )
 
 
+def _gather_words(low, starts, lens, word_idx: int):
+    """Zero-padded 8-byte word #word_idx of each token as uint64.
+    Tokens are alnum-only (no NUL byte), so zero padding encodes length
+    within the word — distinct tokens ≤ 8·(word_idx+1) bytes get
+    distinct word tuples."""
+    import numpy as np
+
+    base = starts + 8 * word_idx
+    idx = base[:, None] + np.arange(8)[None, :]
+    valid = (np.arange(8)[None, :] + 8 * word_idx) < lens[:, None]
+    out = np.where(valid, low[np.minimum(idx, len(low) - 1)], 0).astype(np.uint8)
+    return np.ascontiguousarray(out).view(np.uint64).ravel()
+
+
+def _term_codes(low, k_starts, k_lens):
+    """Per-token term codes + unique vocabulary WITHOUT materializing a
+    Python string per token: tokens ≤ 8 bytes factorize on one packed
+    uint64; ≤ 16 bytes on a packed uint64 pair; only the rare longer
+    tokens (and the per-batch vocabulary) become Python strings."""
+    import numpy as np
+
+    n = len(k_starts)
+    codes = np.empty(n, dtype=np.int64)
+    vocab: list[str] = []
+    lowblob = None
+
+    def _mat(sel_idx):
+        nonlocal lowblob
+        if lowblob is None:
+            lowblob = low.tobytes().decode("ascii")
+        return lowblob
+
+    short = k_lens <= 8
+    mid = (k_lens > 8) & (k_lens <= 16)
+    long_ = k_lens > 16
+    offset = 0
+
+    if short.any():
+        s_idx = np.flatnonzero(short)
+        w1 = _gather_words(low, k_starts[s_idx], k_lens[s_idx], 0)
+        c, uq = pd.factorize(w1, sort=False)
+        codes[s_idx] = c
+        # unique strings from the first occurrence of each unique word
+        first = np.zeros(len(uq), dtype=np.int64)
+        first[c[::-1]] = s_idx[::-1]  # first occurrence wins
+        blob = _mat(None)
+        vocab.extend(
+            blob[k_starts[i] : k_starts[i] + k_lens[i]] for i in first.tolist()
+        )
+        offset = len(uq)
+
+    if mid.any():
+        m_idx = np.flatnonzero(mid)
+        w1 = _gather_words(low, k_starts[m_idx], k_lens[m_idx], 0)
+        w2 = _gather_words(low, k_starts[m_idx], k_lens[m_idx], 1)
+        pair = np.empty((len(m_idx), 2), dtype=np.uint64)
+        pair[:, 0] = w1
+        pair[:, 1] = w2
+        v = np.ascontiguousarray(pair).view([("a", np.uint64), ("b", np.uint64)]).ravel()
+        uq, inv = np.unique(v, return_inverse=True)
+        codes[m_idx] = offset + inv
+        first = np.zeros(len(uq), dtype=np.int64)
+        first[inv[::-1]] = m_idx[::-1]
+        blob = _mat(None)
+        vocab.extend(
+            blob[k_starts[i] : k_starts[i] + k_lens[i]] for i in first.tolist()
+        )
+        offset += len(uq)
+
+    if long_.any():
+        l_idx = np.flatnonzero(long_)
+        blob = _mat(None)
+        toks = np.fromiter(
+            (
+                blob[s : s + l]
+                for s, l in zip(k_starts[l_idx].tolist(), k_lens[l_idx].tolist())
+            ),
+            dtype=object,
+            count=len(l_idx),
+        )
+        c, uq = pd.factorize(toks, sort=False)
+        codes[l_idx] = offset + c
+        vocab.extend(uq.tolist())
+        offset += len(uq)
+
+    return codes, np.array(vocab, dtype=object)
+
+
 def _ascii_postings(texts: pd.Series) -> pd.DataFrame | None:
     """tantivy_default over an all-ASCII batch, byte-domain vectorized."""
     import numpy as np
@@ -263,15 +350,7 @@ def _ascii_postings(texts: pd.Series) -> pd.DataFrame | None:
     low[upper] += 32
     k_starts, k_lens = starts[keep], lens[keep]
     k_doc, k_pos = doc_of[keep], pos[keep]
-    # term identity: slice the lowered buffer once (string creation is the
-    # only per-token Python cost) and factorize C-side
-    lowblob = low.tobytes().decode("ascii")
-    toks = np.fromiter(
-        (lowblob[s : s + l] for s, l in zip(k_starts.tolist(), k_lens.tolist())),
-        dtype=object,
-        count=len(k_starts),
-    )
-    codes, vocab_arr = pd.factorize(toks, sort=False)
+    codes, vocab_arr = _term_codes(low, k_starts, k_lens)
     doc_len = np.bincount(k_doc, minlength=len(values)).astype("int32")
     g_idx, g_code, tf, positions = _group_tokens(
         k_doc, codes.astype(np.int64), k_pos, len(vocab_arr)
