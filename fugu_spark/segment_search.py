@@ -297,6 +297,10 @@ def _search_maxscore(
         for t in terms
     }
     idf_boosted = {t: meta[t]["idf"] * boosts[t] for t in terms}
+    # θ and ub are in boosted-score space; block-max pruning inside
+    # decode_postings derives block bounds from meta idf, so it must see
+    # the boosted idf too or every block fails the bound check (q9 bug)
+    meta_boosted = {t: {**meta[t], "idf": idf_boosted[t]} for t in terms}
 
     # θ seed: fully score the highest-upper-bound term (rank-safe lower bound)
     seed = max(terms, key=lambda t: ub[t])
@@ -321,7 +325,7 @@ def _search_maxscore(
 
     other_ub = {t: sum(ub[u] for u in terms if u != t) for t in terms}
     ess = decode_postings(
-        si, essential, meta, theta=theta, other_ub=other_ub, k1=k1, b=b
+        si, essential, meta_boosted, theta=theta, other_ub=other_ub, k1=k1, b=b
     ).select("doc_id", "term", _score_col(idf_boosted, avgdl, k1, b).alias("score"))
 
     if non_essential:
