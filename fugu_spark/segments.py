@@ -147,27 +147,37 @@ def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
     tf_b, tf_nb = varint_encode_lens(tfs)
     dl_b, dl_nb = varint_encode_lens(dls)
 
-    pos_arrays = pdf["positions"].to_numpy()
-    flat = (
-        np.concatenate([np.asarray(p, dtype=np.uint64) for p in pos_arrays])
-        if n
-        else np.array([], dtype=np.uint64)
-    )
-    tok_cum = np.concatenate([[0], np.cumsum(tfs)]).astype(np.int64)
-    if len(flat):
-        pdel = flat.copy()
-        pdel[1:] = flat[1:] - flat[:-1]
-        pdel[tok_cum[:-1]] = flat[tok_cum[:-1]]  # per-doc absolute base
-        pos_b, pos_nb = varint_encode_lens(pdel)
+    if "pos_enc" in pdf.columns:
+        # positions arrive pre-encoded per posting (stage-1 fast path);
+        # the delta stream resets at posting starts, so doc-order
+        # concatenation is bit-identical to whole-list encoding
+        blobs = pdf["pos_enc"].to_numpy()
+        blob_nb = np.fromiter((len(x) for x in blobs), dtype=np.int64, count=n)
+        pos_b = b"".join(blobs)
+        pos_doc_off = np.concatenate([[0], np.cumsum(blob_nb)]).astype(np.int64)
     else:
-        pos_b, pos_nb = b"", np.zeros(0, dtype=np.int64)
+        pos_arrays = pdf["positions"].to_numpy()
+        flat = (
+            np.concatenate([np.asarray(p, dtype=np.uint64) for p in pos_arrays])
+            if n
+            else np.array([], dtype=np.uint64)
+        )
+        tok_cum = np.concatenate([[0], np.cumsum(tfs)]).astype(np.int64)
+        if len(flat):
+            pdel = flat.copy()
+            pdel[1:] = flat[1:] - flat[:-1]
+            pdel[tok_cum[:-1]] = flat[tok_cum[:-1]]  # per-doc absolute base
+            pos_b, pos_nb = varint_encode_lens(pdel)
+        else:
+            pos_b, pos_nb = b"", np.zeros(0, dtype=np.int64)
+        pos_val_off = np.concatenate([[0], np.cumsum(pos_nb)]).astype(np.int64)
+        pos_doc_off = pos_val_off[tok_cum]  # byte offset at each doc boundary
     pc_b, pc_nb = varint_encode_lens(tfs)  # pos counts stream == tf stream
 
     doc_off = np.concatenate([[0], np.cumsum(doc_nb)]).astype(np.int64)
     tf_off = np.concatenate([[0], np.cumsum(tf_nb)]).astype(np.int64)
     dl_off = np.concatenate([[0], np.cumsum(dl_nb)]).astype(np.int64)
     pc_off = np.concatenate([[0], np.cumsum(pc_nb)]).astype(np.int64)
-    pos_off = np.concatenate([[0], np.cumsum(pos_nb)]).astype(np.int64)
 
     max_tf = np.maximum.reduceat(tfs, block_starts).astype(np.int64)
     min_dl = np.minimum.reduceat(dls, block_starts).astype(np.int64)
@@ -188,7 +198,7 @@ def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
             tf_b[tf_off[s] : tf_off[e]],
             dl_b[dl_off[s] : dl_off[e]],
             pc_b[pc_off[s] : pc_off[e]],
-            pos_b[pos_off[tok_cum[s]] : pos_off[tok_cum[e]]],
+            pos_b[pos_doc_off[s] : pos_doc_off[e]],
             bucket,
         )
         for k, (s, e) in enumerate(zip(block_starts, block_ends))
@@ -210,6 +220,13 @@ def merge_dictionary(spark: SparkSession, seg_path: str, terms_path: str) -> Non
         F.first("term_bucket").alias("term_bucket"),
         F.count(F.lit(1)).alias("n_blocks"),
         F.countDistinct("salt").alias("n_salts"),
+        F.sum(
+            F.length("doc_ids_enc")
+            + F.length("tfs_enc")
+            + F.length("doc_lens_enc")
+            + F.length("pos_counts_enc")
+            + F.length("positions_enc")
+        ).alias("bytes_encoded"),
     )
     terms.write.mode("overwrite").parquet(terms_path)
 
@@ -322,7 +339,9 @@ def build_segments(
         # has >> defaultParallelism splits and this is a no-op.)
         target = spark.sparkContext.defaultParallelism
         src = docs.repartition(target) if docs.rdd.getNumPartitions() < target else docs
-        postings = build_postings(src, id_col=id_col, text_col=text_col, mode=mode)
+        postings = build_postings(
+            src, id_col=id_col, text_col=text_col, mode=mode, encode_positions=True
+        )
         postings = postings.withColumn(
             "term_bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
         )
@@ -340,30 +359,29 @@ def build_segments(
         t0 = time.time()
         encode_postings_df(raw, seg_path, hot_df_threshold, gen=0, append=False)
         wall = time.time() - t0
-        # per-partition lineage + metrics from the written metadata
-        # (metadata-column scan, no posting decode)
-        meta = spark.read.parquet(seg_path).select(
-            "term_bucket",
-            "n_docs",
-            "sum_tf",
-            (
-                F.length("doc_ids_enc")
-                + F.length("tfs_enc")
-                + F.length("doc_lens_enc")
-                + F.length("pos_counts_enc")
-                + F.length("positions_enc")
-            ).alias("bytes"),
+        _write_marker(index_dir, "segments", {"wall_sec": wall, "build_id": build_id})
+        manifest_rows.append(
+            (build_id, "segments", "all", "complete", 0, 0, 0, wall, time.time())
         )
+
+    # ---- stage 3: distributed merge → final term dictionary; the tiny
+    # dictionary then yields per-bucket lineage + build metrics without a
+    # second scan of the segment metadata ----
+    if not (resume and _stage_done(index_dir, "terms")):
+        t0 = time.time()
+        merge_dictionary(spark, seg_path, terms_path)
         lineage = (
-            meta.groupBy("term_bucket")
+            spark.read.parquet(terms_path)
+            .groupBy("term_bucket")
             .agg(
-                F.sum("n_docs").alias("n_postings"),
-                F.count(F.lit(1)).alias("n_blocks"),
-                F.sum("bytes").alias("bytes_encoded"),
-                F.sum("sum_tf").alias("sum_tf"),
+                F.sum("df").alias("n_postings"),
+                F.sum("n_blocks").alias("n_blocks"),
+                F.sum("bytes_encoded").alias("bytes_encoded"),
+                F.sum("cf").alias("sum_tf"),
             )
             .collect()
         )
+        wall = time.time() - t0
         manifest_rows += [
             (
                 build_id,
@@ -378,7 +396,7 @@ def build_segments(
             )
             for r in lineage
         ]
-        seg_metrics = {
+        term_metrics = {
             "wall_sec": wall,
             "n_postings": int(sum(r["n_postings"] for r in lineage)),
             "n_blocks": int(sum(r["n_blocks"] for r in lineage)),
@@ -386,28 +404,9 @@ def build_segments(
             "total_tokens": int(sum(r["sum_tf"] for r in lineage)),
             "build_id": build_id,
         }
-        _write_marker(index_dir, "segments", seg_metrics)
+        _write_marker(index_dir, "terms", term_metrics)
         manifest_rows.append(
-            (
-                build_id,
-                "segments",
-                "all",
-                "complete",
-                seg_metrics["n_postings"],
-                seg_metrics["n_blocks"],
-                seg_metrics["bytes_encoded"],
-                wall,
-                time.time(),
-            )
-        )
-
-    # ---- stage 3: distributed merge → final term dictionary ----
-    if not (resume and _stage_done(index_dir, "terms")):
-        t0 = time.time()
-        merge_dictionary(spark, seg_path, terms_path)
-        _write_marker(index_dir, "terms", {"wall_sec": time.time() - t0, "build_id": build_id})
-        manifest_rows.append(
-            (build_id, "terms", "all", "complete", 0, 0, 0, time.time() - t0, time.time())
+            (build_id, "terms", "all", "complete", 0, 0, 0, wall, time.time())
         )
 
     # ---- stage 4: corpus stats + build metrics (all from stage markers) ----
@@ -415,17 +414,18 @@ def build_segments(
     if not (resume and _stage_done(index_dir, "stats")):
         n_docs = docs.count()  # parquet sources: metadata-only count
         seg_m = _read_marker(index_dir, "segments") or {}
+        term_m = _read_marker(index_dir, "terms") or {}
         raw_m = _read_marker(index_dir, "postings_raw") or {}
-        total = int(seg_m.get("total_tokens", 0))
+        total = int(term_m.get("total_tokens", 0))
         build_wall = float(raw_m.get("wall_sec", 0.0)) + float(seg_m.get("wall_sec", 0.0))
-        n_post = int(seg_m.get("n_postings", 0))
+        n_post = int(term_m.get("n_postings", 0))
         payload = {
             "n_docs": int(n_docs),
             "total_tokens": total,
             "avgdl": (total / n_docs) if n_docs else 0.0,
             "build_id": build_id,
             "n_postings": n_post,
-            "bytes_encoded": int(seg_m.get("bytes_encoded", 0)),
+            "bytes_encoded": int(term_m.get("bytes_encoded", 0)),
             "build_wall_sec": build_wall,
             "postings_per_sec": (n_post / build_wall) if build_wall > 0 else 0.0,
         }
@@ -488,7 +488,9 @@ def upsert_segments(
     ids.withColumn("del_gen", F.lit(new_gen)).write.mode("append").parquet(
         os.path.join(si.index_dir, "deletes")
     )
-    raw = build_postings(batch, id_col=id_col, text_col=text_col, mode=mode).withColumn(
+    raw = build_postings(
+        batch, id_col=id_col, text_col=text_col, mode=mode, encode_positions=True
+    ).withColumn(
         "term_bucket", F.pmod(F.xxhash64("term"), F.lit(_n_buckets(si))).cast("int")
     )
     new_tokens = raw.agg(F.sum("tf")).collect()[0][0] or 0

@@ -160,9 +160,19 @@ _EMPTY_POSTINGS = pd.DataFrame(
 )
 
 
-def _group_tokens(idx, codes_or_terms, pos, n_terms: int | None = None):
+def _empty_postings(pos_col: str) -> pd.DataFrame:
+    return pd.DataFrame({"idx": [], "term": [], "tf": [], pos_col: [], "doc_len": []})
+
+
+def _group_tokens(idx, codes_or_terms, pos, n_terms: int | None = None, encode_positions: bool = False):
     """Composite-key grouping shared by both paths → (g_idx, g_key,
-    tf, positions_per_group). Stable sort keeps positions ascending."""
+    tf, positions_per_group). Stable sort keeps positions ascending.
+
+    With ``encode_positions`` the per-group payload is the varint(delta)
+    byte blob instead of an int array: the position delta stream resets at
+    every posting boundary, so per-posting blobs concatenate bit-identical
+    to whole-list encoding — the segment build shuffles/checkpoints these
+    compact blobs instead of array<int> columns."""
     import numpy as np
 
     span = n_terms if n_terms is not None else int(codes_or_terms.max()) + 1
@@ -174,13 +184,26 @@ def _group_tokens(idx, codes_or_terms, pos, n_terms: int | None = None):
     ends = np.concatenate([bounds, [len(key_s)]]).astype(np.int64)
     gkey = key_s[starts]
     pos_sorted = pos[order].astype("int32")
-    positions = [
-        pos_sorted[s:e] for s, e in zip(starts.tolist(), ends.tolist())
-    ]  # direct views — np.split's per-group overhead is 5x this
+    if encode_positions:
+        from .codecs import varint_encode_lens
+
+        pu = pos_sorted.astype(np.uint64)
+        pdel = pu.copy()
+        pdel[1:] = pu[1:] - pu[:-1]
+        pdel[starts] = pu[starts]  # absolute base at each posting start
+        buf, nb = varint_encode_lens(pdel)
+        boff = np.concatenate([[0], np.cumsum(nb)]).astype(np.int64)
+        positions = [buf[boff[s] : boff[e]] for s, e in zip(starts.tolist(), ends.tolist())]
+    else:
+        positions = [
+            pos_sorted[s:e] for s, e in zip(starts.tolist(), ends.tolist())
+        ]  # direct views — np.split's per-group overhead is 5x this
     return (gkey // span, gkey % span, (ends - starts).astype("int32"), positions)
 
 
-def postings_batch(texts: pd.Series, mode: str = DEFAULT_MODE) -> pd.DataFrame:
+def postings_batch(
+    texts: pd.Series, mode: str = DEFAULT_MODE, encode_positions: bool = False
+) -> pd.DataFrame:
     """Batch → GROUPED postings ``(idx, term, tf, positions, doc_len)``.
 
     The index-build hot path. For ASCII batches this runs entirely in the
@@ -192,31 +215,34 @@ def postings_batch(texts: pd.Series, mode: str = DEFAULT_MODE) -> pd.DataFrame:
     tests)."""
     import numpy as np
 
+    pos_col = "pos_enc" if encode_positions else "positions"
     if mode == "tantivy_default":
         is_ascii = texts.map(lambda t: t is None or t.isascii())
         if bool(is_ascii.all()):
-            return _ascii_postings(texts)
+            return _ascii_postings(texts, encode_positions)
         if bool(is_ascii.any()):
             # per-doc split: byte path for ASCII docs (the overwhelming
             # majority in source code), regex path for the rest
-            fast = _ascii_postings(texts[is_ascii])
-            slow = postings_batch(texts[~is_ascii], mode)
+            fast = _ascii_postings(texts[is_ascii], encode_positions)
+            slow = postings_batch(texts[~is_ascii], mode, encode_positions)
             return pd.concat([fast, slow], ignore_index=True)
     # general path: per-token frame then group
     tok = tokenize_batch(texts, mode)
     if tok.empty:
-        return _EMPTY_POSTINGS.copy()
+        return _empty_postings(pos_col)
     idx = tok["idx"].to_numpy(dtype=np.int64)
     pos = tok["pos"].to_numpy(dtype=np.int64)
     codes, uniques = pd.factorize(tok["term"].to_numpy(), sort=False)
     doc_len_map = pd.Series(idx).value_counts()
-    g_idx, g_code, tf, positions = _group_tokens(idx, codes, pos, len(uniques))
+    g_idx, g_code, tf, positions = _group_tokens(
+        idx, codes, pos, len(uniques), encode_positions
+    )
     return pd.DataFrame(
         {
             "idx": g_idx,
             "term": uniques[g_code],
             "tf": tf,
-            "positions": positions,
+            pos_col: positions,
             "doc_len": doc_len_map.reindex(g_idx).to_numpy().astype("int32"),
         }
     )
@@ -310,16 +336,17 @@ def _term_codes(low, k_starts, k_lens):
     return codes, np.array(vocab, dtype=object)
 
 
-def _ascii_postings(texts: pd.Series) -> pd.DataFrame | None:
+def _ascii_postings(texts: pd.Series, encode_positions: bool = False) -> pd.DataFrame | None:
     """tantivy_default over an all-ASCII batch, byte-domain vectorized."""
     import numpy as np
 
+    pos_col = "pos_enc" if encode_positions else "positions"
     values = texts.fillna("").tolist()
     blob = "\n".join(values)
     if not blob.isascii():
         return None
     if not blob:
-        return _EMPTY_POSTINGS.copy()
+        return _empty_postings(pos_col)
     b = np.frombuffer(blob.encode("ascii"), dtype=np.uint8)
     mask = _ALNUM[b]
     m8 = mask.astype(np.int8)
@@ -331,7 +358,7 @@ def _ascii_postings(texts: pd.Series) -> pd.DataFrame | None:
     if mask[-1]:
         ends = np.concatenate([ends, [len(b)]])
     if len(starts) == 0:
-        return _EMPTY_POSTINGS.copy()
+        return _empty_postings(pos_col)
     lens = ends - starts
     doc_starts = np.concatenate(
         [[0], np.cumsum(np.fromiter((len(t) + 1 for t in values), dtype=np.int64))[:-1]]
@@ -343,7 +370,7 @@ def _ascii_postings(texts: pd.Series) -> pd.DataFrame | None:
     pos = np.arange(len(starts), dtype=np.int64) - first_tok[doc_of]
     keep = lens < MAX_TOKEN_BYTES
     if not keep.any():
-        return _EMPTY_POSTINGS.copy()
+        return _empty_postings(pos_col)
     # vectorized ASCII lowercase of the whole buffer
     low = b.copy()
     upper = (b >= 65) & (b <= 90)
@@ -353,7 +380,7 @@ def _ascii_postings(texts: pd.Series) -> pd.DataFrame | None:
     codes, vocab_arr = _term_codes(low, k_starts, k_lens)
     doc_len = np.bincount(k_doc, minlength=len(values)).astype("int32")
     g_idx, g_code, tf, positions = _group_tokens(
-        k_doc, codes.astype(np.int64), k_pos, len(vocab_arr)
+        k_doc, codes.astype(np.int64), k_pos, len(vocab_arr), encode_positions
     )
     labels = texts.index.to_numpy()
     return pd.DataFrame(
@@ -361,7 +388,7 @@ def _ascii_postings(texts: pd.Series) -> pd.DataFrame | None:
             "idx": labels[g_idx],
             "term": vocab_arr[g_code],
             "tf": tf,
-            "positions": positions,
+            pos_col: positions,
             "doc_len": doc_len[g_idx],
         }
     )

@@ -29,7 +29,9 @@ def main(cpus: int, rows: int):
         docs = docs.repartition(cpus)
 
     t0 = time.time()
-    raw = build_postings(docs, id_col="doc_id", text_col="content").withColumn(
+    raw = build_postings(
+        docs, id_col="doc_id", text_col="content", encode_positions=True
+    ).withColumn(
         "term_bucket", F.pmod(F.xxhash64("term"), F.lit(32)).cast("int")
     )
     raw.write.mode("overwrite").parquet(f"{base}/postings_raw")
