@@ -118,11 +118,15 @@ def corpus_stats(docs: DataFrame, postings: DataFrame) -> CorpusStats:
 
 @dataclass
 class InvertedIndex:
-    """Table-native index bundle (M3). Segment-file form lives in segments.py."""
+    """Table-native index bundle (M3). Segment-file form lives in segments.py.
+
+    ``df_map``: optional pre-resolved {term: df} for the current query's
+    terms — when set, planners skip the dictionary-lookup Spark job."""
 
     postings: DataFrame
     terms: DataFrame
     stats: CorpusStats
+    df_map: dict[str, int] | None = None
 
     @property
     def n_docs(self) -> int:

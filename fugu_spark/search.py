@@ -156,6 +156,8 @@ def leaf_score_frames(
 
 
 def _df_map(index: InvertedIndex, terms: list[str]) -> dict[str, int]:
+    if index.df_map is not None:
+        return {t: index.df_map[t] for t in terms if t in index.df_map}
     return {
         r["term"]: r["df"]
         for r in index.terms.filter(F.col("term").isin(terms)).select("term", "df").collect()

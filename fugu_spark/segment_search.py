@@ -27,6 +27,7 @@ semantics, one code path for correctness.
 from __future__ import annotations
 
 import heapq
+import os
 from collections.abc import Iterator
 
 import numpy as np
@@ -197,8 +198,32 @@ def heap_topk(scored: DataFrame, k: int) -> DataFrame:
     return parts.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+_META_COLS = ["term", "df", "term_bucket", "max_tf", "min_doc_len"]
+
+
 def _term_meta(si: SegmentIndex, terms: list[str]) -> dict[str, dict]:
-    rows = si.terms.filter(F.col("term").isin(terms)).collect()
+    """Dictionary lookup for the query's terms.
+
+    Hot path reads the terms parquet driver-side through pyarrow with a
+    pushed-down term filter (row-group min/max pruning; no Spark job —
+    queries should launch exactly one job). Falls back to a Spark scan if
+    the dictionary isn't reachable as a pyarrow dataset (e.g. exotic FS)."""
+    rows: list[dict] = []
+    if not terms:
+        return {}
+    try:
+        import pyarrow.dataset as pads
+
+        dset = getattr(si, "_terms_ds", None)
+        if dset is None:
+            dset = pads.dataset(os.path.join(si.index_dir, "terms"), format="parquet")
+            si._terms_ds = dset
+        tbl = dset.to_table(columns=_META_COLS, filter=pads.field("term").isin(terms))
+        rows = tbl.to_pylist()
+    except Exception:
+        rows = [
+            r.asDict() for r in si.terms.filter(F.col("term").isin(terms)).collect()
+        ]
     out = {}
     for r in rows:
         out[r["term"]] = {
@@ -262,7 +287,12 @@ def search_segments(
         decoded = spark.createDataFrame([], _DECODED_SCHEMA)
     else:
         decoded = decode_postings(si, live_terms, meta, with_positions=need_pos, k1=k1, b=b)
-    idx = InvertedIndex(postings=decoded, terms=si.terms, stats=si.stats)
+    idx = InvertedIndex(
+        postings=decoded,
+        terms=si.terms,
+        stats=si.stats,
+        df_map={t: m["df"] for t, m in meta.items()},
+    )
     scored = execute_plan(idx, plan, docs=docs, id_col=id_col, k1=k1, b=b)
     if doc_filter is not None:
         if docs is None:
@@ -291,12 +321,20 @@ def _search_maxscore(
     if not terms:
         return spark.createDataFrame([], "doc_id long, score double")
     avgdl = si.stats.avgdl
+    idf_boosted = {t: meta[t]["idf"] * boosts[t] for t in terms}
+    if len(terms) == 1:
+        # single live term: no θ seeding or essential split can prune
+        # anything — decode once, heap top-k (one job)
+        t = terms[0]
+        scored = decode_postings(si, [t], meta, k1=k1, b=b).select(
+            "doc_id", _score_col({t: idf_boosted[t]}, avgdl, k1, b).alias("score")
+        )
+        return heap_topk(scored, k)
     ub = {
         t: boosts[t]
         * term_upper_bound(meta[t]["idf"], meta[t]["max_tf"], meta[t]["min_doc_len"], avgdl, k1, b)
         for t in terms
     }
-    idf_boosted = {t: meta[t]["idf"] * boosts[t] for t in terms}
     # θ and ub are in boosted-score space; block-max pruning inside
     # decode_postings derives block bounds from meta idf, so it must see
     # the boosted idf too or every block fails the bound check (q9 bug)
