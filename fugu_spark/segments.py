@@ -423,6 +423,7 @@ def build_segments(
             "n_docs": int(n_docs),
             "total_tokens": total,
             "avgdl": (total / n_docs) if n_docs else 0.0,
+            "n_buckets": int(n_buckets),
             "build_id": build_id,
             "n_postings": n_post,
             "bytes_encoded": int(term_m.get("bytes_encoded", 0)),
@@ -528,12 +529,25 @@ def delete_doc_ids(si: SegmentIndex, ids: DataFrame, id_col: str = "doc_id") -> 
 
 
 def _n_buckets(si: SegmentIndex) -> int:
+    """The bucket count is a BUILD PARAMETER persisted in stats.json —
+    upserts must hash terms with the same modulus as the original build or
+    new generations land in buckets the dictionary doesn't point at.
+    (Counting existing gen=0 dirs is wrong: small corpora leave some of
+    the n_buckets partitions empty.)"""
+    with open(os.path.join(si.index_dir, "stats.json")) as f:
+        n = json.load(f).get("n_buckets")
+    if n:
+        return int(n)
+    # legacy index without the field: largest bucket id ever written + 1
     seg_root = os.path.join(si.index_dir, "segments")
-    gen0 = os.path.join(seg_root, "gen=0")
-    return max(
-        1,
-        len([d for d in os.listdir(gen0) if d.startswith("term_bucket=")]),
-    )
+    ids = [
+        int(d.split("=")[1])
+        for gen in os.listdir(seg_root)
+        if gen.startswith("gen=")
+        for d in os.listdir(os.path.join(seg_root, gen))
+        if d.startswith("term_bucket=")
+    ]
+    return max(ids) + 1 if ids else 1
 
 
 def compact(si: SegmentIndex, hot_df_threshold: int = 250_000) -> SegmentIndex:

@@ -85,3 +85,22 @@ def test_double_upsert_latest_wins(spark, si):
     assert got == [0]
     got = [r.doc_id for r in search_segments(si3, "first", k=10).collect()]
     assert got == []
+
+
+def test_upsert_bucket_layout_survives_sparse_buckets(spark, tmp_path):
+    """Regression: n_buckets is a persisted build parameter. With more
+    buckets than vocabulary, gen=0 leaves some term_bucket partitions
+    empty; upserts must still hash terms with the original modulus or new
+    generations land where the dictionary doesn't point."""
+    docs = spark.createDataFrame(BASE, "doc_id long, content string")
+    si = build_segments(docs, str(tmp_path / "sparse"), n_buckets=32)
+    batch = spark.createDataFrame([BASE[0]], "doc_id long, content string")
+    si = upsert_segments(si, batch, id_col="doc_id", text_col="content")
+    si = upsert_segments(si, batch, id_col="doc_id", text_col="content")
+    got = [r.doc_id for r in search_segments(si, "merge", k=4, wand_min_postings=0).collect()]
+    assert 0 in got, "re-upserted doc lost by bucket-layout drift"
+    live = _postings_set(decode_all_postings(si, with_positions=True))
+    fresh = _postings_set(
+        build_index(docs, id_col="doc_id", text_col="content").postings
+    )
+    assert live == fresh
