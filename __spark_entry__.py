@@ -84,6 +84,21 @@ def _seg_search_q(query: str, k: int = 10, force_wand: bool = False):
     return run
 
 
+def _serving_q(query: str, k: int = 10):
+    """Driver-side serving engine over the same segment files (serve.py);
+    wrapped back into a Spark DataFrame for the oracle comparison."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from fugu_spark.serve import LocalSearcher
+
+        si = _seg_index(spark, sf_dir)
+        pdf = LocalSearcher(si.index_dir).search(query, k=k)
+        pdf["score"] = pdf["score"].round(6)
+        return spark.createDataFrame(pdf, "doc_id long, score double")
+
+    return run
+
+
 def _multifield_q(query: str, k: int = 10):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, idx_text = _index(spark, sf_dir)
@@ -246,6 +261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_segments_wand": _seg_search_q("merge join", 10, force_wand=True),
         "bm25_segments_and": _seg_search_q("merge AND join", 10),
         "bm25_segments_phrase": _seg_search_q('"merge join"', 10),
+        "bm25_serving_path": _serving_q("merge join", 10),
         "multifield_or": _multifield_q("merge src1", 10),
         "allquery": allquery,
         "point_lookup": point_lookup,
@@ -436,6 +452,7 @@ def oracle_sql() -> dict[str, str]:
             "term IN ('merge','join')", having="HAVING count(DISTINCT term) = 2"
         ),
         "bm25_segments_phrase": _PHRASE_SQL,
+        "bm25_serving_path": _topk_sql("term IN ('merge','join')"),
         "multifield_or": _MULTIFIELD_SQL,
         "allquery": "SELECT doc_id, 1.0::DOUBLE AS score FROM documents",
         "point_lookup": "SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id = 42",

@@ -111,6 +111,16 @@ class FuguSparkEngine:
         doc_filter = (
             FC.combine_filters(filters, F.col(self.facets_col)) if filters else None
         )
+        if doc_filter is None and min_score is None:
+            # serving fast path: LocalSearcher over the same segment files
+            # (rank/score-identical; ~ms instead of a Spark job)
+            try:
+                pdf = self._local_searcher().search(query, k=k, offset=offset)
+                return self.spark.createDataFrame(
+                    pdf if len(pdf) else [], "doc_id long, score double"
+                )
+            except ValueError:
+                pass  # AllQuery / NOT-only: needs the docs table
         out = search_segments(
             self.si,
             query,
@@ -126,6 +136,22 @@ class FuguSparkEngine:
             rows = out.collect()[offset : offset + k]
             return self.spark.createDataFrame(rows or [], "doc_id long, score double")
         return out
+
+    def _local_searcher(self):
+        from .serve import LocalSearcher
+
+        import os
+
+        dels = os.path.join(self.index_dir, "deletes")
+        key = (
+            self.si.max_gen(),
+            len(os.listdir(dels)) if os.path.isdir(dels) else 0,  # delete-only ops add files, not gens
+        )
+        cached = getattr(self, "_ls_cache", None)
+        if cached is None or cached[0] != key:
+            cached = (key, LocalSearcher(self.index_dir, mode=self.mode))
+            self._ls_cache = cached
+        return cached[1]
 
     def get(self, doc_id) -> DataFrame:
         return self.docs.filter(F.col(self.id_col) == doc_id).limit(1)

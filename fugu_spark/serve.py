@@ -1,0 +1,349 @@
+"""Driver-side serving engine: BM25 top-k directly over segment files.
+
+Spark owns the BUILD; serving one query must not cost a cluster
+round-trip. The reference serves from Tantivy's mmap'd segment files
+(/root/reference/src/db/core.rs:238-249); the analog here reads the same
+parquet segment blocks through pyarrow with bucket-partition + term
+row-group pushdown, decodes the varint streams with numpy, and scores /
+boolean-combines with the exact semantics of
+``fugu_spark.search.execute_plan`` — rank and score identity against the
+distributed engines is pinned in tests. p50 latency is ~10-30 ms vs
+~0.5-1 s for a warm Spark job at local scale.
+
+Block-max pruning (SURVEY.md M6) engages for pure-OR term queries: θ is
+seeded by fully scoring the highest-upper-bound term (a rank-safe lower
+bound on the final top-k threshold); blocks of the remaining terms are
+skipped when their block score bound plus the other terms' global upper
+bounds cannot reach θ — the same rank-safe MaxScore criterion as the
+distributed path, so results are identical to exhaustive evaluation.
+
+Not servable locally (fall back to ``search_segments``): AllQuery /
+NOT-only queries (need the docs table) and facet-filtered queries (the
+filter is a Spark Column over the docs table).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+
+from . import BM25_B, BM25_K1
+from .bm25 import idf_py
+from .codecs import decode_posting_block
+from .queryparse import QueryPlan, parse_query
+from .tokenizer import DEFAULT_MODE
+
+_ENC_COLS = ["doc_ids_enc", "tfs_enc", "doc_lens_enc"]
+_POS_COLS = ["pos_counts_enc", "positions_enc"]
+_META_BLOCK_COLS = ["term", "n_docs", "max_tf", "min_doc_len", "gen"]
+
+
+def _tf_norm(tf: np.ndarray, dl: np.ndarray, avgdl: float, k1: float, b: float) -> np.ndarray:
+    tf = tf.astype(np.float64)
+    return tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl.astype(np.float64) / avgdl))
+
+
+class LocalSearcher:
+    """Query-side reader over a segment index directory (no SparkSession)."""
+
+    def __init__(
+        self,
+        index_dir: str,
+        mode: str = DEFAULT_MODE,
+        k1: float = BM25_K1,
+        b: float = BM25_B,
+    ) -> None:
+        import pyarrow.dataset as pads
+
+        self.index_dir = index_dir
+        self.mode = mode
+        self.k1 = float(k1)
+        self.b = float(b)
+        with open(os.path.join(index_dir, "stats.json")) as f:
+            st = json.load(f)
+        self.n_docs = int(st["n_docs"])
+        self.avgdl = float(st["avgdl"])
+        self._terms = pads.dataset(os.path.join(index_dir, "terms"), format="parquet")
+        self._segments = pads.dataset(
+            os.path.join(index_dir, "segments"), format="parquet", partitioning="hive"
+        )
+        self._deletes: pd.Series | None = None  # doc_id -> max del_gen
+        dpath = os.path.join(index_dir, "deletes")
+        if os.path.isdir(dpath):
+            d = (
+                pads.dataset(dpath, format="parquet")
+                .to_table()
+                .to_pandas()
+                .groupby("doc_id")["del_gen"]
+                .max()
+            )
+            if len(d):
+                self._deletes = d
+
+    # ------------------------------------------------------------- lookups
+
+    def term_meta(self, terms: list[str]) -> dict[str, dict]:
+        """Dictionary rows for the query terms (row-group pruned read)."""
+        import pyarrow.dataset as pads
+
+        if not terms:
+            return {}
+        tbl = self._terms.to_table(
+            columns=["term", "df", "term_bucket", "max_tf", "min_doc_len"],
+            filter=pads.field("term").isin(terms),
+        )
+        out = {}
+        for r in tbl.to_pylist():
+            out[r["term"]] = {
+                "df": r["df"],
+                "term_bucket": r["term_bucket"],
+                "max_tf": r["max_tf"],
+                "min_doc_len": r["min_doc_len"],
+                "idf": idf_py(r["df"], self.n_docs),
+            }
+        return out
+
+    def _block_rows(self, terms: list[str], meta: dict, need_pos: bool) -> pd.DataFrame:
+        import pyarrow.dataset as pads
+
+        buckets = sorted({meta[t]["term_bucket"] for t in terms})
+        cols = _META_BLOCK_COLS + _ENC_COLS + (_POS_COLS if need_pos else [])
+        flt = pads.field("term_bucket").isin(buckets) & pads.field("term").isin(terms)
+        return self._segments.to_table(columns=cols, filter=flt).to_pandas()
+
+    def _decode_rows(
+        self, rows: pd.DataFrame, need_pos: bool
+    ) -> dict[str, dict[str, np.ndarray | list]]:
+        """Block rows → per-term posting arrays, delete mask applied.
+        Doc order within a term follows (gen, block) order; combine is
+        order-insensitive (grouped by doc), so no re-sort is needed."""
+        out: dict[str, dict] = {}
+        acc: dict[str, list] = {}
+        for row in rows.itertuples(index=False):
+            blk = {
+                "n_docs": row.n_docs,
+                "doc_ids_enc": row.doc_ids_enc,
+                "tfs_enc": row.tfs_enc,
+                "doc_lens_enc": row.doc_lens_enc,
+            }
+            if need_pos:
+                blk["pos_counts_enc"] = row.pos_counts_enc
+                blk["positions_enc"] = row.positions_enc
+            dec = decode_posting_block(blk)
+            acc.setdefault(row.term, []).append(
+                (
+                    dec["doc_ids"].view(np.int64),
+                    dec["tfs"].astype(np.int64),
+                    dec["doc_lens"].astype(np.int64),
+                    dec.get("positions"),
+                    int(row.gen),
+                )
+            )
+        for term, parts in acc.items():
+            doc_ids = np.concatenate([p[0] for p in parts])
+            tfs = np.concatenate([p[1] for p in parts])
+            dls = np.concatenate([p[2] for p in parts])
+            gens = np.concatenate(
+                [np.full(len(p[0]), p[4], dtype=np.int64) for p in parts]
+            )
+            positions = None
+            if need_pos:
+                positions = [pos for p in parts for pos in (p[3] or [])]
+            if self._deletes is not None:
+                dg = self._deletes.reindex(doc_ids).to_numpy(dtype=np.float64)
+                keep = np.isnan(dg) | (gens >= dg)
+                if not keep.all():
+                    doc_ids, tfs, dls = doc_ids[keep], tfs[keep], dls[keep]
+                    if positions is not None:
+                        positions = [p for p, k in zip(positions, keep) if k]
+            out[term] = {"doc_ids": doc_ids, "tfs": tfs, "doc_lens": dls, "positions": positions}
+        return out
+
+    # ------------------------------------------------------------- scoring
+
+    def _leaf_parts(
+        self, plan: QueryPlan, meta: dict, postings: dict
+    ) -> list[tuple[np.ndarray, int, np.ndarray]]:
+        """(doc_ids, leaf_id, scores) per live leaf — mirrors
+        search._term_leaves_frame / _phrase_frame arithmetic exactly."""
+        k1, b, avgdl = self.k1, self.b, self.avgdl
+        parts = []
+        for i, leaf in enumerate(plan.leaves):
+            if any(t not in meta for t in leaf.terms):
+                continue
+            if leaf.is_phrase:
+                docs, tfp, dls = self._phrase_freq(leaf.terms, postings)
+                if len(docs) == 0:
+                    continue
+                idf_sum = sum(meta[t]["idf"] for t in leaf.terms)
+                score = idf_sum * _tf_norm(tfp, dls, avgdl, k1, b) * leaf.boost
+                parts.append((docs, i, score))
+            else:
+                t = leaf.terms[0]
+                p = postings.get(t)
+                if p is None:
+                    # every block of this term was MaxScore-pruned: no doc
+                    # scored only by it can reach the top-k (rank-safe)
+                    continue
+                score = (
+                    meta[t]["idf"]
+                    * _tf_norm(p["tfs"], p["doc_lens"], avgdl, k1, b)
+                    * leaf.boost
+                )
+                parts.append((p["doc_ids"], i, score))
+        return parts
+
+    def _phrase_freq(self, terms: list[str], postings: dict):
+        """Adjacency-chain phrase tf per doc (pre-filter ordinals)."""
+        maps = []
+        for t in terms:
+            p = postings[t]
+            maps.append(dict(zip(p["doc_ids"].tolist(), p["positions"])))
+        first = postings[terms[0]]
+        dl_map = dict(zip(first["doc_ids"].tolist(), first["doc_lens"].tolist()))
+        docs, tfps, dls = [], [], []
+        common = set(maps[0])
+        for m in maps[1:]:
+            common &= set(m)
+        for d in common:
+            pos = np.asarray(maps[0][d], dtype=np.int64)
+            for m in maps[1:]:
+                pos = np.intersect1d(pos + 1, np.asarray(m[d], dtype=np.int64))
+                if len(pos) == 0:
+                    break
+            if len(pos):
+                docs.append(d)
+                tfps.append(len(pos))
+                dls.append(dl_map[d])
+        return (
+            np.asarray(docs, dtype=np.int64),
+            np.asarray(tfps, dtype=np.int64),
+            np.asarray(dls, dtype=np.int64),
+        )
+
+    # ------------------------------------------------------------- search
+
+    def search(self, query_text: str | None, k: int = 10, offset: int = 0) -> pd.DataFrame:
+        """Top-k → pandas DataFrame(doc_id, score); identical ranks/scores
+        to search_segments for locally-servable queries."""
+        plan = parse_query(query_text, mode=self.mode)
+        musts, must_nots = set(plan.musts), set(plan.must_nots)
+        if plan.is_all or not any(
+            i not in must_nots for i in range(len(plan.leaves))
+        ):
+            raise ValueError(
+                "AllQuery / NOT-only queries need the docs table — use search_segments"
+            )
+        all_terms = plan.all_terms()
+        meta = self.term_meta(all_terms)
+        empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                              "score": pd.Series([], dtype="float64")})
+        # a Must leaf on an absent term means nothing can match
+        for i, leaf in enumerate(plan.leaves):
+            if i in musts and any(t not in meta for t in leaf.terms):
+                return empty
+        live_leaf_ids = {
+            i for i, l in enumerate(plan.leaves) if all(t in meta for t in l.terms)
+        }
+        if not (live_leaf_ids - must_nots):
+            return empty
+
+        pure_or = all(
+            l.occur == "should" and not l.is_phrase for l in plan.leaves
+        ) and len(plan.leaves) > 0
+        need_pos = any(l.is_phrase for l in plan.leaves)
+        live_terms = sorted({t for i in live_leaf_ids | must_nots for t in plan.leaves[i].terms if t in meta})
+
+        if pure_or and len({l.terms[0] for l in plan.leaves if l.terms[0] in meta}) > 1:
+            rows = self._block_rows(live_terms, meta, need_pos=False)
+            rows = self._prune_blocks_maxscore(rows, plan, meta, k)
+        else:
+            rows = self._block_rows(live_terms, meta, need_pos)
+        postings = self._decode_rows(rows, need_pos)
+        parts = self._leaf_parts(plan, meta, postings)
+        if not parts:
+            return empty
+        frame = pd.DataFrame(
+            {
+                "doc_id": np.concatenate([p[0] for p in parts]),
+                "leaf_id": np.concatenate(
+                    [np.full(len(p[0]), p[1], dtype=np.int64) for p in parts]
+                ),
+                "score": np.concatenate([p[2] for p in parts]),
+            }
+        )
+        # deterministic fold order, as in _combine_frames: (leaf_id, score)
+        frame = frame.sort_values(["doc_id", "leaf_id", "score"], kind="mergesort")
+        if must_nots:
+            excl_docs = frame.loc[frame["leaf_id"].isin(sorted(must_nots)), "doc_id"].unique()
+        else:
+            excl_docs = np.array([], dtype=np.int64)
+        if musts:
+            mc = (
+                frame[frame["leaf_id"].isin(sorted(musts))]
+                .groupby("doc_id")["leaf_id"]
+                .nunique()
+            )
+            ok_docs = mc[mc == len(musts)].index
+        else:
+            ok_docs = None
+        pos_frame = frame[~frame["leaf_id"].isin(sorted(must_nots))] if must_nots else frame
+        scores = pos_frame.groupby("doc_id", sort=False)["score"].sum()
+        if ok_docs is not None:
+            scores = scores[scores.index.isin(ok_docs)]
+        if len(excl_docs):
+            scores = scores[~scores.index.isin(excl_docs)]
+        out = scores.reset_index()
+        out.columns = ["doc_id", "score"]
+        out = out.sort_values(
+            ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).iloc[offset : offset + k]
+        return out.reset_index(drop=True)
+
+    def _prune_blocks_maxscore(
+        self, rows: pd.DataFrame, plan: QueryPlan, meta: dict, k: int
+    ) -> pd.DataFrame:
+        """Rank-safe block-max skip for pure-OR: drop blocks that cannot
+        reach the θ seeded by the strongest term's full scores."""
+        k1, b, avgdl = self.k1, self.b, self.avgdl
+        boosts: dict[str, float] = {}
+        for leaf in plan.leaves:
+            if leaf.terms[0] in meta:
+                boosts[leaf.terms[0]] = boosts.get(leaf.terms[0], 0.0) + leaf.boost
+        terms = list(boosts)
+        if len(terms) < 2:
+            return rows
+        ub = {
+            t: boosts[t]
+            * meta[t]["idf"]
+            * float(
+                _tf_norm(
+                    np.asarray([meta[t]["max_tf"]]),
+                    np.asarray([meta[t]["min_doc_len"]]),
+                    avgdl,
+                    k1,
+                    b,
+                )[0]
+            )
+            for t in terms
+        }
+        seed = max(terms, key=lambda t: ub[t])
+        seed_post = self._decode_rows(rows[rows["term"] == seed], need_pos=False)
+        if seed not in seed_post:
+            return rows
+        p = seed_post[seed]
+        s = boosts[seed] * meta[seed]["idf"] * _tf_norm(p["tfs"], p["doc_lens"], avgdl, k1, b)
+        if len(s) < k:
+            return rows
+        theta = float(np.partition(s, -k)[-k])
+        other_ub = {t: sum(ub[u] for u in terms if u != t) for t in terms}
+        blk_tfn = _tf_norm(
+            rows["max_tf"].to_numpy(np.int64), rows["min_doc_len"].to_numpy(np.int64), avgdl, k1, b
+        )
+        idf_b = rows["term"].map({t: boosts[t] * meta[t]["idf"] for t in terms}).to_numpy(np.float64)
+        oub = rows["term"].map(other_ub).to_numpy(np.float64)
+        keep = (rows["term"] == seed).to_numpy() | (idf_b * blk_tfn + oub >= theta)
+        return rows[keep]

@@ -18,25 +18,49 @@ def main() -> int:
     p.add_argument("--query", action="append", required=True)
     p.add_argument("-k", type=int, default=10)
     p.add_argument("--no-wand", action="store_true")
+    p.add_argument(
+        "--spark",
+        action="store_true",
+        help="force the distributed engine (default: serve driver-side when "
+        "the query is locally servable — ms latency, identical results)",
+    )
     args = p.parse_args()
 
-    from pyspark.sql import SparkSession
+    searcher = None
+    if not args.spark:
+        from fugu_spark.serve import LocalSearcher
 
-    from fugu_spark.segment_search import search_segments
-    from fugu_spark.segments import SegmentIndex
+        searcher = LocalSearcher(args.index_dir)
 
-    spark = SparkSession.builder.appName("fugu_query").getOrCreate()
-    si = SegmentIndex.load(spark, args.index_dir)
+    spark = None
+    si = None
     for q in args.query:
         t0 = time.time()
-        rows = search_segments(si, q, k=args.k, use_wand=not args.no_wand).collect()
+        hits = None
+        if searcher is not None:
+            try:
+                pdf = searcher.search(q, k=args.k)
+                hits = [
+                    {"doc_id": int(r.doc_id), "score": float(r.score)}
+                    for r in pdf.itertuples(index=False)
+                ]
+            except ValueError:
+                pass  # AllQuery / NOT-only: needs the docs table
+        if hits is None:
+            if spark is None:
+                from pyspark.sql import SparkSession
+
+                from fugu_spark.segments import SegmentIndex
+
+                spark = SparkSession.builder.appName("fugu_query").getOrCreate()
+                si = SegmentIndex.load(spark, args.index_dir)
+            from fugu_spark.segment_search import search_segments
+
+            rows = search_segments(si, q, k=args.k, use_wand=not args.no_wand).collect()
+            hits = [{"doc_id": r.doc_id, "score": r.score} for r in rows]
         print(
             json.dumps(
-                {
-                    "query": q,
-                    "sec": round(time.time() - t0, 4),
-                    "hits": [{"doc_id": r.doc_id, "score": r.score} for r in rows],
-                }
+                {"query": q, "sec": round(time.time() - t0, 4), "hits": hits}
             )
         )
     return 0

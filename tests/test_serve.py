@@ -1,0 +1,74 @@
+"""LocalSearcher (driver-side serving) rank/score identity: every
+locally-servable reference query must match the pinned pure-Python
+oracle AND the distributed segment engine exactly."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fugu_spark.reference_queries import REFERENCE_QUERIES
+from fugu_spark.segment_search import search_segments
+from fugu_spark.segments import build_segments
+from fugu_spark.serve import LocalSearcher
+
+from .oracle import PyIndex
+
+N_ROWS = 200
+
+
+@pytest.fixture(scope="module")
+def setup(spark, tmp_path_factory):
+    from fugu_spark.corpus import generate_corpus
+
+    corpus = (
+        generate_corpus(spark, N_ROWS)
+        .withColumn("doc_id", F.xxhash64("repo", "path", "commit"))
+        .cache()
+    )
+    idx_dir = str(tmp_path_factory.mktemp("serve") / "idx")
+    si = build_segments(corpus, idx_dir, id_col="doc_id", text_col="content",
+                        hot_df_threshold=120)  # force salting
+    oracle = PyIndex({r.doc_id: r.content for r in corpus.select("doc_id", "content").collect()})
+    return corpus, si, LocalSearcher(idx_dir), oracle
+
+
+SERVABLE = [
+    rq for rq in REFERENCE_QUERIES
+    if not rq.filters and rq.query_text.strip()
+]
+
+
+@pytest.mark.parametrize("rq", SERVABLE, ids=lambda r: f"q{r.query_id}")
+def test_local_searcher_rank_identity(setup, rq):
+    corpus, si, ls, oracle = setup
+    expected = oracle.search(rq.query_text, k=rq.top_k)
+    got = list(ls.search(rq.query_text, k=rq.top_k).itertuples(index=False))
+    assert [g.doc_id for g in got] == [d for d, _ in expected], f"q{rq.query_id} ranks"
+    for g, (ed, es) in zip(got, expected):
+        assert g.score == pytest.approx(es, abs=1e-9), f"q{rq.query_id} doc {g.doc_id}"
+
+
+def test_local_matches_distributed_after_upsert(spark, setup, tmp_path):
+    """Serving honors delete masks: upsert, reopen, compare engines."""
+    from fugu_spark.segments import upsert_segments
+
+    corpus, si, _, _ = setup
+    batch = corpus.limit(3)
+    si2 = upsert_segments(si, batch, id_col="doc_id", text_col="content")
+    ls2 = LocalSearcher(si2.index_dir)
+    for q in ["merge join", "merge AND join", '"merge join"', "merge^2 join"]:
+        dist = [(r.doc_id, r.score) for r in
+                search_segments(si2, q, k=10, wand_min_postings=0).collect()]
+        loc = [(r.doc_id, r.score) for r in ls2.search(q, k=10).itertuples(index=False)]
+        assert [d for d, _ in loc] == [d for d, _ in dist], q
+        for (ld, lscore), (dd, dscore) in zip(loc, dist):
+            assert lscore == pytest.approx(dscore, abs=1e-9), (q, ld)
+
+
+def test_local_rejects_unservable(setup):
+    _, _, ls, _ = setup
+    with pytest.raises(ValueError):
+        ls.search("", k=5)
+    with pytest.raises(ValueError):
+        ls.search("NOT merge", k=5)
