@@ -278,12 +278,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": ngram_jaccard,
         "ann_cosine_all": ann_cosine_all,
         "suggestions": suggestions_q,
+        "winnow_fps": lambda spark, sf_dir: textstats.winnow_fingerprints(_docs(spark, sf_dir)),
         # rows-only (non-SQL-expressible) coverage:
         "minhash_pairs": lambda spark, sf_dir: dedup.minhash_dedup_pairs(
             _docs(spark, sf_dir), threshold=0.5
         ),
         "simhash_sigs": lambda spark, sf_dir: dedup.simhash_signatures(_docs(spark, sf_dir)),
-        "winnow_fps": lambda spark, sf_dir: textstats.winnow_fingerprints(_docs(spark, sf_dir)),
         "ann_lsh_top10": lambda spark, sf_dir: similarity.lsh_topk(
             _emb(spark, sf_dir),
             list(_emb(spark, sf_dir).filter(F.col("vec_id") == 0).first().embedding),
@@ -321,7 +321,7 @@ stats AS (
   SELECT (SELECT count(*) FROM documents) AS n,
          (SELECT sum(doc_len) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
 ),
-tstat AS (SELECT term, count(*) AS df, sum(tf) AS cf FROM post GROUP BY 1)
+tstat AS (SELECT term, count(*) AS df, sum(tf)::BIGINT AS cf FROM post GROUP BY 1)
 """
 
 # BM25 per-(term,doc) score over `post`:
@@ -405,6 +405,28 @@ SELECT COALESCE(txt.doc_id, src.doc_id) AS doc_id,
 FROM txt FULL OUTER JOIN src ON txt.doc_id = src.doc_id
 ORDER BY COALESCE(txt.s, 0) + COALESCE(src.s, 0) DESC, 1 ASC LIMIT 10"""
 
+# Winnowing (k=5 token grams, window=4): rolling min over 4 consecutive
+# 60-bit gram hashes. The gram hash is the first 15 hex chars of md5 —
+# identical to fugu_spark.analytics.textstats.gram_hash60.
+_WINNOW_SQL = """WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS l
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, i,
+         ('0x' || substr(md5(l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' || l[i+4]), 1, 15))::BIGINT AS h
+  FROM toks, unnest(generate_series(1, len(l) - 4)) AS t(i)
+),
+counts AS (SELECT doc_id, count(*) AS ng FROM grams GROUP BY 1),
+wins AS (
+  SELECT g.doc_id, i, c.ng,
+         min(h) OVER (PARTITION BY g.doc_id ORDER BY i ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS w
+  FROM grams g JOIN counts c USING (doc_id)
+)
+SELECT DISTINCT doc_id, w AS fingerprint FROM wins WHERE ng <= 4 AND i = ng
+UNION
+SELECT DISTINCT doc_id, w AS fingerprint FROM wins WHERE ng > 4 AND i >= 4"""
+
 _NGRAM_SQL = """WITH toks AS (
   SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS l
   FROM documents WHERE doc_id < 60
@@ -432,7 +454,7 @@ def oracle_sql() -> dict[str, str]:
         "term_dict": f"WITH {_TOK} SELECT term, df, cf FROM tstat",
         "corpus_stats": f"""WITH {_TOK}
             SELECT (SELECT count(*) FROM documents) AS n_docs,
-                   (SELECT sum(doc_len) FROM dl) AS total_tokens,
+                   (SELECT sum(doc_len) FROM dl)::BIGINT AS total_tokens,
                    round((SELECT sum(doc_len) FROM dl)::DOUBLE / (SELECT count(*) FROM documents), 6) AS avgdl""",
         "bm25_top10_single": _topk_sql("term = 'merge'"),
         "bm25_top10_or": _topk_sql("term IN ('merge','join')"),
@@ -497,6 +519,7 @@ def oracle_sql() -> dict[str, str]:
                    md5(array_to_string(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''), ' ')) AS fp
             FROM documents""",
         "ngram_jaccard": _NGRAM_SQL,
+        "winnow_fps": _WINNOW_SQL,
         "ann_cosine_all": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
             SELECT e.vec_id,

@@ -9,12 +9,8 @@ index build always uses the full pandas tokenizer.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 # Small fixed stopword lists for the n-gram/stopword language heuristic.
 STOPWORDS = {
@@ -91,7 +87,12 @@ def fingerprint_md5(text_col: Column) -> Column:
     return F.md5(F.array_join(simple_tokens(text_col), " "))
 
 
-WINNOW_SCHEMA = T.ArrayType(T.LongType())
+def gram_hash60(gram: Column) -> Column:
+    """Deterministic 60-bit gram hash: first 15 hex chars of md5, as a
+    BIGINT. Chosen over xxhash/pandas-hash because the SAME value is
+    computable in ANSI SQL (DuckDB: ``('0x' || substr(md5(g),1,15))::BIGINT``)
+    — keeping winnowing oracle-checkable end to end."""
+    return F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("long")
 
 
 def winnow_fingerprints(
@@ -103,37 +104,32 @@ def winnow_fingerprints(
 ) -> DataFrame:
     """Winnowing fingerprints (rolling k-gram hashes, per-window minima) —
     the standard local document fingerprint for near-dup/plagiarism scans.
-    Vectorized with pandas hash_array; not SQL-expressible (rows-only check).
+
+    Pure column expressions (JVM codegen, no Python workers); output is
+    EXPLODED scalar rows ``(doc_id, fingerprint)`` so downstream sorts /
+    joins / the driver canonicalizer never see an array column. Docs with
+    fewer than ``k`` tokens produce no rows.
     """
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
-        for pdf in batches:
-            out_ids, out_fps = [], []
-            toks = pdf[text_col].fillna("").str.lower().str.findall(r"[a-z0-9]+")
-            for doc_id, ts in zip(pdf[id_col], toks):
-                if len(ts) < k:
-                    out_ids.append(doc_id)
-                    out_fps.append([])
-                    continue
-                grams = pd.array(
-                    [" ".join(ts[i : i + k]) for i in range(len(ts) - k + 1)], dtype=object
-                )
-                h = pd.util.hash_array(np.asarray(grams, dtype=object)).astype(np.int64)
-                if len(h) <= window:
-                    fp = [int(h.min())]
-                else:
-                    sw = np.lib.stride_tricks.sliding_window_view(h, window)
-                    fp = sorted(set(int(x) for x in sw.min(axis=1)))
-                out_ids.append(doc_id)
-                out_fps.append(fp)
-            yield pd.DataFrame({id_col: out_ids, "fingerprints": out_fps})
-
-    schema = T.StructType(
-        [
-            T.StructField(id_col, T.LongType(), False),
-            T.StructField("fingerprints", WINNOW_SCHEMA, False),
-        ]
+    toks = simple_tokens(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i, k), " "),
     )
-    return docs.select(id_col, text_col).mapInPandas(gen, schema=schema)
+    h = F.transform(grams, gram_hash60)
+    # rolling min over `window` consecutive gram hashes; <=window grams →
+    # a single global min (same value the rolling form yields at i = n)
+    fps = (
+        F.when(F.size(h) == 0, F.array().cast("array<bigint>"))
+        .when(F.size(h) <= window, F.array(F.array_min(h)))
+        .otherwise(
+            F.array_sort(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(h) - (window - 1)),
+                        lambda j: F.array_min(F.slice(h, j, window)),
+                    )
+                )
+            )
+        )
+    )
+    return docs.select(F.col(id_col), F.explode(fps).alias("fingerprint"))

@@ -106,11 +106,16 @@ def test_textstats(docs):
 
 
 def test_winnow_fingerprints(docs):
-    fps = {r.doc_id: r.fingerprints for r in textstats.winnow_fingerprints(docs).collect()}
+    rows = textstats.winnow_fingerprints(docs).collect()
+    fps: dict[int, set[int]] = {}
+    for r in rows:
+        fps.setdefault(r.doc_id, set()).add(r.fingerprint)
     assert fps[0] == fps[1]
-    overlap02 = len(set(fps[0]) & set(fps[2])) / max(len(set(fps[0])), 1)
-    overlap05 = len(set(fps[0]) & set(fps[5])) / max(len(set(fps[0])), 1)
+    overlap02 = len(fps[0] & fps[2]) / max(len(fps[0]), 1)
+    overlap05 = len(fps[0] & fps.get(5, set())) / max(len(fps[0]), 1)
     assert overlap02 > overlap05
+    # rolling-min windows: every fingerprint set is <= the gram count
+    assert all(len(v) >= 1 for v in fps.values())
 
 
 def test_multimodal_plumbing(spark):
