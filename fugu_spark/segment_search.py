@@ -283,7 +283,17 @@ def search_segments(
     need_pos = any(l.is_phrase for l in plan.leaves)
     meta = _term_meta(si, all_terms)
     live_terms = [t for t in all_terms if t in meta]
-    if plan.is_all or not live_terms:
+    needs_universe = plan.is_all or (
+        plan.leaves and all(l.occur == "must_not" for l in plan.leaves)
+    )
+    if needs_universe and docs is None:
+        # AllQuery / NOT-only over the bare index: the doc universe must
+        # come from the index itself — decode every live posting (this IS
+        # a full scan; that's the query's semantics). Docs whose text
+        # produced zero postings are unrepresentable here: pass `docs` to
+        # include them.
+        decoded = decode_all_postings(si)
+    elif plan.is_all or not live_terms:
         decoded = spark.createDataFrame([], _DECODED_SCHEMA)
     else:
         decoded = decode_postings(si, live_terms, meta, with_positions=need_pos, k1=k1, b=b)

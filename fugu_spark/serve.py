@@ -259,7 +259,9 @@ class LocalSearcher:
 
         if pure_or and len({l.terms[0] for l in plan.leaves if l.terms[0] in meta}) > 1:
             rows = self._block_rows(live_terms, meta, need_pos=False)
-            rows = self._prune_blocks_maxscore(rows, plan, meta, k)
+            # θ must cover the full requested window: docs ranked in
+            # (k, k+offset] live only in blocks a k-seeded θ would prune
+            rows = self._prune_blocks_maxscore(rows, plan, meta, k + offset)
         else:
             rows = self._block_rows(live_terms, meta, need_pos)
         postings = self._decode_rows(rows, need_pos)

@@ -61,6 +61,22 @@ def test_facet_surface(engine):
     assert ("/lang", "py") in pairs and ("/lang", "go") not in pairs
 
 
+def test_compact_invalidates_serving_cache(spark, tmp_path):
+    """Regression: search → ingest → compact → search. compact() resets to
+    (gen=0, no deletes), colliding with a fresh build's cache key; a stale
+    LocalSearcher would read rmtree'd segment files or pre-ingest results."""
+    docs = spark.createDataFrame(
+        [(1, "alpha merge"), (2, "beta join")], "doc_id long, text string"
+    )
+    eng = FuguSparkEngine.build(docs, str(tmp_path / "idx"), facets_col=None)
+    assert {r.doc_id for r in eng.search("merge", k=10).collect()} == {1}
+    batch = spark.createDataFrame([(3, "gamma merge fresh")], "doc_id long, text string")
+    eng.ingest(batch)
+    eng.compact()
+    assert {r.doc_id for r in eng.search("merge", k=10).collect()} == {1, 3}
+    assert {r.doc_id for r in eng.search("fresh", k=10).collect()} == {3}
+
+
 def test_ingest_delete_compact_cycle(engine, spark):
     batch = spark.createDataFrame(
         [(5, "vector merge index", "py", "ns1")], "doc_id long, text string, lang string, ns string"

@@ -49,6 +49,21 @@ def test_local_searcher_rank_identity(setup, rq):
         assert g.score == pytest.approx(es, abs=1e-9), f"q{rq.query_id} doc {g.doc_id}"
 
 
+def test_offset_pagination_matches_oracle(setup):
+    """Regression: MaxScore θ must be seeded for k+offset — page 2 docs may
+    live only in blocks a k-seeded θ would prune. Runs BEFORE the upsert
+    test below (which mutates the shared index's df stats)."""
+    _, _, ls, oracle = setup
+    for q in ["merge join", "merge join sort hash"]:
+        expected = oracle.search(q, k=20)
+        for offset in (5, 10, 15):
+            got = list(ls.search(q, k=5, offset=offset).itertuples(index=False))
+            want = expected[offset : offset + 5]
+            assert [g.doc_id for g in got] == [d for d, _ in want], (q, offset)
+            for g, (_, es) in zip(got, want):
+                assert g.score == pytest.approx(es, abs=1e-9)
+
+
 def test_local_matches_distributed_after_upsert(spark, setup, tmp_path):
     """Serving honors delete masks: upsert, reopen, compare engines."""
     from fugu_spark.segments import upsert_segments
@@ -72,3 +87,16 @@ def test_local_rejects_unservable(setup):
         ls.search("", k=5)
     with pytest.raises(ValueError):
         ls.search("NOT merge", k=5)
+
+
+def test_allquery_and_notonly_over_bare_index(setup):
+    """search_segments without a docs table derives the universe from the
+    index itself instead of silently returning 0 rows."""
+    corpus, si, _, oracle = setup
+    n = corpus.count()
+    allq = search_segments(si, "", k=10_000).collect()
+    assert len(allq) == n
+    assert all(r.score == 1.0 for r in allq)
+    merge_docs = {d for d, _ in oracle.search("merge", k=10_000)}
+    notq = {r.doc_id for r in search_segments(si, "NOT merge", k=10_000).collect()}
+    assert notq == {r.doc_id for r in allq} - merge_docs
