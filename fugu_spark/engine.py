@@ -50,6 +50,10 @@ class FuguSparkEngine:
     text_col: str = "text"
     facets_col: str = "facets"
     mode: str = DEFAULT_MODE
+    # Max Σdf a single query may decode driver-side before routing to the
+    # distributed engine (posting arrays are ~24 B/posting decoded: 5M ≈
+    # 120 MB of driver RAM; hot-term queries at corpus scale go to Spark).
+    serve_max_postings: int = 5_000_000
 
     # ---- lifecycle -------------------------------------------------
 
@@ -115,12 +119,16 @@ class FuguSparkEngine:
             # serving fast path: LocalSearcher over the same segment files
             # (rank/score-identical; ~ms instead of a Spark job)
             try:
-                pdf = self._local_searcher().search(query, k=k, offset=offset)
+                pdf = self._local_searcher().search(
+                    query, k=k, offset=offset, max_postings=self.serve_max_postings
+                )
                 return self.spark.createDataFrame(
                     pdf if len(pdf) else [], "doc_id long, score double"
                 )
             except ValueError:
-                pass  # AllQuery / NOT-only: needs the docs table
+                # AllQuery / NOT-only (needs the docs table) or posting
+                # volume above the serve cap: run distributed
+                pass
         out = search_segments(
             self.si,
             query,

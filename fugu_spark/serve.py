@@ -226,9 +226,21 @@ class LocalSearcher:
 
     # ------------------------------------------------------------- search
 
-    def search(self, query_text: str | None, k: int = 10, offset: int = 0) -> pd.DataFrame:
+    def search(
+        self,
+        query_text: str | None,
+        k: int = 10,
+        offset: int = 0,
+        max_postings: int | None = None,
+    ) -> pd.DataFrame:
         """Top-k → pandas DataFrame(doc_id, score); identical ranks/scores
-        to search_segments for locally-servable queries."""
+        to search_segments for locally-servable queries.
+
+        ``max_postings`` caps the total posting volume (Σ df over the query
+        terms) this searcher will materialize on one machine; a query over
+        hot terms (`the`, `if`, `return` at 10^12 docs) raises instead of
+        OOMing the driver — callers fall back to the distributed engine.
+        """
         plan = parse_query(query_text, mode=self.mode)
         musts, must_nots = set(plan.musts), set(plan.must_nots)
         if plan.is_all or not any(
@@ -239,6 +251,13 @@ class LocalSearcher:
             )
         all_terms = plan.all_terms()
         meta = self.term_meta(all_terms)
+        if max_postings is not None:
+            volume = sum(m["df"] for m in meta.values())
+            if volume > max_postings:
+                raise ValueError(
+                    f"query posting volume {volume} exceeds the driver-side "
+                    f"serve cap {max_postings} — route to search_segments"
+                )
         empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                               "score": pd.Series([], dtype="float64")})
         # a Must leaf on an absent term means nothing can match

@@ -19,6 +19,13 @@ def main() -> int:
     p.add_argument("-k", type=int, default=10)
     p.add_argument("--no-wand", action="store_true")
     p.add_argument(
+        "--serve-max-postings",
+        type=int,
+        default=5_000_000,
+        help="max posting volume (sum df over query terms) served driver-side; "
+        "hotter queries run on the cluster",
+    )
+    p.add_argument(
         "--spark",
         action="store_true",
         help="force the distributed engine (default: serve driver-side when "
@@ -39,13 +46,13 @@ def main() -> int:
         hits = None
         if searcher is not None:
             try:
-                pdf = searcher.search(q, k=args.k)
+                pdf = searcher.search(q, k=args.k, max_postings=args.serve_max_postings)
                 hits = [
                     {"doc_id": int(r.doc_id), "score": float(r.score)}
                     for r in pdf.itertuples(index=False)
                 ]
             except ValueError:
-                pass  # AllQuery / NOT-only: needs the docs table
+                pass  # AllQuery / NOT-only / above the serve cap → Spark
         if hits is None:
             if spark is None:
                 from pyspark.sql import SparkSession

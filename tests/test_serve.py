@@ -64,6 +64,26 @@ def test_offset_pagination_matches_oracle(setup):
                 assert g.score == pytest.approx(es, abs=1e-9)
 
 
+def test_posting_volume_routing(setup):
+    """Hot-term queries route distributed; rare-term queries stay local;
+    both produce identical results (engine fallback parity). Runs before
+    the upsert test (which mutates the shared index's df stats)."""
+    corpus, si, ls, oracle = setup
+    hot = ls.term_meta(["merge"])["merge"]["df"]
+    with pytest.raises(ValueError, match="serve cap"):
+        ls.search("merge join", k=10, max_postings=hot - 1)
+    # a cap above the query volume serves locally, identical to uncapped
+    capped = ls.search("merge join", k=10, max_postings=10**9)
+    uncapped = ls.search("merge join", k=10)
+    assert capped.equals(uncapped)
+    # over-cap queries fall back to the distributed engine with identical ranks
+    over_cap = [
+        (r.doc_id, round(r.score, 9))
+        for r in search_segments(si, "merge join", k=10, docs=corpus).collect()
+    ]
+    assert [(d, round(s, 9)) for d, s in zip(uncapped.doc_id, uncapped.score)] == over_cap
+
+
 def test_local_matches_distributed_after_upsert(spark, setup, tmp_path):
     """Serving honors delete masks: upsert, reopen, compare engines."""
     from fugu_spark.segments import upsert_segments
