@@ -146,20 +146,18 @@ class FuguSparkEngine:
         return out
 
     def _local_searcher(self):
+        from . import fsio
         from .serve import LocalSearcher
 
-        import os
-
-        dels = os.path.join(self.index_dir, "deletes")
-        stats = os.path.join(self.index_dir, "stats.json")
         key = (
             self.si.max_gen(),
-            len(os.listdir(dels)) if os.path.isdir(dels) else 0,  # delete-only ops add files, not gens
+            # delete-only ops add files, not generations
+            len(fsio.listdir(fsio.join(self.index_dir, "deletes"))),
             # stats.json is rewritten by every build/upsert/compact: after
             # compact() resets to (gen=0, no deletes) the first two fields
             # collide with a fresh build's key and a stale searcher would
             # read rmtree'd segment files — the mtime disambiguates
-            os.stat(stats).st_mtime_ns if os.path.exists(stats) else 0,
+            fsio.mtime_token(fsio.join(self.index_dir, "stats.json")),
         )
         cached = getattr(self, "_ls_cache", None)
         if cached is None or cached[0] != key:

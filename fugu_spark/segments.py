@@ -33,7 +33,6 @@ in fugu_spark.codecs.
 from __future__ import annotations
 
 import json
-import os
 import time
 import uuid
 from collections.abc import Iterator
@@ -45,6 +44,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from . import fsio
 from .codecs import BLOCK_SIZE
 from .postings import CorpusStats, build_postings
 from .tokenizer import DEFAULT_MODE
@@ -84,22 +84,21 @@ STAGE_OUTPUT = {
 
 
 def _marker_path(index_dir: str, stage: str) -> str:
-    return os.path.join(index_dir, f"_stage_{stage}.json")
+    return fsio.join(index_dir, f"_stage_{stage}.json")
 
 
 def _write_marker(index_dir: str, stage: str, payload: dict) -> None:
-    tmp = _marker_path(index_dir, stage) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump({"stage": stage, "status": "complete", **payload}, f)
-    os.replace(tmp, _marker_path(index_dir, stage))
+    fsio.write_text_atomic(
+        _marker_path(index_dir, stage),
+        json.dumps({"stage": stage, "status": "complete", **payload}),
+    )
 
 
 def _read_marker(index_dir: str, stage: str) -> dict | None:
     p = _marker_path(index_dir, stage)
-    if not os.path.exists(p):
+    if not fsio.exists(p):
         return None
-    with open(p) as f:
-        return json.load(f)
+    return json.loads(fsio.read_text(p))
 
 
 def _stage_done(index_dir: str, stage: str) -> bool:
@@ -107,12 +106,12 @@ def _stage_done(index_dir: str, stage: str) -> bool:
     filesystem checks, no Spark job (resume must be near-free)."""
     if _read_marker(index_dir, stage) is None:
         return False
-    return os.path.exists(os.path.join(index_dir, STAGE_OUTPUT[stage]))
+    return fsio.exists(fsio.join(index_dir, STAGE_OUTPUT[stage]))
 
 
 def _append_manifest(spark: SparkSession, index_dir: str, rows: list[tuple]) -> None:
     spark.createDataFrame(rows, MANIFEST_SCHEMA).coalesce(1).write.mode("append").parquet(
-        os.path.join(index_dir, "manifest")
+        fsio.join(index_dir, "manifest")
     )
 
 
@@ -271,9 +270,8 @@ class SegmentIndex:
 
     @classmethod
     def load(cls, spark: SparkSession, index_dir: str) -> "SegmentIndex":
-        with open(os.path.join(index_dir, "stats.json")) as f:
-            s = json.load(f)
-        terms = spark.read.parquet(os.path.join(index_dir, "terms")).cache()
+        s = json.loads(fsio.read_text(fsio.join(index_dir, "stats.json")))
+        terms = spark.read.parquet(fsio.join(index_dir, "terms")).cache()
         return cls(
             spark=spark,
             index_dir=index_dir,
@@ -284,7 +282,7 @@ class SegmentIndex:
         )
 
     def segments_df(self, terms: list[str] | None = None, buckets: list[int] | None = None) -> DataFrame:
-        df = self.spark.read.parquet(os.path.join(self.index_dir, "segments"))
+        df = self.spark.read.parquet(fsio.join(self.index_dir, "segments"))
         if buckets is not None:
             df = df.filter(F.col("term_bucket").isin(buckets))  # partition pruning
         if terms is not None:
@@ -294,18 +292,18 @@ class SegmentIndex:
     def deletes_df(self) -> DataFrame | None:
         """Delete mask: (doc_id, del_gen) — doc's postings in generations
         < del_gen are dead (Tantivy/Lucene delete-bitset analog)."""
-        p = os.path.join(self.index_dir, "deletes")
-        if not os.path.exists(p):
+        p = fsio.join(self.index_dir, "deletes")
+        if not fsio.exists(p):
             return None
         return self.spark.read.parquet(p).groupBy("doc_id").agg(
             F.max("del_gen").alias("del_gen")
         )
 
     def max_gen(self) -> int:
-        seg_root = os.path.join(self.index_dir, "segments")
+        seg_root = fsio.join(self.index_dir, "segments")
         gens = [
             int(d.split("=")[1])
-            for d in os.listdir(seg_root)
+            for d in fsio.listdir(seg_root)
             if d.startswith("gen=")
         ]
         return max(gens) if gens else 0
@@ -324,10 +322,10 @@ def build_segments(
 ) -> SegmentIndex:
     spark = docs.sparkSession
     build_id = build_id or uuid.uuid4().hex[:12]
-    os.makedirs(index_dir, exist_ok=True)
-    raw_path = os.path.join(index_dir, "postings_raw")
-    seg_path = os.path.join(index_dir, "segments")
-    terms_path = os.path.join(index_dir, "terms")
+    fsio.makedirs(index_dir)
+    raw_path = fsio.join(index_dir, "postings_raw")
+    seg_path = fsio.join(index_dir, "segments")
+    terms_path = fsio.join(index_dir, "terms")
 
     manifest_rows: list[tuple] = []
 
@@ -410,7 +408,7 @@ def build_segments(
         )
 
     # ---- stage 4: corpus stats + build metrics (all from stage markers) ----
-    stats_path = os.path.join(index_dir, "stats.json")
+    stats_path = fsio.join(index_dir, "stats.json")
     if not (resume and _stage_done(index_dir, "stats")):
         n_docs = docs.count()  # parquet sources: metadata-only count
         seg_m = _read_marker(index_dir, "segments") or {}
@@ -430,10 +428,7 @@ def build_segments(
             "build_wall_sec": build_wall,
             "postings_per_sec": (n_post / build_wall) if build_wall > 0 else 0.0,
         }
-        tmp = stats_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(payload, f, indent=2)
-        os.replace(tmp, stats_path)
+        fsio.write_text_atomic(stats_path, json.dumps(payload, indent=2))
         _write_marker(index_dir, "stats", {"build_id": build_id})
         manifest_rows.append(
             (build_id, "stats", "all", "complete", 0, 0, 0, 0.0, time.time())
@@ -456,9 +451,8 @@ def build_segments(
 
 
 def _write_stats_json(spark: SparkSession, index_dir: str, n_docs: int, total_tokens: int, extra: dict | None = None) -> None:
-    stats_path = os.path.join(index_dir, "stats.json")
-    with open(stats_path) as f:
-        payload = json.load(f)
+    stats_path = fsio.join(index_dir, "stats.json")
+    payload = json.loads(fsio.read_text(stats_path))
     payload.update(
         {
             "n_docs": int(n_docs),
@@ -467,10 +461,7 @@ def _write_stats_json(spark: SparkSession, index_dir: str, n_docs: int, total_to
         }
     )
     payload.update(extra or {})
-    tmp = stats_path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(payload, f, indent=2)
-    os.replace(tmp, stats_path)
+    fsio.write_text_atomic(stats_path, json.dumps(payload, indent=2))
 
 
 def upsert_segments(
@@ -487,7 +478,7 @@ def upsert_segments(
     new_gen = si.max_gen() + 1
     ids = batch.select(F.col(id_col).cast("long").alias("doc_id")).distinct()
     ids.withColumn("del_gen", F.lit(new_gen)).write.mode("append").parquet(
-        os.path.join(si.index_dir, "deletes")
+        fsio.join(si.index_dir, "deletes")
     )
     raw = build_postings(
         batch, id_col=id_col, text_col=text_col, mode=mode, encode_positions=True
@@ -496,10 +487,10 @@ def upsert_segments(
     )
     new_tokens = raw.agg(F.sum("tf")).collect()[0][0] or 0
     encode_postings_df(
-        raw, os.path.join(si.index_dir, "segments"), hot_df_threshold, gen=new_gen, append=True
+        raw, fsio.join(si.index_dir, "segments"), hot_df_threshold, gen=new_gen, append=True
     )
     merge_dictionary(
-        spark, os.path.join(si.index_dir, "segments"), os.path.join(si.index_dir, "terms")
+        spark, fsio.join(si.index_dir, "segments"), fsio.join(si.index_dir, "terms")
     )
     n_batch = batch.count()
     _write_stats_json(
@@ -524,7 +515,7 @@ def delete_doc_ids(si: SegmentIndex, ids: DataFrame, id_col: str = "doc_id") -> 
     new_gen = si.max_gen() + 1
     ids.select(F.col(id_col).cast("long").alias("doc_id")).distinct().withColumn(
         "del_gen", F.lit(new_gen)
-    ).write.mode("append").parquet(os.path.join(si.index_dir, "deletes"))
+    ).write.mode("append").parquet(fsio.join(si.index_dir, "deletes"))
     return SegmentIndex.load(si.spark, si.index_dir)
 
 
@@ -534,17 +525,16 @@ def _n_buckets(si: SegmentIndex) -> int:
     new generations land in buckets the dictionary doesn't point at.
     (Counting existing gen=0 dirs is wrong: small corpora leave some of
     the n_buckets partitions empty.)"""
-    with open(os.path.join(si.index_dir, "stats.json")) as f:
-        n = json.load(f).get("n_buckets")
+    n = json.loads(fsio.read_text(fsio.join(si.index_dir, "stats.json"))).get("n_buckets")
     if n:
         return int(n)
     # legacy index without the field: largest bucket id ever written + 1
-    seg_root = os.path.join(si.index_dir, "segments")
+    seg_root = fsio.join(si.index_dir, "segments")
     ids = [
         int(d.split("=")[1])
-        for gen in os.listdir(seg_root)
+        for gen in fsio.listdir(seg_root)
         if gen.startswith("gen=")
-        for d in os.listdir(os.path.join(seg_root, gen))
+        for d in fsio.listdir(fsio.join(seg_root, gen))
         if d.startswith("term_bucket=")
     ]
     return max(ids) + 1 if ids else 1
@@ -553,24 +543,20 @@ def _n_buckets(si: SegmentIndex) -> int:
 def compact(si: SegmentIndex, hot_df_threshold: int = 250_000) -> SegmentIndex:
     """Background-merge analog (B7): decode all LIVE postings, rewrite as a
     single gen=0, clear deletes, rebuild dictionary + exact stats."""
-    import shutil
-
     from .segment_search import decode_all_postings
 
     spark = si.spark
     live = decode_all_postings(si, with_positions=True).withColumn(
         "term_bucket", F.pmod(F.xxhash64("term"), F.lit(_n_buckets(si))).cast("int")
     )
-    raw_path = os.path.join(si.index_dir, "postings_raw")
+    raw_path = fsio.join(si.index_dir, "postings_raw")
     live.write.mode("overwrite").parquet(raw_path)
     raw = spark.read.parquet(raw_path)
-    seg_path = os.path.join(si.index_dir, "segments")
-    shutil.rmtree(seg_path)
+    seg_path = fsio.join(si.index_dir, "segments")
+    fsio.rmtree(seg_path)
     encode_postings_df(raw, seg_path, hot_df_threshold, gen=0, append=False)
-    merge_dictionary(spark, seg_path, os.path.join(si.index_dir, "terms"))
-    del_path = os.path.join(si.index_dir, "deletes")
-    if os.path.exists(del_path):
-        shutil.rmtree(del_path)
+    merge_dictionary(spark, seg_path, fsio.join(si.index_dir, "terms"))
+    fsio.rmtree(fsio.join(si.index_dir, "deletes"))
     n_docs = raw.select("doc_id").distinct().count()
     total = raw.agg(F.sum("tf")).collect()[0][0] or 0
     _write_stats_json(spark, si.index_dir, n_docs, int(total), extra={"last_gen": 0})
