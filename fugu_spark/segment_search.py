@@ -92,15 +92,23 @@ def decode_postings(
     other_ub: dict[str, float] | None = None,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    doc_ranges: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> DataFrame:
     """Pruned scan + vectorized decode of the terms' posting blocks.
 
     ``other_ub[t]`` = Σ upper bounds of the OTHER query terms; blocks with
     idf_t·tfnorm(max_tf, min_dl) + other_ub[t] < theta are skipped without
-    decoding (block-max pruning)."""
+    decoding (block-max pruning).
+
+    ``doc_ranges`` = sorted disjoint (starts, ends) doc-id intervals; a
+    block whose [min_doc_id, max_doc_id] overlaps no interval is skipped
+    without decoding (conjunctive range pruning for AND/phrase: docs
+    outside the rarest required term's blocks cannot match)."""
     buckets = sorted({term_meta[t]["term_bucket"] for t in terms})
     seg = si.segments_df(terms=terms, buckets=buckets)
-    return _decode_seg_df(si, seg, with_positions, theta, other_ub, term_meta, k1, b)
+    return _decode_seg_df(
+        si, seg, with_positions, theta, other_ub, term_meta, k1, b, doc_ranges
+    )
 
 
 def decode_all_postings(si: SegmentIndex, with_positions: bool = False) -> DataFrame:
@@ -117,12 +125,15 @@ def _decode_seg_df(
     term_meta: dict[str, dict] | None,
     k1: float,
     b: float,
+    doc_ranges: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> DataFrame:
     cols = [
         "term",
         "n_docs",
         "max_tf",
         "min_doc_len",
+        "min_doc_id",
+        "max_doc_id",
         "gen",
         "doc_ids_enc",
         "tfs_enc",
@@ -133,9 +144,19 @@ def _decode_seg_df(
     idf = {t: m["idf"] for t, m in (term_meta or {}).items()}
     oub = other_ub or {}
     skip_on = theta > 0.0 and other_ub is not None
+    r_starts, r_ends = doc_ranges if doc_ranges is not None else (None, None)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if r_starts is not None and len(pdf):
+                # conjunctive range skip, vectorized over the batch: first
+                # interval whose end >= block.min must start <= block.max
+                bmin = pdf["min_doc_id"].to_numpy(np.int64)
+                bmax = pdf["max_doc_id"].to_numpy(np.int64)
+                j = np.searchsorted(r_ends, bmin, side="left")
+                ok = j < len(r_starts)
+                ok[ok] = r_starts[j[ok]] <= bmax[ok]
+                pdf = pdf[ok]
             outs = []
             for row in pdf.itertuples(index=False):
                 if skip_on:
@@ -216,7 +237,11 @@ def _term_meta(si: SegmentIndex, terms: list[str]) -> dict[str, dict]:
 
         dset = getattr(si, "_terms_ds", None)
         if dset is None:
-            dset = pads.dataset(os.path.join(si.index_dir, "terms"), format="parquet")
+            from .fsio import as_local
+
+            dset = pads.dataset(
+                os.path.join(as_local(si.index_dir), "terms"), format="parquet"
+            )
             si._terms_ds = dset
         tbl = dset.to_table(columns=_META_COLS, filter=pads.field("term").isin(terms))
         rows = tbl.to_pylist()
@@ -234,6 +259,83 @@ def _term_meta(si: SegmentIndex, terms: list[str]) -> dict[str, dict]:
             "idf": idf_py(r["df"], si.stats.n_docs),
         }
     return out
+
+
+def merge_intervals(starts: np.ndarray, ends: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Sort + merge overlapping [start, end] intervals into disjoint form."""
+    if len(starts) == 0:
+        return starts.astype(np.int64), ends.astype(np.int64)
+    order = np.argsort(starts, kind="mergesort")
+    s, e = starts[order], ends[order]
+    out_s, out_e = [int(s[0])], [int(e[0])]
+    for a, z in zip(s[1:], e[1:]):
+        if a <= out_e[-1]:
+            out_e[-1] = max(out_e[-1], int(z))
+        else:
+            out_s.append(int(a))
+            out_e.append(int(z))
+    return np.asarray(out_s, dtype=np.int64), np.asarray(out_e, dtype=np.int64)
+
+
+# Above this df the anchor's own block metadata is no longer driver-cheap
+# (df/128 rows) AND range pruning stops being selective — skip it.
+ANCHOR_MAX_DF = 2_000_000
+
+
+def conjunctive_anchor(plan: QueryPlan, meta: dict[str, dict]) -> str | None:
+    """The rarest term every matching doc MUST contain, or None.
+
+    Any term of a Must leaf qualifies (docs must match all Must leaves);
+    with no Musts, a lone positive phrase leaf qualifies (all phrase terms
+    co-occur in a match). Pruning other terms' blocks to this term's
+    doc-id ranges is rank-safe: a doc outside them cannot match."""
+    required = [t for l in plan.leaves if l.occur == "must" for t in l.terms]
+    if not required:
+        positive = [l for l in plan.leaves if l.occur != "must_not"]
+        if len(positive) == 1 and positive[0].is_phrase:
+            required = list(positive[0].terms)
+    required = [t for t in required if t in meta]
+    if not required:
+        return None
+    anchor = min(required, key=lambda t: meta[t]["df"])
+    return anchor if meta[anchor]["df"] <= ANCHOR_MAX_DF else None
+
+
+def anchor_doc_ranges(
+    si: SegmentIndex, term: str, term_meta: dict[str, dict]
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Merged [min_doc_id, max_doc_id] intervals of the term's blocks, read
+    driver-side from segment metadata columns only (B6 skip data)."""
+    try:
+        import pyarrow.dataset as pads
+
+        from .fsio import as_local
+
+        dset = getattr(si, "_seg_meta_ds", None)
+        if dset is None:
+            dset = pads.dataset(
+                os.path.join(as_local(si.index_dir), "segments"),
+                format="parquet",
+                partitioning="hive",
+            )
+            si._seg_meta_ds = dset
+        flt = (pads.field("term_bucket") == term_meta[term]["term_bucket"]) & (
+            pads.field("term") == term
+        )
+        tbl = dset.to_table(columns=["min_doc_id", "max_doc_id"], filter=flt)
+        starts = tbl["min_doc_id"].to_numpy()
+        ends = tbl["max_doc_id"].to_numpy()
+    except Exception:
+        rows = (
+            si.segments_df(terms=[term], buckets=[term_meta[term]["term_bucket"]])
+            .select("min_doc_id", "max_doc_id")
+            .collect()
+        )
+        starts = np.asarray([r[0] for r in rows], dtype=np.int64)
+        ends = np.asarray([r[1] for r in rows], dtype=np.int64)
+    if len(starts) == 0:
+        return None
+    return merge_intervals(starts, ends)
 
 
 def _score_col(idf: dict[str, float], avgdl: float, k1: float, b: float) -> Column:
@@ -296,7 +398,18 @@ def search_segments(
     elif plan.is_all or not live_terms:
         decoded = spark.createDataFrame([], _DECODED_SCHEMA)
     else:
-        decoded = decode_postings(si, live_terms, meta, with_positions=need_pos, k1=k1, b=b)
+        # AND/phrase block-range pruning: only blocks overlapping the
+        # rarest required term's doc-id ranges can contain matches, so
+        # the common terms' blocks are mostly skipped before decode
+        # (`rare AND the`-shaped queries stop decoding `the`).
+        ranges = None
+        if len(live_terms) > 1:
+            anchor = conjunctive_anchor(plan, meta)
+            if anchor is not None:
+                ranges = anchor_doc_ranges(si, anchor, meta)
+        decoded = decode_postings(
+            si, live_terms, meta, with_positions=need_pos, k1=k1, b=b, doc_ranges=ranges
+        )
     idx = InvertedIndex(
         postings=decoded,
         terms=si.terms,

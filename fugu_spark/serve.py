@@ -38,7 +38,9 @@ from .tokenizer import DEFAULT_MODE
 
 _ENC_COLS = ["doc_ids_enc", "tfs_enc", "doc_lens_enc"]
 _POS_COLS = ["pos_counts_enc", "positions_enc"]
-_META_BLOCK_COLS = ["term", "n_docs", "max_tf", "min_doc_len", "gen"]
+_META_BLOCK_COLS = [
+    "term", "n_docs", "max_tf", "min_doc_len", "min_doc_id", "max_doc_id", "gen",
+]
 
 
 def _tf_norm(tf: np.ndarray, dl: np.ndarray, avgdl: float, k1: float, b: float) -> np.ndarray:
@@ -58,6 +60,12 @@ class LocalSearcher:
     ) -> None:
         import pyarrow.dataset as pads
 
+        from .fsio import as_local
+
+        # driver-side serving reads through pyarrow: local indexes only
+        # (raises for s3a://… — callers fall back to search_segments,
+        # whose IO goes through Spark's Hadoop connectors)
+        index_dir = as_local(index_dir)
         self.index_dir = index_dir
         self.mode = mode
         self.k1 = float(k1)
@@ -283,6 +291,7 @@ class LocalSearcher:
             rows = self._prune_blocks_maxscore(rows, plan, meta, k + offset)
         else:
             rows = self._block_rows(live_terms, meta, need_pos)
+            rows = self._prune_blocks_conjunctive(rows, plan, meta)
         postings = self._decode_rows(rows, need_pos)
         parts = self._leaf_parts(plan, meta, postings)
         if not parts:
@@ -323,6 +332,30 @@ class LocalSearcher:
             ["score", "doc_id"], ascending=[False, True], kind="mergesort"
         ).iloc[offset : offset + k]
         return out.reset_index(drop=True)
+
+    def _prune_blocks_conjunctive(
+        self, rows: pd.DataFrame, plan: QueryPlan, meta: dict
+    ) -> pd.DataFrame:
+        """AND/phrase range skip: keep only blocks overlapping the rarest
+        required term's merged doc-id intervals (rank-safe — a doc outside
+        them cannot satisfy the conjunction)."""
+        from .segment_search import conjunctive_anchor, merge_intervals
+
+        anchor = conjunctive_anchor(plan, meta)
+        if anchor is None or rows.empty:
+            return rows
+        a = rows[rows["term"] == anchor]
+        if a.empty:
+            return rows
+        starts, ends = merge_intervals(
+            a["min_doc_id"].to_numpy(np.int64), a["max_doc_id"].to_numpy(np.int64)
+        )
+        bmin = rows["min_doc_id"].to_numpy(np.int64)
+        bmax = rows["max_doc_id"].to_numpy(np.int64)
+        j = np.searchsorted(ends, bmin, side="left")
+        ok = j < len(starts)
+        ok[ok] = starts[j[ok]] <= bmax[ok]
+        return rows[ok]
 
     def _prune_blocks_maxscore(
         self, rows: pd.DataFrame, plan: QueryPlan, meta: dict, k: int
