@@ -28,6 +28,34 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
     return x ^ (x >> np.uint64(31))
 
 
+def _affine_mod_p61(x: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(a·x + b) mod (2^61−1) in pure uint64 numpy — no Python-object
+    bigints in the MinHash hot loop. Inputs must already be < 2^61−1.
+
+    The 128-bit product is assembled from 32-bit limbs (each partial fits
+    u64, numpy wraps mod 2^64 so carries are recovered by comparison),
+    then reduced with 2^64 ≡ 8 (mod p) for the Mersenne prime p=2^61−1."""
+    P = np.uint64(_MERSENNE)
+    m32 = np.uint64(0xFFFFFFFF)
+    c32, c61, c64 = np.uint64(32), np.uint64(61), np.uint64(8)
+    ah, al = a >> c32, a & m32
+    xh, xl = x >> c32, x & m32
+    ll = al * xl
+    lh = al * xh
+    hl = ah * xl
+    hh = ah * xh
+    mid = lh + hl  # may wrap: carry contributes 2^64·carry → hi += 2^32·carry
+    carry_mid = (mid < lh).astype(np.uint64)
+    lo = ll + ((mid & m32) << c32)
+    carry_lo = (lo < ll).astype(np.uint64)
+    hi = hh + (mid >> c32) + (carry_mid << c32) + carry_lo
+    r = (lo & P) + (lo >> c61) + hi * c64  # hi < 2^58 → hi·8 < 2^61, no wrap
+    r = (r & P) + (r >> c61)
+    r = np.where(r >= P, r - P, r)
+    v = r + b
+    return np.where(v >= P, v - P, v)
+
+
 # ---------------------------------------------------------------- exact
 
 
@@ -70,8 +98,7 @@ def minhash_signatures(
     b = _splitmix64(seeds) % np.uint64(_MERSENNE)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        a_ = a.astype(object)  # python ints: exact mod-prime arithmetic
-        b_ = b.astype(object)
+        P = np.uint64(_MERSENNE)
         for pdf in batches:
             toks = pdf[text_col].fillna("").str.lower().str.findall(r"[a-z0-9]+")
             ids, sigs = [], []
@@ -81,9 +108,11 @@ def minhash_signatures(
                     ids.append(doc_id)
                     sigs.append([0] * num_hashes)
                     continue
-                x = sh.astype(object)[:, None]  # exact ints, no overflow
-                vals = (x * a_[None, :] + b_[None, :]) % _MERSENNE
-                sigs.append([int(v) for v in vals.min(axis=0)])
+                # x ≡ sh (mod p) keeps (a·x+b) mod p identical to exact
+                # bigint arithmetic on the raw 64-bit shingle hashes
+                x = (sh % P)[:, None]
+                vals = _affine_mod_p61(x, a[None, :], b[None, :])
+                sigs.append(vals.min(axis=0).astype(np.int64).tolist())
                 ids.append(doc_id)
             yield pd.DataFrame({id_col: ids, "signature": sigs})
 
@@ -236,10 +265,19 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     id_limit: int | None = None,
+    max_gram_df: int | None = 100_000,
 ) -> DataFrame:
     """EXACT n-gram Jaccard pairs via an inverted gram→doc join (shared-gram
     candidates only, never all-pairs). ``id_limit`` restricts to a prefix of
-    ids — used by the small-scale SQL oracle; leave None at scale."""
+    ids — used by the small-scale SQL oracle; leave None at scale.
+
+    ``max_gram_df`` drops grams shared by more than that many docs BEFORE
+    the self-join (standard stop-gram removal in exact Jaccard mining):
+    without it one trigram shared by 10^9 docs makes the candidate join
+    quadratic in that bucket. Jaccard then measures similarity over the
+    non-stop gram universe — exact for the grams kept; pairs whose ONLY
+    shared grams are hot are missed (recall cost, pinned in tests). Set
+    None to disable."""
     base = docs.select(id_col, text_col)
     if id_limit is not None:
         base = base.filter(F.col(id_col) < id_limit)
@@ -258,6 +296,12 @@ def ngram_jaccard_pairs(
             )
         ).alias("gram"),
     )
+    if max_gram_df is not None:
+        gram_df = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("gram_df"))
+        grams = (
+            grams.join(gram_df.filter(F.col("gram_df") <= max_gram_df), "gram")
+            .drop("gram_df")
+        )
     sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
     a = grams.select(F.col(id_col).alias("id_a"), "gram")
     bdf = grams.select(F.col(id_col).alias("id_b"), "gram")

@@ -30,6 +30,30 @@ def test_exact_dedup(docs):
     assert dup.keep_id == 0
 
 
+def test_minhash_affine_mod_exactness():
+    """uint64 limb-split (a·x+b) mod 2^61−1 must equal exact bigint math —
+    signatures are pinned across the vectorization rewrite."""
+    import numpy as np
+
+    from fugu_spark.analytics.dedup import _MERSENNE, _affine_mod_p61
+
+    rng = np.random.default_rng(7)
+    P = np.uint64(_MERSENNE)
+    x = np.concatenate(
+        [
+            rng.integers(0, 2**64, size=500, dtype=np.uint64),
+            np.array([0, 1, _MERSENNE - 1, _MERSENNE, 2**64 - 1], dtype=np.uint64),
+        ]
+    )
+    a = rng.integers(1, _MERSENNE - 1, size=64).astype(np.uint64)
+    b = rng.integers(0, _MERSENNE, size=64).astype(np.uint64)
+    got = _affine_mod_p61((x % P)[:, None], a[None, :], b[None, :])
+    exact = (
+        x.astype(object)[:, None] * a.astype(object)[None, :] + b.astype(object)[None, :]
+    ) % _MERSENNE
+    assert (got.astype(object) == exact).all()
+
+
 def test_minhash_identical_signature(docs):
     sigs = {r.doc_id: r.signature for r in dedup.minhash_signatures(docs).collect()}
     assert sigs[0] == sigs[1]  # identical text → identical signature
@@ -62,6 +86,32 @@ def test_ngram_jaccard(docs):
     }
     assert pairs[(0, 1)] == pytest.approx(1.0)
     assert (0, 2) in pairs and pairs[(0, 2)] < 1.0
+
+
+def test_ngram_jaccard_gram_df_cap(docs):
+    """Stop-gram cap: grams hotter than the cap leave the gram universe.
+    Pairs sharing ONLY hot grams are missed (the documented recall cost);
+    pairs with rarer shared grams keep exact Jaccard over kept grams."""
+    capped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(
+            docs, n=3, threshold=0.3, max_gram_df=2
+        ).collect()
+    }
+    # docs 0,1 share df-2 grams (only they contain them) → still found, 1.0
+    assert capped[(0, 1)] == pytest.approx(1.0)
+    # docs 0,2 share only grams present in all of {0,1,2} (df 3 > cap) → missed
+    assert (0, 2) not in capped
+    # a cap above every gram's df is a no-op vs uncapped
+    wide = {
+        (r.id_a, r.id_b): round(r.jaccard, 9)
+        for r in dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.3, max_gram_df=10**6).collect()
+    }
+    unc = {
+        (r.id_a, r.id_b): round(r.jaccard, 9)
+        for r in dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.3, max_gram_df=None).collect()
+    }
+    assert wide == unc
 
 
 @pytest.fixture(scope="module")
