@@ -223,6 +223,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", textstats.fingerprint_md5(F.col("text")).alias("fp")
         )
 
+    def date_range(spark, sf_dir):
+        """X5: RFC3339 round-trip + half-open range filter over events.ts.
+        The parquet ts is TIMESTAMP_NTZ (wall clock); we format it as an
+        RFC3339 string with 'Z', re-parse through the engine's date layer
+        under a UTC session (the instant domain the reference uses), and
+        emit epoch micros — tz-independently equal to DuckDB's epoch_us."""
+        from fugu_spark.dates import date_range_filter, parse_rfc3339
+
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        rfc = F.concat(F.replace(F.col("ts").cast("string"), F.lit(" "), F.lit("T")), F.lit("Z"))
+        parsed = parse_rfc3339(rfc)
+        return (
+            ev.withColumn("_ts", parsed)
+            .filter(date_range_filter(F.col("_ts"), "2024-01-05T00:00:00Z", "2024-01-08T00:00:00Z"))
+            .select("event_id", F.unix_micros("_ts").alias("ts_us"))
+        )
+
     def ngram_jaccard(spark, sf_dir):
         return dedup.ngram_jaccard_pairs(
             _docs(spark, sf_dir), n=3, threshold=0.01, id_limit=60
@@ -275,6 +293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": quality,
         "lang_id": lang_id_q,
         "fingerprint": fingerprint,
+        "date_range_filter": date_range,
         "ngram_jaccard": ngram_jaccard,
         "ann_cosine_all": ann_cosine_all,
         "suggestions": suggestions_q,
@@ -518,6 +537,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(array_to_string(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''), ' ')) AS fp
             FROM documents""",
+        "date_range_filter": """
+            SELECT event_id, epoch_us(ts) AS ts_us FROM events
+            WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+              AND ts <  TIMESTAMP '2024-01-08 00:00:00'""",
         "ngram_jaccard": _NGRAM_SQL,
         "winnow_fps": _WINNOW_SQL,
         "ann_cosine_all": """

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from . import facets as FC
 from .dataset import Dataset, build_dataset, validate
+from .dates import date_range_filter, with_date_fields
 from .segment_search import search_segments
 from .segments import (
     SegmentIndex,
@@ -54,6 +55,8 @@ class FuguSparkEngine:
     # distributed engine (posting arrays are ~24 B/posting decoded: 5M ≈
     # 120 MB of driver RAM; hot-term queries at corpus scale go to Spark).
     serve_max_postings: int = 5_000_000
+    k1: float = 1.2
+    b: float = 0.75
 
     # ---- lifecycle -------------------------------------------------
 
@@ -61,22 +64,43 @@ class FuguSparkEngine:
     def build(
         cls,
         docs: DataFrame,
-        index_dir: str,
+        index_dir: str | None = None,
         id_col: str = "doc_id",
         text_col: str = "text",
         facets_col: str | None = "facets",
-        strict_validation: bool = False,
-        mode: str = DEFAULT_MODE,
+        strict_validation: bool | None = None,
+        mode: str | None = None,
+        config: "EngineConfig | None" = None,
     ) -> "FuguSparkEngine":
+        """Build all indexes. ``config`` (S6: an EngineConfig from
+        fugu_spark.config.load_config — YAML/JSON file + FUGU_SPARK_* env)
+        supplies engine parameters; explicit kwargs win over it."""
+        from .config import EngineConfig
+
+        cfg = config or EngineConfig()
+        index_dir = index_dir or cfg.index_dir
+        if not index_dir:
+            raise ValueError("index_dir required (argument or config)")
+        mode = mode or cfg.mode
+        strict = cfg.strict_validation if strict_validation is None else strict_validation
         good, _bad = validate(
             docs,
             id_col=id_col,
             text_col=text_col,
             facets_col=facets_col if facets_col and facets_col in docs.columns else None,
-            strict=strict_validation,
+            strict=strict,
+            max_text_len=cfg.max_text_len,
         )
-        good = good.cache()
-        si = build_segments(good, index_dir, id_col=id_col, text_col=text_col, mode=mode)
+        good = with_date_fields(good).cache()  # RFC3339 → timestamp (X5)
+        si = build_segments(
+            good,
+            index_dir,
+            id_col=id_col,
+            text_col=text_col,
+            mode=mode,
+            n_buckets=cfg.n_buckets,
+            hot_df_threshold=cfg.hot_df_threshold,
+        )
         ds = build_dataset(good, id_col=id_col, text_col=text_col, facets_col=facets_col)
         return cls(
             spark=docs.sparkSession,
@@ -88,6 +112,9 @@ class FuguSparkEngine:
             text_col=text_col,
             facets_col=facets_col or "facets",
             mode=mode,
+            serve_max_postings=cfg.serve_max_postings,
+            k1=cfg.k1,
+            b=cfg.b,
         )
 
     def health(self) -> dict:
@@ -107,14 +134,21 @@ class FuguSparkEngine:
         offset: int = 0,
         filters: list[str] | None = None,
         min_score: float | None = None,
+        date_ranges: dict[str, tuple[str | None, str | None]] | None = None,
     ) -> DataFrame:
         """Scored search with facet filters; per_page clamp like the
-        reference ((0,100] → 20, src/server/handlers/search.rs:370-374)."""
+        reference ((0,100] → 20, src/server/handlers/search.rs:370-374).
+
+        ``date_ranges`` maps a date column (e.g. ``date_created``) to an
+        RFC3339 ``(start, end)`` half-open range (X5)."""
         if k <= 0 or k > 100:
             k = 20
         doc_filter = (
             FC.combine_filters(filters, F.col(self.facets_col)) if filters else None
         )
+        for col, (start, end) in (date_ranges or {}).items():
+            rng = date_range_filter(F.col(col), start, end)
+            doc_filter = rng if doc_filter is None else (doc_filter & rng)
         if doc_filter is None and min_score is None:
             # serving fast path: LocalSearcher over the same segment files
             # (rank/score-identical; ~ms instead of a Spark job)
@@ -137,6 +171,8 @@ class FuguSparkEngine:
             id_col=self.id_col,
             doc_filter=doc_filter,
             mode=self.mode,
+            k1=self.k1,
+            b=self.b,
         )
         if min_score is not None:
             out = out.filter(F.col("score") >= min_score)
@@ -161,9 +197,60 @@ class FuguSparkEngine:
         )
         cached = getattr(self, "_ls_cache", None)
         if cached is None or cached[0] != key:
-            cached = (key, LocalSearcher(self.index_dir, mode=self.mode))
+            cached = (
+                key,
+                LocalSearcher(self.index_dir, mode=self.mode, k1=self.k1, b=self.b),
+            )
             self._ls_cache = cached
         return cached[1]
+
+    @staticmethod
+    def is_targeting_conv_or_org(filters: list[str] | None) -> bool:
+        """F8 helper (/root/reference/src/server/handlers/utils.rs:4-13):
+        normalize each filter to a leading '/' and look for the
+        /conversation or /organization segments."""
+        for f in filters or []:
+            norm = f if f.startswith("/") else "/" + f
+            if "/conversation" in norm or "/organization" in norm:
+                return True
+        return False
+
+    def search_response(
+        self,
+        query: str | None,
+        k: int = 20,
+        offset: int = 0,
+        filters: list[str] | None = None,
+        include_data: bool | None = None,
+        include_text: bool = True,
+        **kw,
+    ) -> dict:
+        """Reference-shaped JSON response (F8,
+        /root/reference/src/server/handlers/search.rs:242-286):
+        ``include_data`` defaults to NOT targeting conv/org filters; when
+        set, each hit carries the full stored object (minus ``text``
+        unless ``include_text``)."""
+        targeting = self.is_targeting_conv_or_org(filters)
+        if include_data is None:
+            include_data = not targeting
+        hits = self.search(query, k=k, offset=offset, filters=filters, **kw)
+        results = [{"doc_id": r["doc_id"], "score": r["score"]} for r in hits.collect()]
+        if include_data and results:
+            ids = [r["doc_id"] for r in results]
+            rows = {
+                row[self.id_col]: row.asDict()
+                for row in self.docs.filter(F.col(self.id_col).isin(ids)).collect()
+            }
+            for r in results:
+                data = dict(rows.get(r["doc_id"], {}))
+                if not include_text:
+                    data.pop(self.text_col, None)
+                r["data"] = data
+        return {
+            "results": results,
+            "includes_data_objects": include_data,
+            "targeting_conversations_or_organizations": targeting,
+        }
 
     def get(self, doc_id) -> DataFrame:
         return self.docs.filter(F.col(self.id_col) == doc_id).limit(1)
@@ -190,6 +277,28 @@ class FuguSparkEngine:
             facets_col=self.facets_col if self.facets_col in batch.columns else None,
             strict=strict,
         )
+        good = with_date_fields(good)
+        # A9 (/root/reference/src/server/handlers/ingest.rs:88-117): tally
+        # objects arriving with explicit facets vs facet-less (generated)
+        if self.facets_col in good.columns:
+            t = good.agg(
+                F.sum(
+                    F.when(
+                        F.col(self.facets_col).isNotNull() & (F.size(self.facets_col) > 0), 1
+                    ).otherwise(0)
+                ).alias("explicit"),
+                F.count(F.lit(1)).alias("total"),
+            ).first()
+            explicit = int(t["explicit"] or 0)
+            self.last_ingest_tally = {
+                "explicit_facets_count": explicit,
+                "generated_facets_count": int(t["total"]) - explicit,
+            }
+        else:
+            self.last_ingest_tally = {
+                "explicit_facets_count": 0,
+                "generated_facets_count": good.count(),
+            }
         self.si = upsert_segments(
             self.si, good, id_col=self.id_col, text_col=self.text_col, mode=self.mode
         )

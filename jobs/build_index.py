@@ -18,40 +18,53 @@ def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--source", required=True)
     p.add_argument("--format", default="parquet")
-    p.add_argument("--index-dir", required=True)
+    p.add_argument(
+        "--config",
+        default=None,
+        help="EngineConfig YAML/JSON (S6); FUGU_SPARK_* env vars override it. "
+        "CLI flags below override both.",
+    )
+    p.add_argument("--index-dir", default=None)
     p.add_argument("--id-col", default="doc_id")
-    p.add_argument("--text-col", default="content")
-    p.add_argument("--mode", default="tantivy_default")
-    p.add_argument("--n-buckets", type=int, default=32)
-    p.add_argument("--hot-df-threshold", type=int, default=250_000)
+    p.add_argument("--text-col", default=None)
+    p.add_argument("--mode", default=None)
+    p.add_argument("--n-buckets", type=int, default=None)
+    p.add_argument("--hot-df-threshold", type=int, default=None)
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--skip-sha-check", action="store_true")
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
 
+    from fugu_spark import fsio
+    from fugu_spark.config import load_config
     from fugu_spark.segments import build_segments
     from fugu_spark.sources import check_sha256_invariant, load_corpus
 
     spark = SparkSession.builder.appName("fugu_build_index").getOrCreate()
+    cfg = load_config(args.config)
+    index_dir = args.index_dir or cfg.index_dir
+    if not index_dir:
+        print(json.dumps({"error": "no index_dir (flag, config file, or env)"}))
+        return 2
+    text_col = args.text_col or cfg.text_col
     docs = load_corpus(spark, args.source, fmt=args.format)
     if not args.skip_sha_check:
-        bad = check_sha256_invariant(docs, args.text_col)
+        bad = check_sha256_invariant(docs, text_col)
         if bad:
             print(json.dumps({"error": "sha256_invariant_violations", "rows": bad}))
             return 1
     si = build_segments(
         docs,
-        args.index_dir,
+        index_dir,
         id_col=args.id_col,
-        text_col=args.text_col,
-        mode=args.mode,
-        n_buckets=args.n_buckets,
-        hot_df_threshold=args.hot_df_threshold,
+        text_col=text_col,
+        mode=args.mode or cfg.mode,
+        n_buckets=args.n_buckets or cfg.n_buckets,
+        hot_df_threshold=args.hot_df_threshold or cfg.hot_df_threshold,
         resume=not args.no_resume,
     )
-    with open(f"{si.index_dir}/stats.json") as f:
-        print(f.read())
+    print(fsio.read_text(fsio.join(si.index_dir, "stats.json")))
     return 0
 
 

@@ -1,0 +1,78 @@
+"""Date fields (X5): RFC3339 parse at ingest, null-on-garbage (the
+reference's skip semantics), offset normalization, and date-range
+filtered search through the engine facade."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fugu_spark.dates import date_range_filter, parse_rfc3339, with_date_fields
+from fugu_spark.engine import FuguSparkEngine
+
+
+def test_parse_rfc3339_variants(spark):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.createDataFrame(
+        [
+            ("2024-03-05T10:11:12Z",),
+            ("2024-03-05T12:11:12+02:00",),  # same instant as above
+            ("2024-03-05T10:11:12.500Z",),
+            ("not a date",),
+            (None,),
+        ],
+        "s string",
+    ).select(F.unix_micros(parse_rfc3339(F.col("s"))).alias("us"))
+    got = [r.us for r in df.collect()]
+    assert got[0] == got[1]  # offsets normalize to the same UTC instant
+    assert got[2] == got[0] + 500_000
+    assert got[3] is None and got[4] is None  # garbage → NULL, doc survives
+
+
+def test_with_date_fields_only_strings(spark):
+    df = spark.createDataFrame(
+        [(1, "2024-01-01T00:00:00Z", "x")], "doc_id long, date_created string, other string"
+    )
+    out = with_date_fields(df)
+    assert dict(out.dtypes)["date_created"] == "timestamp"
+    assert dict(out.dtypes)["other"] == "string"
+    # idempotent on already-parsed frames
+    assert dict(with_date_fields(out).dtypes)["date_created"] == "timestamp"
+
+
+def test_engine_date_range_search(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [
+            (1, "merge alpha", "2024-01-01T00:00:00Z"),
+            (2, "merge beta", "2024-02-01T00:00:00Z"),
+            (3, "merge gamma", "2024-03-01T05:00:00+05:00"),  # == 03-01T00:00Z
+            (4, "merge delta", "broken-date"),
+        ],
+        "doc_id long, text string, date_created string",
+    )
+    eng = FuguSparkEngine.build(docs, str(tmp_path / "idx"), facets_col=None)
+    assert dict(eng.docs.dtypes)["date_created"] == "timestamp"
+
+    def hits(**kw):
+        return {r.doc_id for r in eng.search("merge", k=10, **kw).collect()}
+
+    assert hits() == {1, 2, 3, 4}
+    assert hits(date_ranges={"date_created": ("2024-01-15T00:00:00Z", None)}) == {2, 3}
+    # half-open: end bound excluded
+    assert hits(
+        date_ranges={"date_created": ("2024-01-01T00:00:00Z", "2024-03-01T00:00:00Z")}
+    ) == {1, 2}
+    # unparseable date → NULL → never matches a range (reference semantics)
+    assert 4 not in hits(date_ranges={"date_created": (None, "2030-01-01T00:00:00Z")})
+    # but the doc itself is still indexed and searchable without the filter
+    assert 4 in hits()
+
+
+def test_date_range_filter_open_bounds(spark):
+    df = spark.createDataFrame(
+        [(1, "2024-06-01T00:00:00Z"), (2, None)], "id long, d string"
+    ).select("id", parse_rfc3339(F.col("d")).alias("d"))
+    only_start = df.filter(date_range_filter(F.col("d"), "2024-01-01T00:00:00Z", None))
+    assert [r.id for r in only_start.collect()] == [1]
+    only_end = df.filter(date_range_filter(F.col("d"), None, "2024-01-01T00:00:00Z"))
+    assert only_end.count() == 0
