@@ -54,10 +54,25 @@ class Leaf:
         return len(self.terms) > 1
 
 
+@dataclass(frozen=True)
+class BoolNode:
+    """A parenthesized boolean group: (occur, child) pairs, where a child
+    is a Leaf or a nested BoolNode. Lucene/Tantivy BooleanQuery semantics:
+    all musts match, shoulds optional when musts exist (score-only) else
+    at least one must match, must_nots exclude; score = Σ matching
+    children."""
+
+    children: tuple[tuple[str, "Leaf | BoolNode"], ...]
+
+
 @dataclass
 class QueryPlan:
     leaves: list[Leaf] = field(default_factory=list)
     is_all: bool = False  # AllQuery: empty/filters-only (Q8)
+    # Non-None when the query used parentheses with nested semantics
+    # ('(a OR b) AND c'); `leaves` then holds the FLATTENED leaves (for
+    # term enumeration / position needs) and execution walks `root`.
+    root: BoolNode | None = None
 
     @property
     def musts(self) -> list[int]:
@@ -78,6 +93,13 @@ class QueryPlan:
                 seen.setdefault(t)
         return list(seen)
 
+    def has_positive(self) -> bool:
+        """Any non-MustNot clause at the TOP level (root-aware: inside a
+        nested plan the flattened leaves carry within-group occurs)."""
+        if self.root is not None:
+            return any(occ != "must_not" for occ, _ in self.root.children)
+        return any(l.occur != "must_not" for l in self.leaves)
+
 
 class QueryParseError(ValueError):
     pass
@@ -90,45 +112,69 @@ def _split_boost(word: str) -> tuple[str, float]:
     return word, 1.0
 
 
-def _parse_once(query: str, mode: str) -> QueryPlan:
-    plan = QueryPlan()
-    if query.count('"') % 2 == 1:
-        raise QueryParseError("unbalanced quotes")
-    depth = 0
-    # pending occur for the NEXT clause ('must' set by a preceding AND,
-    # 'must_not' by NOT); AND also upgrades the PREVIOUS clause.
+def _flatten(node: "Leaf | BoolNode") -> list[Leaf]:
+    if isinstance(node, Leaf):
+        return [node]
+    out: list[Leaf] = []
+    for _, child in node.children:
+        out.extend(_flatten(child))
+    return out
+
+
+def _parse_group(tokens: list, pos: int, mode: str, depth: int):
+    """Recursive descent over one boolean level → ([(occur, node)], pos).
+
+    Within a level the pinned flat-parser semantics apply: AND upgrades
+    BOTH neighbours to Must, NOT marks the next clause MustNot, bare
+    clauses default to Should, OR resets."""
+    children: list[tuple[str, Leaf | BoolNode]] = []
     pending: str | None = None
-    for m in _TOKEN_RE.finditer(query):
-        if m.group("lparen"):
-            depth += 1  # flat interpretation: parens only validated
-            continue
-        if m.group("rparen"):
-            depth -= 1
-            if depth < 0:
+
+    def upgrade_prev():
+        if children and children[-1][0] == "should":
+            children[-1] = ("must", children[-1][1])
+
+    while pos < len(tokens):
+        kind, val = tokens[pos]
+        if kind == "rparen":
+            if depth == 0:
                 raise QueryParseError("unbalanced parens")
+            return children, pos  # caller consumes the ')'
+        if kind == "lparen":
+            sub, pos = _parse_group(tokens, pos + 1, mode, depth + 1)
+            if pos >= len(tokens) or tokens[pos][0] != "rparen":
+                raise QueryParseError("unbalanced parens")
+            if len(sub) == 1 and isinstance(sub[0][1], Leaf):
+                # '(x)' ≡ 'x' — keep single-leaf groups flat
+                children.append((pending or sub[0][0], sub[0][1]))
+            elif sub:
+                children.append((pending or "should", BoolNode(tuple(sub))))
+            pending = None
+            pos += 1
             continue
-        if m.group("phrase") is not None:
-            raw = m.group("phrase")
-            boost = float(m.group("pboost") or 1.0)
+        if kind == "phrase":
+            raw, boost = val
             terms = tuple(t for t, _ in tokenize_py(raw, mode))
             if terms:
-                plan.leaves.append(Leaf(terms=terms, boost=boost, occur=pending or "should"))
+                children.append((pending or "should", Leaf(terms=terms, boost=boost)))
             pending = None
+            pos += 1
             continue
-        word = m.group("word")
+        word = val
         upper = word.upper()
         if upper == "AND":
-            if plan.leaves and plan.leaves[-1].occur == "should":
-                last = plan.leaves[-1]
-                plan.leaves[-1] = Leaf(last.terms, last.boost, "must")
+            upgrade_prev()
             pending = "must"
+            pos += 1
             continue
         if upper == "OR":
             pending = None
+            pos += 1
             continue
-        if upper in ("NOT", "-") or word.startswith("-") and len(word) > 1:
+        if upper in ("NOT", "-") or (word.startswith("-") and len(word) > 1):
             if upper in ("NOT", "-"):
                 pending = "must_not"
+                pos += 1
                 continue
             word = word[1:]
             pending = "must_not"
@@ -138,12 +184,42 @@ def _parse_once(query: str, mode: str) -> QueryPlan:
         text, boost = _split_boost(word)
         terms = tuple(t for t, _ in tokenize_py(text, mode))
         if terms:
-            plan.leaves.append(Leaf(terms=terms, boost=boost, occur=pending or "should"))
+            children.append((pending or "should", Leaf(terms=terms, boost=boost)))
         pending = None
+        pos += 1
     if depth != 0:
         raise QueryParseError("unbalanced parens")
+    return children, pos
+
+
+def _parse_once(query: str, mode: str) -> QueryPlan:
+    if query.count('"') % 2 == 1:
+        raise QueryParseError("unbalanced quotes")
+    tokens: list[tuple[str, object]] = []
+    for m in _TOKEN_RE.finditer(query):
+        if m.group("lparen"):
+            tokens.append(("lparen", None))
+        elif m.group("rparen"):
+            tokens.append(("rparen", None))
+        elif m.group("phrase") is not None:
+            tokens.append(("phrase", (m.group("phrase"), float(m.group("pboost") or 1.0))))
+        else:
+            tokens.append(("word", m.group("word")))
+    children, _ = _parse_group(tokens, 0, mode, 0)
+
+    plan = QueryPlan()
+    if any(isinstance(node, BoolNode) for _, node in children):
+        # nested semantics: keep the tree, flatten leaves for enumeration
+        plan.root = BoolNode(tuple(children))
+        for _, node in children:
+            plan.leaves.extend(_flatten(node))
+    else:
+        plan.leaves = [
+            Leaf(terms=n.terms, boost=n.boost, occur=occ) for occ, n in children
+        ]
     if not plan.leaves:
         plan.is_all = True
+        plan.root = None
     return plan
 
 

@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 from . import BM25_B, BM25_K1
 from .bm25 import idf_py
 from .postings import InvertedIndex
-from .queryparse import Leaf, QueryPlan, parse_query
+from .queryparse import BoolNode, Leaf, QueryPlan, parse_query
 from .tokenizer import DEFAULT_MODE
 
 
@@ -164,6 +164,84 @@ def _df_map(index: InvertedIndex, terms: list[str]) -> dict[str, int]:
     }
 
 
+def _execute_node(
+    node: "Leaf | BoolNode",
+    cand: DataFrame,
+    df_map: dict[str, int],
+    index: InvertedIndex,
+    all_docs,
+    k1: float,
+    b: float,
+) -> DataFrame | None:
+    """Recursive boolean execution for nested plans → DataFrame(doc_id,
+    score) of MATCHING docs, or None when the node can't match anything
+    (absent term). Lucene/Tantivy BooleanQuery semantics per level."""
+    spark = cand.sparkSession
+    stats = index.stats
+    if isinstance(node, Leaf):
+        if node.is_phrase:
+            return _phrase_frame(cand, node, df_map, stats, k1, b)
+        t = node.terms[0]
+        if t not in df_map:
+            return None
+        idf = idf_py(df_map[t], stats.n_docs)
+        return cand.filter(F.col("term") == t).select(
+            "doc_id",
+            (
+                F.lit(idf) * _tf_norm(F.col("tf"), F.col("doc_len"), stats.avgdl, k1, b)
+                * F.lit(node.boost)
+            ).alias("score"),
+        )
+
+    musts, shoulds, nots = [], [], []
+    for occ, child in node.children:
+        f = _execute_node(child, cand, df_map, index, all_docs, k1, b)
+        if occ == "must":
+            if f is None:
+                return spark.createDataFrame([], "doc_id long, score double")
+            musts.append(f)
+        elif occ == "must_not":
+            if f is not None:
+                nots.append(f)
+        else:
+            if f is not None:
+                shoulds.append(f)
+
+    if musts:
+        base = musts[0]
+        for i, f in enumerate(musts[1:], 1):
+            nxt = f.select(
+                F.col("doc_id"), F.col("score").alias(f"_s{i}")
+            )
+            base = base.join(nxt, "doc_id", "inner").select(
+                "doc_id", (F.col("score") + F.col(f"_s{i}")).alias("score")
+            )
+        if shoulds:
+            opt = (
+                reduce(DataFrame.unionByName, shoulds)
+                .groupBy("doc_id")
+                .agg(F.sum("score").alias("_opt"))
+            )
+            base = base.join(opt, "doc_id", "left").select(
+                "doc_id",
+                (F.col("score") + F.coalesce(F.col("_opt"), F.lit(0.0))).alias("score"),
+            )
+    elif shoulds:
+        base = (
+            reduce(DataFrame.unionByName, shoulds)
+            .groupBy("doc_id")
+            .agg(F.sum("score").alias("score"))
+        )
+    elif nots:
+        # NOT-only group: pinned divergence — AllQuery minus exclusions
+        base = all_docs()
+    else:
+        return None
+    for f in nots:
+        base = base.join(f.select("doc_id"), "doc_id", "left_anti")
+    return base
+
+
 def execute_plan(
     index: InvertedIndex,
     plan: QueryPlan,
@@ -185,6 +263,17 @@ def execute_plan(
 
     if plan.is_all:
         return all_docs()  # AllQuery, score 1.0 (src/db/search.rs:115-117,146-149)
+
+    if plan.root is not None:
+        # nested boolean grouping: recursive combine over the same
+        # term-pruned candidate scan
+        all_terms_n = plan.all_terms()
+        df_map_n = _df_map(index, all_terms_n)
+        cand_n = index.postings.filter(F.col("term").isin(all_terms_n))
+        out = _execute_node(plan.root, cand_n, df_map_n, index, all_docs, k1, b)
+        if out is None:
+            return spark.createDataFrame([], "doc_id long, score double")
+        return out
 
     all_terms = plan.all_terms()
     df_map = _df_map(index, all_terms)

@@ -26,7 +26,6 @@ semantics, one code path for correctness.
 
 from __future__ import annotations
 
-import heapq
 import os
 from collections.abc import Iterator
 
@@ -198,22 +197,28 @@ def _decode_seg_df(
 
 
 def heap_topk(scored: DataFrame, k: int) -> DataFrame:
-    """Per-partition bounded min-heap → global merge (R2: the explicit form
-    of TopDocs::with_limit). Ties break (score DESC, doc_id ASC)."""
+    """Per-partition bounded top-k → global merge (R2: the explicit form
+    of TopDocs::with_limit). Ties break (score DESC, doc_id ASC).
+
+    Vectorized per Arrow batch: the ≤k running survivors are folded into
+    each batch and re-selected with one lexsort (ties included, so the
+    boundary doc with the lower doc_id is never dropped) — no per-row
+    Python in the reduction."""
 
     def part_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        heap: list[tuple] = []  # min-heap of (score, -doc_id)
+        run_d = np.empty(0, dtype=np.int64)
+        run_s = np.empty(0, dtype=np.float64)
         for pdf in batches:
-            for doc_id, score in zip(pdf["doc_id"], pdf["score"]):
-                item = (float(score), -int(doc_id))
-                if len(heap) < k:
-                    heapq.heappush(heap, item)
-                elif item > heap[0]:
-                    heapq.heapreplace(heap, item)
-        if heap:
-            yield pd.DataFrame(
-                {"doc_id": [-d for _, d in heap], "score": [s for s, _ in heap]}
-            )
+            if not len(pdf):
+                continue
+            d = np.concatenate([run_d, pdf["doc_id"].to_numpy(np.int64)])
+            s = np.concatenate([run_s, pdf["score"].to_numpy(np.float64)])
+            if len(s) > k:
+                keep = np.lexsort((d, -s))[:k]  # (score DESC, doc_id ASC)
+                d, s = d[keep], s[keep]
+            run_d, run_s = d, s
+        if len(run_d):
+            yield pd.DataFrame({"doc_id": run_d, "score": run_s})
 
     parts = scored.mapInPandas(part_topk, schema="doc_id long, score double")
     return parts.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
@@ -287,8 +292,24 @@ def conjunctive_anchor(plan: QueryPlan, meta: dict[str, dict]) -> str | None:
 
     Any term of a Must leaf qualifies (docs must match all Must leaves);
     with no Musts, a lone positive phrase leaf qualifies (all phrase terms
-    co-occur in a match). Pruning other terms' blocks to this term's
-    doc-id ranges is rank-safe: a doc outside them cannot match."""
+    co-occur in a match). For nested plans only ROOT-level Must leaves
+    qualify (a Must group's members are alternatives, not requirements).
+    Pruning other terms' blocks to this term's doc-id ranges is
+    rank-safe: a doc outside them cannot match."""
+    if plan.root is not None:
+        from .queryparse import Leaf as _Leaf
+
+        required = [
+            t
+            for occ, child in plan.root.children
+            if occ == "must" and isinstance(child, _Leaf)
+            for t in child.terms
+        ]
+        required = [t for t in required if t in meta]
+        if not required:
+            return None
+        anchor = min(required, key=lambda t: meta[t]["df"])
+        return anchor if meta[anchor]["df"] <= ANCHOR_MAX_DF else None
     required = [t for l in plan.leaves if l.occur == "must" for t in l.terms]
     if not required:
         positive = [l for l in plan.leaves if l.occur != "must_not"]
@@ -371,6 +392,7 @@ def search_segments(
 
     pure_or = (
         not plan.is_all
+        and plan.root is None
         and plan.leaves
         and all(l.occur == "should" and not l.is_phrase for l in plan.leaves)
         and doc_filter is None
@@ -385,9 +407,7 @@ def search_segments(
     need_pos = any(l.is_phrase for l in plan.leaves)
     meta = _term_meta(si, all_terms)
     live_terms = [t for t in all_terms if t in meta]
-    needs_universe = plan.is_all or (
-        plan.leaves and all(l.occur == "must_not" for l in plan.leaves)
-    )
+    needs_universe = plan.is_all or (plan.leaves and not plan.has_positive())
     if needs_universe and docs is None:
         # AllQuery / NOT-only over the bare index: the doc universe must
         # come from the index itself — decode every live posting (this IS

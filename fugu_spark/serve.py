@@ -250,6 +250,11 @@ class LocalSearcher:
         OOMing the driver — callers fall back to the distributed engine.
         """
         plan = parse_query(query_text, mode=self.mode)
+        if plan.root is not None:
+            raise ValueError(
+                "nested boolean queries are not locally servable — "
+                "route to search_segments (identical semantics)"
+            )
         musts, must_nots = set(plan.musts), set(plan.must_nots)
         if plan.is_all or not any(
             i not in must_nots for i in range(len(plan.leaves))

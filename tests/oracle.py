@@ -60,10 +60,57 @@ class PyIndex:
             out[doc_id] = boost * idf_sum * tfp * (k1 + 1.0) / (tfp + norm)
         return out
 
+    def _eval_node(self, node, k1, b):
+        """Nested boolean eval → {doc_id: score} of matching docs, or None
+        for a dead (absent-term) node. Mirrors search._execute_node."""
+        from fugu_spark.queryparse import Leaf
+
+        if isinstance(node, Leaf):
+            if node.is_phrase:
+                return self.phrase_scores(node.terms, node.boost, k1, b)
+            return self.term_scores(node.terms[0], node.boost, k1, b)
+        musts, shoulds, nots = [], [], []
+        for occ, child in node.children:
+            f = self._eval_node(child, k1, b)
+            if occ == "must":
+                if not f:
+                    return {}
+                musts.append(f)
+            elif occ == "must_not":
+                if f:
+                    nots.append(f)
+            elif f:
+                shoulds.append(f)
+        if musts:
+            docs = set(musts[0])
+            for f in musts[1:]:
+                docs &= set(f)
+            base = {d: sum(f[d] for f in musts) for d in docs}
+            for f in shoulds:
+                for d in docs:
+                    if d in f:
+                        base[d] += f[d]
+        elif shoulds:
+            base = defaultdict(float)
+            for f in shoulds:
+                for d, s in f.items():
+                    base[d] += s
+            base = dict(base)
+        elif nots:
+            base = {d: 1.0 for d in self.doc_len}
+        else:
+            return None
+        for f in nots:
+            base = {d: s for d, s in base.items() if d not in f}
+        return base
+
     def search(self, query: str | None, k: int = 10, k1=1.2, b=0.75):
         plan = parse_query(query, mode=self.mode)
         if plan.is_all:
             scored = {d: 1.0 for d in self.doc_len}
+            return sorted(scored.items(), key=lambda x: (-x[1], x[0]))[:k]
+        if plan.root is not None:
+            scored = self._eval_node(plan.root, k1, b) or {}
             return sorted(scored.items(), key=lambda x: (-x[1], x[0]))[:k]
         leaf_maps = []
         for leaf in plan.leaves:
