@@ -94,6 +94,15 @@ def rmtree(path: str) -> None:
     fs.delete(hpath, True)
 
 
+def rename(src: str, dst: str) -> None:
+    """Move a file or directory (dst must not exist)."""
+    if not is_uri(src):
+        shutil.move(src, dst)
+        return
+    jvm, fs, hsrc = _hadoop(src)
+    fs.rename(hsrc, jvm.org.apache.hadoop.fs.Path(dst))
+
+
 def read_text(path: str) -> str:
     if not is_uri(path):
         with open(path) as f:

@@ -205,13 +205,8 @@ def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=[f.name for f in SEGMENT_SCHEMA.fields])
 
 
-def merge_dictionary(spark: SparkSession, seg_path: str, terms_path: str) -> None:
-    """Stage-3 kernel (B7): distributed merge of per-partition sub-lists
-    across salts and generations into the final term dictionary. Like
-    Lucene/Tantivy, df/cf count masked-deleted postings until compaction
-    (documented divergence from live counts)."""
-    seg = spark.read.parquet(seg_path)
-    terms = seg.groupBy("term").agg(
+def _dict_agg(seg: DataFrame) -> DataFrame:
+    return seg.groupBy("term").agg(
         F.sum("n_docs").alias("df"),
         F.sum("sum_tf").alias("cf"),
         F.max("max_tf").alias("max_tf"),
@@ -227,7 +222,46 @@ def merge_dictionary(spark: SparkSession, seg_path: str, terms_path: str) -> Non
             + F.length("positions_enc")
         ).alias("bytes_encoded"),
     )
-    terms.write.mode("overwrite").parquet(terms_path)
+
+
+def merge_dictionary(spark: SparkSession, seg_path: str, terms_path: str) -> None:
+    """Stage-3 kernel (B7): distributed merge of per-partition sub-lists
+    across salts and generations into the final term dictionary. Like
+    Lucene/Tantivy, df/cf count masked-deleted postings until compaction
+    (documented divergence from live counts)."""
+    _dict_agg(spark.read.parquet(seg_path)).write.mode("overwrite").parquet(terms_path)
+
+
+def merge_dictionary_incremental(
+    spark: SparkSession, seg_path: str, terms_path: str, new_gen: int
+) -> None:
+    """Upsert-time dictionary merge: aggregate ONLY the new generation's
+    segments (gen= partition pruning) and fold into the existing
+    dictionary — cost proportional to the batch, not the index. Every
+    dictionary stat is mergeable (df/cf/blocks/bytes sum, max_tf max,
+    min_doc_len min); n_salts becomes Σ per-generation salt counts, which
+    is the write-amplification figure an operator actually wants.
+
+    The swap is write-new → drop-old → rename (terms parquet can't be
+    overwritten while it is also the read source of the merge)."""
+    new = _dict_agg(spark.read.parquet(seg_path).filter(F.col("gen") == new_gen))
+    old = spark.read.parquet(terms_path)
+    merged = old.unionByName(new).groupBy("term").agg(
+        F.sum("df").alias("df"),
+        F.sum("cf").alias("cf"),
+        F.max("max_tf").alias("max_tf"),
+        F.min("min_doc_len").alias("min_doc_len"),
+        F.first("term_bucket").alias("term_bucket"),
+        F.sum("n_blocks").alias("n_blocks"),
+        F.sum("n_salts").alias("n_salts"),
+        F.sum("bytes_encoded").alias("bytes_encoded"),
+    )
+    tmp = terms_path + "_next"
+    merged.write.mode("overwrite").parquet(tmp)
+    fsio.rmtree(terms_path)
+    fsio.rename(tmp, terms_path)
+    # drop Spark's cached file listing for the swapped path
+    spark.catalog.refreshByPath(terms_path)
 
 
 def encode_postings_df(
@@ -489,8 +523,8 @@ def upsert_segments(
     encode_postings_df(
         raw, fsio.join(si.index_dir, "segments"), hot_df_threshold, gen=new_gen, append=True
     )
-    merge_dictionary(
-        spark, fsio.join(si.index_dir, "segments"), fsio.join(si.index_dir, "terms")
+    merge_dictionary_incremental(
+        spark, fsio.join(si.index_dir, "segments"), fsio.join(si.index_dir, "terms"), new_gen
     )
     n_batch = batch.count()
     _write_stats_json(

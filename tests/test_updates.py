@@ -87,6 +87,22 @@ def test_double_upsert_latest_wins(spark, si):
     assert got == []
 
 
+def test_incremental_dictionary_equals_full_remerge(spark, si, tmp_path):
+    """Upsert folds only the new generation into the dictionary; the
+    result must be row-identical to re-aggregating every generation."""
+    from fugu_spark import fsio
+    from fugu_spark.segments import merge_dictionary
+
+    batch = spark.createDataFrame(UPSERT, "doc_id long, content string")
+    si2 = upsert_segments(si, batch, id_col="doc_id", text_col="content")
+    full_path = str(tmp_path / "full_terms")
+    merge_dictionary(spark, fsio.join(si2.index_dir, "segments"), full_path)
+    cols = ["term", "df", "cf", "max_tf", "min_doc_len", "term_bucket", "n_blocks", "bytes_encoded"]
+    inc = sorted(tuple(r) for r in si2.terms.select(cols).collect())
+    full = sorted(tuple(r) for r in spark.read.parquet(full_path).select(cols).collect())
+    assert inc == full
+
+
 def test_upsert_bucket_layout_survives_sparse_buckets(spark, tmp_path):
     """Regression: n_buckets is a persisted build parameter. With more
     buckets than vocabulary, gen=0 leaves some term_bucket partitions
