@@ -90,6 +90,33 @@ def lsh_signature_expr(vec_col: Column, planes: np.ndarray) -> Column:
     return out.cast("long")
 
 
+def build_ann_index(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Precompute the LSH signature column ONCE (persist/write the result,
+    e.g. partitioned by ``lsh_sig``): at corpus scale the per-query
+    signature recompute IS the full-scan cost, so serving must read a
+    stored signature column and prune on it. Signatures are deterministic
+    in (n_planes, seed) — queries must hash with the same pair."""
+    dim = len(embeddings.select(vec_col).first()[0])
+    planes = _planes(dim, n_planes, seed)
+    return embeddings.withColumn("lsh_sig", lsh_signature_expr(F.col(vec_col), planes))
+
+
+def query_signature(query_vec: list[float], n_planes: int = 12, seed: int = 42) -> int:
+    planes = _planes(len(query_vec), n_planes, seed)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qsig = 0
+    for i in range(n_planes):
+        if float(planes[i] @ qv) > 0:
+            qsig |= 1 << i
+    return qsig
+
+
 def lsh_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -101,19 +128,21 @@ def lsh_topk(
     seed: int = 42,
 ) -> DataFrame:
     """ANN top-k: prune to rows whose LSH signature is within
-    ``max_probe`` bits of the query's, then exact cosine re-rank."""
-    dim = len(query_vec)
-    planes = _planes(dim, n_planes, seed)
-    qv = np.asarray(query_vec, dtype=np.float64)
-    qsig = 0
-    for i in range(n_planes):
-        if float(planes[i] @ qv) > 0:
-            qsig |= 1 << i
-    sig = lsh_signature_expr(F.col(vec_col), planes)
+    ``max_probe`` bits of the query's, then exact cosine re-rank.
+
+    If ``embeddings`` already carries an ``lsh_sig`` column (from
+    :func:`build_ann_index`, same n_planes/seed), it is used as-is — the
+    scale path; otherwise the signature is computed inline (ad-hoc path,
+    one full scan)."""
+    qsig = query_signature(query_vec, n_planes, seed)
+    if "lsh_sig" in embeddings.columns:
+        df = embeddings
+    else:
+        planes = _planes(len(query_vec), n_planes, seed)
+        df = embeddings.withColumn("lsh_sig", lsh_signature_expr(F.col(vec_col), planes))
     q = _query_lit(query_vec)
     return (
-        embeddings.withColumn("lsh_sig", sig)
-        .filter(F.bit_count(F.col("lsh_sig").bitwiseXOR(F.lit(qsig))) <= max_probe)
+        df.filter(F.bit_count(F.col("lsh_sig").bitwiseXOR(F.lit(qsig))) <= max_probe)
         .select(F.col(id_col), cosine_expr(F.col(vec_col), q).alias("score"))
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)

@@ -140,6 +140,22 @@ def test_lsh_topk_recall(embeddings):
     assert recall >= 0.5, f"LSH recall too low: {recall}"
 
 
+def test_lsh_indexed_equals_inline(embeddings):
+    """Serving from a precomputed signature column (the scale path) must
+    return exactly what the inline-recompute path returns."""
+    qvec = list(embeddings.filter("vec_id = 0").first().embedding)
+    idx = similarity.build_ann_index(embeddings, n_planes=10).cache()
+    inline = [
+        (r.vec_id, round(r.score, 9))
+        for r in similarity.lsh_topk(embeddings, qvec, k=10, n_planes=10, max_probe=3).collect()
+    ]
+    indexed = [
+        (r.vec_id, round(r.score, 9))
+        for r in similarity.lsh_topk(idx, qvec, k=10, n_planes=10, max_probe=3).collect()
+    ]
+    assert indexed == inline
+
+
 def test_textstats(docs):
     out = docs.select(
         "doc_id",
