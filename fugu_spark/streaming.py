@@ -1,0 +1,62 @@
+"""Incremental ingest via Structured Streaming (SURVEY.md §2.11).
+
+The reference ingests over synchronous batch HTTP; SURVEY pins the Spark
+mapping for incremental ingest as ``foreachBatch`` + table MERGE. This
+module is that mapping: a file-source stream (the drop-folder / Iceberg
+append pattern) whose micro-batches are upserted into the segment index
+as new generations.
+
+Exactly-once story: the stream checkpoint records committed batch ids;
+after a crash Spark may REPLAY the last in-flight batch. ``upsert_segments``
+is content-idempotent under replay — re-upserting the same ids writes a
+new generation and delete-masks the previous one, so queries see each doc
+once (the duplicate generation is garbage that ``compact()`` removes;
+n_docs keeps maxDoc semantics until then, as with any upsert).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .segments import SegmentIndex, upsert_segments
+from .tokenizer import DEFAULT_MODE
+
+
+def start_stream_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    mode: str = DEFAULT_MODE,
+    fmt: str = "parquet",
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Stream files arriving under ``source_dir`` into the index.
+
+    ``available_now=True`` drains everything currently present and stops
+    (the batch-resume pattern: run it from cron/Airflow); False keeps a
+    continuous micro-batch stream running. Returns the StreamingQuery.
+    """
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.format(fmt).load(source_dir)
+
+    def _sink(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        si = SegmentIndex.load(spark, index_dir)
+        upsert_segments(si, batch, id_col=id_col, text_col=text_col, mode=mode)
+
+    writer = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
