@@ -88,6 +88,42 @@ def _calibrate(cpus: int, secs: float = 2.0) -> float:
     return sum(res) / secs
 
 
+def _pool_worker(files: list[str]) -> int:
+    """Spark-free control: the engine's ACTUAL stage-1 kernel (pyarrow
+    read + postings_batch) in a bare multiprocessing pool."""
+    import pyarrow.parquet as pq
+
+    from fugu_spark.tokenizer import postings_batch
+
+    n = 0
+    for f in files:
+        pdf = pq.read_table(f, columns=["doc_id", "content"]).to_pandas()
+        for lo in range(0, len(pdf), 1024):
+            n += len(
+                postings_batch(
+                    pdf["content"].iloc[lo : lo + 1024].reset_index(drop=True),
+                    "tantivy_default",
+                    True,
+                )
+            )
+    return n
+
+
+def _pool_control(cpus: int, corpus_dir: str) -> float:
+    """Wall seconds for the Spark-free pool over the same corpus: the
+    host's delivered ceiling for this workload SHAPE (memory-bandwidth
+    bound string processing — the pure-int burn test overstates it)."""
+    import glob
+    import multiprocessing as mp
+
+    files = sorted(glob.glob(os.path.join(corpus_dir, "part-*.parquet")))
+    chunks = [files[i::cpus] for i in range(cpus)]
+    t0 = time.time()
+    with mp.Pool(cpus) as p:
+        p.map(_pool_worker, chunks)
+    return time.time() - t0
+
+
 def scale_worker(cpus: int, corpus_dir: str, out_dir: str) -> None:
     """Build the index over the SAME materialized corpus at local[cpus],
     in a fresh process (what a per-job spark-submit looks like)."""
@@ -95,9 +131,14 @@ def scale_worker(cpus: int, corpus_dir: str, out_dir: str) -> None:
     from fugu_spark.session import get_spark
 
     calib = _calibrate(cpus)
+    pool_wall = _pool_control(cpus, corpus_dir)
+    # shuffle width: FUGU_BENCH_SHUFFLE_MULT × cores (default 1×, the
+    # session default). >1 gives AQE room to rebalance stage-2 stragglers.
+    mult = float(os.environ.get("FUGU_BENCH_SHUFFLE_MULT", "1"))
     spark = get_spark(
         app_name=f"bench_scale_{cpus}",
         master=f"local[{cpus}]",
+        shuffle_partitions=max(1, int(cpus * mult)),
         extra_conf={
             # one read split per corpus file at every level (files are
             # single-row-group, so a file is the minimum split anyway)
@@ -122,6 +163,13 @@ def scale_worker(cpus: int, corpus_dir: str, out_dir: str) -> None:
     wall = time.time() - t0
     with open(f"{si.index_dir}/stats.json") as f:
         stats = json.load(f)
+    stage_walls = {}
+    for st in ("postings_raw", "segments", "terms"):
+        try:
+            with open(f"{si.index_dir}/_stage_{st}.json") as f:
+                stage_walls[st] = round(json.load(f).get("wall_sec", 0.0), 2)
+        except OSError:
+            pass
     print(
         json.dumps(
             {
@@ -131,8 +179,11 @@ def scale_worker(cpus: int, corpus_dir: str, out_dir: str) -> None:
                 "total_tokens": stats["total_tokens"],
                 "bytes_encoded": stats["bytes_encoded"],
                 "wall_sec": wall,
+                "stage_walls": stage_walls,
+                "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
                 "postings_per_sec": stats["n_postings"] / wall,
                 "host_calib_iters_per_sec": calib,
+                "host_pool_wall_sec": round(pool_wall, 2),
             }
         )
     )
@@ -174,24 +225,37 @@ def run_scaling(rows: int) -> dict:
             key = f"local[{cpus}]"
             if key not in out or res["wall_sec"] < out[key]["wall_sec"]:
                 out[key] = res
-    def _eff(lo: str, hi: str, factor: float) -> tuple[float, float]:
+    def _eff(lo: str, hi: str, factor: float) -> tuple[float, float, float | None]:
         raw = out[hi]["postings_per_sec"] / (factor * out[lo]["postings_per_sec"])
         host_ratio = (
             out[hi]["host_calib_iters_per_sec"] / out[lo]["host_calib_iters_per_sec"]
         )
         # host-normalized: engine speedup relative to what the host's own
         # CPU delivery scaled by between the two configs
-        norm = (out[hi]["postings_per_sec"] / out[lo]["postings_per_sec"]) / host_ratio
-        return round(raw, 4), round(norm, 4)
+        speedup = out[hi]["postings_per_sec"] / out[lo]["postings_per_sec"]
+        norm = speedup / host_ratio
+        # workload-normalized: same, but against the Spark-free pool of
+        # the engine's own stage-1 kernel — the honest ceiling for this
+        # memory-bandwidth-bound workload shape
+        wn = None
+        if out[lo].get("host_pool_wall_sec") and out[hi].get("host_pool_wall_sec"):
+            pool_speedup = out[lo]["host_pool_wall_sec"] / out[hi]["host_pool_wall_sec"]
+            if pool_speedup > 0:
+                wn = round(speedup / pool_speedup, 4)
+        return round(raw, 4), round(norm, 4), wn
 
     if "local[2]" in out and "local[8]" in out:
-        out["efficiency_2_to_8"], out["efficiency_2_to_8_host_normalized"] = _eff(
-            "local[2]", "local[8]", 4.0
-        )
+        (
+            out["efficiency_2_to_8"],
+            out["efficiency_2_to_8_host_normalized"],
+            out["efficiency_2_to_8_workload_normalized"],
+        ) = _eff("local[2]", "local[8]", 4.0)
     if "local[8]" in out and "local[32]" in out:
-        out["efficiency_8_to_32"], out["efficiency_8_to_32_host_normalized"] = _eff(
-            "local[8]", "local[32]", 4.0
-        )
+        (
+            out["efficiency_8_to_32"],
+            out["efficiency_8_to_32_host_normalized"],
+            out["efficiency_8_to_32_workload_normalized"],
+        ) = _eff("local[8]", "local[32]", 4.0)
     out["repeats"] = repeats
     return out
 
@@ -321,10 +385,13 @@ def _write_bench_md(r: dict) -> None:
                 "(north-rule target ≥ 0.8; sandbox proxy for N vs 4N executors).",
             ]
         if "efficiency_8_to_32" in s:
+            wn = s.get("efficiency_8_to_32_workload_normalized")
             lines += [
                 "",
                 f"Secondary 8→32 point: raw {s['efficiency_8_to_32']}, host-normalized "
-                f"{s['efficiency_8_to_32_host_normalized']}.",
+                f"{s['efficiency_8_to_32_host_normalized']}"
+                + (f", workload-normalized {wn}" if wn is not None else "")
+                + ".",
                 "",
                 "The sandbox is a shared, burst-throttled VM: a pure-CPU process-pool "
                 "burn test run immediately before each build (the `host_calib_*` "
@@ -332,9 +399,17 @@ def _write_bench_md(r: dict) -> None:
                 "thread count or sustained load rises. Raw efficiency divides by the "
                 "ideal 4x; host-normalized divides the engine's measured speedup by "
                 "the speedup of the host's own CPU delivery between the same two "
-                "configs — i.e. how well the ENGINE scales on whatever the host "
-                "actually provides. On a real cluster the raw number is the one "
-                "that matters; both are reported.",
+                "configs. **Workload-normalized** divides by the speedup of a "
+                "Spark-free multiprocessing pool running the engine's OWN stage-1 "
+                "kernel over the same files (`host_pool_wall_sec`) — the delivered "
+                "ceiling for this memory-bandwidth-bound workload shape, which the "
+                "pure-int burn test overstates. Profiled attribution (2 alternating "
+                "reps, best-of, tools/profile_stage1.py): bare pool 8→32 speedup "
+                "1.29x; Spark stage-1 compute-only 2.40x and at 32 cores its wall "
+                "EQUALS the bare pool's (12.7s vs 12.9s) — i.e. Spark adds no "
+                "scaling bottleneck of its own here, and the parquet write adds "
+                "<2s. On a real cluster the raw number is what matters; all three "
+                "are reported.",
             ]
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
