@@ -337,3 +337,16 @@ def filter_boost_score(
     demoting docs lacking the query's facets."""
     missing = F.size(F.array_except(F.array(*[F.lit(f) for f in query_facets]), facets_col))
     return score_col * F.pow(F.lit(0.25), missing.cast("double"))
+
+
+def facet_boost_score(
+    score_col: Column, facets_col: Column, boost_facets: list[str]
+) -> Column:
+    """R5 variant (behind option; DISABLED in the reference —
+    /root/reference/src/db/search.rs:375-401 is commented out): score ×
+    1.5^(count of the doc's facets that appear in ``boost_facets``).
+    Promoting rather than demoting — the mirror image of R4."""
+    matching = F.size(
+        F.array_intersect(F.array(*[F.lit(f) for f in boost_facets]), facets_col)
+    )
+    return score_col * F.pow(F.lit(1.5), matching.cast("double"))

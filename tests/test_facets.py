@@ -157,3 +157,17 @@ def test_filter_boost(docs):
     assert by_id[0] == 1.0  # has both
     assert by_id[1] == 0.25  # missing /source/src0
     assert by_id[4] == 0.0625  # missing both
+
+
+def test_facet_boost_variant(docs):
+    """R5 (disabled-in-reference variant, behind option): 1.5^matching."""
+    from fugu_spark.facets import facet_boost_score
+
+    scored = docs.withColumn("score", F.lit(1.0)).withColumn(
+        "boosted",
+        facet_boost_score(F.col("score"), F.col("facets"), ["/lang/es", "/source/src0"]),
+    )
+    by_id = {r.doc_id: r.boosted for r in scored.collect()}
+    assert by_id[0] == 2.25  # both match: 1.5^2
+    assert by_id[1] == 1.5  # one match
+    assert by_id[4] == 1.0  # none match
