@@ -308,8 +308,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             list(_emb(spark, sf_dir).filter(F.col("vec_id") == 0).first().embedding),
             k=10,
         ),
+        "ann_ivf_top10": _ann_ivf_top10,
     }
     return out
+
+
+def _ann_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with full probe: nprobe == n_centroids degenerates to the
+    exact scan, so this approximate-index path gets a REAL oracle (same
+    SQL as ann_cosine_all's brute force, top-10)."""
+    emb = _emb(spark, sf_dir)
+    qvec = list(emb.filter(F.col("vec_id") == 0).first().embedding)
+    indexed, cents = similarity.build_ivf_index(emb, n_centroids=8, iters=4)
+    out = similarity.ivf_topk(indexed, cents, qvec, k=10, nprobe=8)
+    return out.select("vec_id", F.round("score", 6).alias("score"))
 
 
 def _facet_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -551,6 +563,19 @@ def oracle_sql() -> dict[str, str]:
                             * sqrt(sum(q.qe[i]::DOUBLE * q.qe[i]::DOUBLE))), 6) AS cosine
             FROM embeddings e, q, unnest(generate_series(1, len(e.embedding))) t(i)
             GROUP BY e.vec_id""",
+        # IVF with nprobe == n_centroids is exact → brute-force top-10 oracle
+        "ann_ivf_top10": """
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+            sc AS (
+              SELECT e.vec_id,
+                     sum(e.embedding[i]::DOUBLE * q.qe[i]::DOUBLE)
+                       / (sqrt(sum(e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))
+                          * sqrt(sum(q.qe[i]::DOUBLE * q.qe[i]::DOUBLE))) AS cosine
+              FROM embeddings e, q, unnest(generate_series(1, len(e.embedding))) t(i)
+              GROUP BY e.vec_id
+            )
+            SELECT vec_id, round(cosine, 6) AS score FROM sc
+            ORDER BY cosine DESC, vec_id ASC LIMIT 10""",
         "suggestions": """
             WITH toks AS (
               SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents

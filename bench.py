@@ -131,7 +131,9 @@ def scale_worker(cpus: int, corpus_dir: str, out_dir: str) -> None:
     from fugu_spark.session import get_spark
 
     calib = _calibrate(cpus)
-    pool_wall = _pool_control(cpus, corpus_dir)
+    # workload-matched control only where it informs a reported pair
+    # (8→32); at 2 cores it would just burn minutes of bench budget
+    pool_wall = _pool_control(cpus, corpus_dir) if cpus >= 8 else None
     # shuffle width: FUGU_BENCH_SHUFFLE_MULT × cores (default 1×, the
     # session default). >1 gives AQE room to rebalance stage-2 stragglers.
     mult = float(os.environ.get("FUGU_BENCH_SHUFFLE_MULT", "1"))
@@ -183,7 +185,7 @@ def scale_worker(cpus: int, corpus_dir: str, out_dir: str) -> None:
                 "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
                 "postings_per_sec": stats["n_postings"] / wall,
                 "host_calib_iters_per_sec": calib,
-                "host_pool_wall_sec": round(pool_wall, 2),
+                "host_pool_wall_sec": round(pool_wall, 2) if pool_wall else None,
             }
         )
     )

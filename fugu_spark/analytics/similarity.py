@@ -149,6 +149,87 @@ def lsh_topk(
     )
 
 
+def build_ivf_index(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 5,
+    sample: int = 4096,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, np.ndarray]:
+    """IVF coarse quantizer: deterministic Lloyd k-means on a bounded
+    driver-side sample (first ``sample`` rows by id — reproducible), then
+    one vectorized assignment pass over the full table. Returns
+    (embeddings + ``ivf_cell`` column, centroids).
+
+    At scale: write the returned frame ``partitionBy('ivf_cell')`` so a
+    query's ``nprobe`` cells prune to nprobe/n_centroids of the data at
+    the parquet-directory level."""
+    import pandas as pd
+
+    samp = np.asarray(
+        [
+            list(r[vec_col])
+            for r in embeddings.select(vec_col).orderBy(id_col).limit(sample).collect()
+        ],
+        dtype=np.float64,
+    )
+    n = len(samp)
+    k = min(n_centroids, n)
+    # deterministic init: spread over the sorted sample
+    cent = samp[np.linspace(0, n - 1, k).astype(int)].copy()
+    for _ in range(iters):
+        d = ((samp[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(k):
+            members = samp[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    bc = embeddings.sparkSession.sparkContext.broadcast(cent)
+
+    def assign_cells(batches):
+        c = bc.value
+        c_sq = (c**2).sum(axis=1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            # argmin ||x-c||^2 = argmin c·c − 2 x·c (x·x constant per row)
+            cell = (c_sq[None, :] - 2.0 * (x @ c.T)).argmin(axis=1)
+            out = pdf.copy()
+            out["ivf_cell"] = cell.astype("int32")
+            yield out
+
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in embeddings.schema.fields)
+    indexed = embeddings.mapInPandas(assign_cells, schema=f"{fields}, ivf_cell int")
+    return indexed, cent
+
+
+def ivf_topk(
+    indexed: DataFrame,
+    centroids: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k over an IVF-indexed frame: probe the ``nprobe`` nearest
+    cells, exact cosine re-rank inside them. ``nprobe == n_centroids``
+    degenerates to the exact brute-force scan (pinned in tests)."""
+    qv = np.asarray(query_vec, dtype=np.float64)
+    d = ((centroids - qv[None, :]) ** 2).sum(axis=1)
+    probes = [int(c) for c in d.argsort(kind="stable")[:nprobe]]
+    q = _query_lit(query_vec)
+    return (
+        indexed.filter(F.col("ivf_cell").isin(probes))
+        .select(F.col(id_col), cosine_expr(F.col(vec_col), q).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def embedding_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

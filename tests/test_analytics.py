@@ -140,6 +140,29 @@ def test_lsh_topk_recall(embeddings):
     assert recall >= 0.5, f"LSH recall too low: {recall}"
 
 
+def test_ivf_full_probe_equals_exact(embeddings):
+    """nprobe == n_centroids probes every cell → must equal brute force
+    exactly; low nprobe keeps useful recall."""
+    qvec = list(embeddings.filter("vec_id = 0").first().embedding)
+    indexed, cents = similarity.build_ivf_index(embeddings, n_centroids=8, iters=4)
+    indexed = indexed.cache()
+    exact = [
+        (r.vec_id, round(r.score, 9))
+        for r in similarity.cosine_topk(embeddings, qvec, k=10).collect()
+    ]
+    full = [
+        (r.vec_id, round(r.score, 9))
+        for r in similarity.ivf_topk(indexed, cents, qvec, k=10, nprobe=8).collect()
+    ]
+    assert full == exact
+    probe2 = [r.vec_id for r in similarity.ivf_topk(indexed, cents, qvec, k=10, nprobe=2).collect()]
+    recall = len(set(probe2) & {d for d, _ in exact}) / 10
+    assert probe2[0] == 0  # the query vector's own cell is always probed
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    # cells partition the table
+    assert indexed.count() == embeddings.count()
+
+
 def test_lsh_indexed_equals_inline(embeddings):
     """Serving from a precomputed signature column (the scale path) must
     return exactly what the inline-recompute path returns."""
