@@ -205,32 +205,50 @@ class LocalSearcher:
         return parts
 
     def _phrase_freq(self, terms: list[str], postings: dict):
-        """Adjacency-chain phrase tf per doc (pre-filter ordinals)."""
-        maps = []
-        for t in terms:
+        """Adjacency-chain phrase tf per doc (pre-filter ordinals).
+
+        Fully vectorized: (doc, pos) pairs are packed into uint64 keys
+        (dense doc rank << 32 | pos) so the whole adjacency chain is a
+        sequence of sorted-array intersections — no per-doc Python loop
+        (the loop dominated phrase serving latency)."""
+        empty = (np.empty(0, np.int64),) * 3
+        # dense rank domain over docs present for EVERY phrase term
+        common = postings[terms[0]]["doc_ids"]
+        for t in terms[1:]:
+            common = np.intersect1d(common, postings[t]["doc_ids"])
+        if len(common) == 0:
+            return empty
+        common = np.sort(common)
+
+        def packed_keys(t: str) -> np.ndarray:
             p = postings[t]
-            maps.append(dict(zip(p["doc_ids"].tolist(), p["positions"])))
+            ids = p["doc_ids"]
+            keep = np.isin(ids, common)
+            if not keep.any():
+                return np.empty(0, np.uint64)
+            idx = np.flatnonzero(keep)
+            pos_arrays = [np.asarray(p["positions"][i], dtype=np.uint64) for i in idx]
+            lens = np.fromiter((len(a) for a in pos_arrays), dtype=np.int64, count=len(idx))
+            ranks = np.searchsorted(common, ids[idx]).astype(np.uint64)
+            flat_pos = np.concatenate(pos_arrays) if pos_arrays else np.empty(0, np.uint64)
+            return (np.repeat(ranks, lens) << np.uint64(32)) | flat_pos
+
+        keys = np.sort(packed_keys(terms[0]))
+        for t in terms[1:]:
+            # pos+1 within the same doc: low 32 bits hold pos (< 2^32)
+            keys = np.intersect1d(keys + np.uint64(1), np.sort(packed_keys(t)))
+            if len(keys) == 0:
+                return empty
+        ranks = (keys >> np.uint64(32)).astype(np.int64)
+        hit_ranks, tfps = np.unique(ranks, return_counts=True)
+        docs = common[hit_ranks]
         first = postings[terms[0]]
-        dl_map = dict(zip(first["doc_ids"].tolist(), first["doc_lens"].tolist()))
-        docs, tfps, dls = [], [], []
-        common = set(maps[0])
-        for m in maps[1:]:
-            common &= set(m)
-        for d in common:
-            pos = np.asarray(maps[0][d], dtype=np.int64)
-            for m in maps[1:]:
-                pos = np.intersect1d(pos + 1, np.asarray(m[d], dtype=np.int64))
-                if len(pos) == 0:
-                    break
-            if len(pos):
-                docs.append(d)
-                tfps.append(len(pos))
-                dls.append(dl_map[d])
-        return (
-            np.asarray(docs, dtype=np.int64),
-            np.asarray(tfps, dtype=np.int64),
-            np.asarray(dls, dtype=np.int64),
-        )
+        order = np.argsort(first["doc_ids"], kind="mergesort")
+        pos_in_first = order[
+            np.searchsorted(first["doc_ids"][order], docs)
+        ]
+        dls = first["doc_lens"][pos_in_first]
+        return docs.astype(np.int64), tfps.astype(np.int64), dls.astype(np.int64)
 
     # ------------------------------------------------------------- search
 
