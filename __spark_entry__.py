@@ -246,6 +246,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf_dir), n=3, threshold=0.01, id_limit=60
         ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
+    def dup_groups_q(spark, sf_dir):
+        pairs = dedup.ngram_jaccard_pairs(
+            _docs(spark, sf_dir), n=3, threshold=0.01, id_limit=60
+        )
+        return dedup.dup_groups(pairs)
+
     def ann_cosine_all(spark, sf_dir):
         emb = _emb(spark, sf_dir)
         qvec = list(emb.filter(F.col("vec_id") == 0).first().embedding)
@@ -295,6 +301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": fingerprint,
         "date_range_filter": date_range,
         "ngram_jaccard": ngram_jaccard,
+        "dup_groups": dup_groups_q,
         "ann_cosine_all": ann_cosine_all,
         "suggestions": suggestions_q,
         "winnow_fps": lambda spark, sf_dir: textstats.winnow_fingerprints(_docs(spark, sf_dir)),
@@ -458,7 +465,7 @@ SELECT DISTINCT doc_id, w AS fingerprint FROM wins WHERE ng <= 4 AND i = ng
 UNION
 SELECT DISTINCT doc_id, w AS fingerprint FROM wins WHERE ng > 4 AND i >= 4"""
 
-_NGRAM_SQL = """WITH toks AS (
+_NGRAM_CTES = """toks AS (
   SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS l
   FROM documents WHERE doc_id < 60
 ),
@@ -471,11 +478,28 @@ inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
   FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
   GROUP BY 1, 2
+),
+jpairs AS (
+  SELECT id_a, id_b, i::DOUBLE / (sa.n_grams + sb.n_grams - i) AS jaccard
+  FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+)"""
+
+_NGRAM_SQL = f"""WITH {_NGRAM_CTES}
+SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM jpairs WHERE jaccard >= 0.01"""
+
+# Connected components over the same pairs: transitive closure by
+# recursive CTE (tiny at oracle scale), keep_id = min reachable id.
+_DUPGROUPS_SQL = f"""WITH RECURSIVE {_NGRAM_CTES},
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM jpairs WHERE jaccard >= 0.01
+  UNION SELECT id_b, id_a FROM jpairs WHERE jaccard >= 0.01
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
 )
-SELECT id_a, id_b,
-       round(i::DOUBLE / (sa.n_grams + sb.n_grams - i), 6) AS jaccard
-FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
-WHERE i::DOUBLE / (sa.n_grams + sb.n_grams - i) >= 0.01"""
+SELECT a AS doc_id, least(a, min(b)) AS keep_id FROM reach GROUP BY a"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -554,6 +578,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
               AND ts <  TIMESTAMP '2024-01-08 00:00:00'""",
         "ngram_jaccard": _NGRAM_SQL,
+        "dup_groups": _DUPGROUPS_SQL,
         "winnow_fps": _WINNOW_SQL,
         "ann_cosine_all": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)

@@ -185,6 +185,65 @@ def minhash_dedup_pairs(
     )
 
 
+# ------------------------------------------------------------- components
+
+
+def dup_groups(
+    pairs: DataFrame, max_iter: int = 20, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """Connected components over near-dup pairs → (doc_id, keep_id) where
+    keep_id = min id in the component (the canonical survivor — the
+    standard last step of corpus dedup after candidate pairs).
+
+    Iterative min-label propagation: each round every node adopts the
+    smallest label among itself and its neighbours; converges in
+    O(component diameter) rounds of two shuffles each — no driver-side
+    graph, works at any pair count. Near-dup components are near-cliques
+    (diameter 1-3), so this is 2-4 rounds in practice; rounds are capped
+    by ``max_iter`` with a loud error (a chain that long means the
+    blocking upstream is broken)."""
+    edges = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .union(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges["b"] == labels["node"])
+            .groupBy("a")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        updated = (
+            labels.join(neigh, labels["node"] == neigh["a"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("new_label"),
+                "label",
+            )
+            # truncate lineage each round: the iterative plan otherwise
+            # stacks every previous join and re-optimization cost
+            # dominates the (tiny) per-round shuffles
+            .localCheckpoint(eager=True)
+        )
+        changed = updated.filter(F.col("new_label") < F.col("label")).limit(1).count()
+        labels = updated.select("node", F.col("new_label").alias("label"))
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"dup_groups did not converge in {max_iter} rounds — component "
+            "diameter is pathological; tighten the candidate blocking"
+        )
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("keep_id"))
+
+
 # ---------------------------------------------------------------- simhash
 
 

@@ -194,7 +194,7 @@ def _execute_node(
         )
 
     musts, shoulds, nots = [], [], []
-    for occ, child in node.children:
+    for ci, (occ, child) in enumerate(node.children):
         f = _execute_node(child, cand, df_map, index, all_docs, k1, b)
         if occ == "must":
             if f is None:
@@ -205,7 +205,22 @@ def _execute_node(
                 nots.append(f)
         else:
             if f is not None:
-                shoulds.append(f)
+                shoulds.append(f.select("doc_id", "score", F.lit(ci).alias("_ci")))
+
+    def _sum_shoulds(frames: list[DataFrame]) -> DataFrame:
+        # deterministic f64 fold: sort by child index before summing, the
+        # same trick as the flat combiner's array_sort(collect_list(...))
+        return (
+            reduce(DataFrame.unionByName, frames)
+            .groupBy("doc_id")
+            .agg(F.array_sort(F.collect_list(F.struct("_ci", "score"))).alias("parts"))
+            .select(
+                "doc_id",
+                F.aggregate(
+                    "parts", F.lit(0.0), lambda acc, p: acc + p["score"]
+                ).alias("score"),
+            )
+        )
 
     if musts:
         base = musts[0]
@@ -217,21 +232,13 @@ def _execute_node(
                 "doc_id", (F.col("score") + F.col(f"_s{i}")).alias("score")
             )
         if shoulds:
-            opt = (
-                reduce(DataFrame.unionByName, shoulds)
-                .groupBy("doc_id")
-                .agg(F.sum("score").alias("_opt"))
-            )
+            opt = _sum_shoulds(shoulds).withColumnRenamed("score", "_opt")
             base = base.join(opt, "doc_id", "left").select(
                 "doc_id",
                 (F.col("score") + F.coalesce(F.col("_opt"), F.lit(0.0))).alias("score"),
             )
     elif shoulds:
-        base = (
-            reduce(DataFrame.unionByName, shoulds)
-            .groupBy("doc_id")
-            .agg(F.sum("score").alias("score"))
-        )
+        base = _sum_shoulds(shoulds)
     elif nots:
         # NOT-only group: pinned divergence — AllQuery minus exclusions
         base = all_docs()

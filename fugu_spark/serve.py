@@ -269,10 +269,7 @@ class LocalSearcher:
         """
         plan = parse_query(query_text, mode=self.mode)
         if plan.root is not None:
-            raise ValueError(
-                "nested boolean queries are not locally servable — "
-                "route to search_segments (identical semantics)"
-            )
+            return self._search_nested(plan, k, offset, max_postings)
         musts, must_nots = set(plan.musts), set(plan.must_nots)
         if plan.is_all or not any(
             i not in must_nots for i in range(len(plan.leaves))
@@ -355,6 +352,100 @@ class LocalSearcher:
             ["score", "doc_id"], ascending=[False, True], kind="mergesort"
         ).iloc[offset : offset + k]
         return out.reset_index(drop=True)
+
+    def _search_nested(
+        self, plan: QueryPlan, k: int, offset: int, max_postings: int | None
+    ) -> pd.DataFrame:
+        """Nested boolean serving: pandas mirror of search._execute_node
+        (same child order, same f64 arithmetic shape → identical scores)."""
+        if not plan.has_positive():
+            raise ValueError(
+                "NOT-only queries need the docs table — use search_segments"
+            )
+        meta = self.term_meta(plan.all_terms())
+        if max_postings is not None:
+            volume = sum(m["df"] for m in meta.values())
+            if volume > max_postings:
+                raise ValueError(
+                    f"query posting volume {volume} exceeds the driver-side "
+                    f"serve cap {max_postings} — route to search_segments"
+                )
+        need_pos = any(l.is_phrase for l in plan.leaves)
+        live_terms = sorted(t for t in plan.all_terms() if t in meta)
+        empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                              "score": pd.Series([], dtype="float64")})
+        if not live_terms:
+            return empty
+        rows = self._block_rows(live_terms, meta, need_pos)
+        rows = self._prune_blocks_conjunctive(rows, plan, meta)
+        postings = self._decode_rows(rows, need_pos)
+        base = self._eval_node(plan.root, meta, postings)
+        if base is None or not len(base):
+            return empty
+        out = base.reset_index()
+        out.columns = ["doc_id", "score"]
+        out = out.sort_values(
+            ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).iloc[offset : offset + k]
+        return out.reset_index(drop=True)
+
+    def _eval_node(self, node, meta: dict, postings: dict) -> pd.Series | None:
+        """→ Series(score, index=doc_id) of matching docs; None = dead
+        node (absent term). Mirrors search._execute_node exactly."""
+        from .queryparse import Leaf
+
+        k1, b, avgdl = self.k1, self.b, self.avgdl
+        if isinstance(node, Leaf):
+            if any(t not in meta for t in node.terms):
+                return None
+            if node.is_phrase:
+                docs, tfp, dls = self._phrase_freq(node.terms, postings)
+                idf_sum = sum(meta[t]["idf"] for t in node.terms)
+                s = idf_sum * _tf_norm(tfp, dls, avgdl, k1, b) * node.boost
+                return pd.Series(s, index=docs, dtype="float64")
+            t = node.terms[0]
+            p = postings.get(t)
+            if p is None:
+                return None
+            s = meta[t]["idf"] * _tf_norm(p["tfs"], p["doc_lens"], avgdl, k1, b) * node.boost
+            return pd.Series(s, index=p["doc_ids"], dtype="float64")
+
+        musts, shoulds, nots = [], [], []
+        for occ, child in node.children:
+            f = self._eval_node(child, meta, postings)
+            if occ == "must":
+                if f is None:
+                    return pd.Series(dtype="float64")
+                musts.append(f)
+            elif occ == "must_not":
+                if f is not None and len(f):
+                    nots.append(f)
+            elif f is not None:
+                shoulds.append(f)
+
+        if musts:
+            base = musts[0]
+            for f in musts[1:]:
+                idx = base.index.intersection(f.index)
+                base = base.loc[idx] + f.loc[idx]
+            if shoulds and len(base):
+                opt = pd.Series(0.0, index=base.index)
+                for f in shoulds:  # child order == Spark's sorted _ci fold
+                    opt = opt + f.reindex(base.index, fill_value=0.0)
+                base = base + opt
+        elif shoulds:
+            base = shoulds[0]
+            for f in shoulds[1:]:
+                base = base.add(f, fill_value=0.0)
+        elif nots:
+            raise ValueError(
+                "NOT-only group needs the docs table — use search_segments"
+            )
+        else:
+            return None
+        for f in nots:
+            base = base[~base.index.isin(f.index)]
+        return base
 
     def _prune_blocks_conjunctive(
         self, rows: pd.DataFrame, plan: QueryPlan, meta: dict

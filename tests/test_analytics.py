@@ -72,6 +72,29 @@ def test_minhash_dedup_pairs(docs):
     assert (0, 5) not in pairs
 
 
+def test_dup_groups_components(spark):
+    """Min-label propagation = connected components: chain 1-2-3,
+    separate pair 7-9, singleton-free domain."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (9, 7)], "id_a long, id_b long"
+    )
+    got = {r.doc_id: r.keep_id for r in dedup.dup_groups(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+
+def test_dup_groups_nonconvergence_guard(spark):
+    import pytest as _pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="converge"):
+        dedup.dup_groups(pairs, max_iter=2)
+    # ...but enough rounds resolves the full chain to one component
+    got = {r.keep_id for r in dedup.dup_groups(pairs, max_iter=12).collect()}
+    assert got == {0}
+
+
 def test_simhash_pairs(docs):
     sigs = {r.doc_id: r.simhash for r in dedup.simhash_signatures(docs).collect()}
     assert sigs[0] == sigs[1]

@@ -107,9 +107,30 @@ def test_nested_rank_identity(corpus_setup, q):
         assert s1 == pytest.approx(s2, abs=1e-9), (q, d1)
 
 
-def test_nested_unservable_locally_falls_back(corpus_setup):
+@pytest.mark.parametrize("q", NESTED_QUERIES)
+def test_nested_served_locally(corpus_setup, q):
+    """LocalSearcher serves nested plans with score identity to the
+    oracle; NOT-only still falls back (needs the docs table)."""
+    from fugu_spark.serve import LocalSearcher
+
+    _, _, si, oracle = corpus_setup
+    ls = LocalSearcher(si.index_dir)
+    want = oracle.search(q, k=15)
+    got = list(ls.search(q, k=15).itertuples(index=False))
+    assert [g.doc_id for g in got] == [d for d, _ in want], q
+    for g, (_, es) in zip(got, want):
+        assert g.score == pytest.approx(es, abs=1e-9), (q, g.doc_id)
+    # offset pagination on the nested path
+    got2 = list(ls.search(q, k=5, offset=5).itertuples(index=False))
+    assert [g.doc_id for g in got2] == [d for d, _ in want[5:10]], q
+
+
+def test_nested_notonly_falls_back(corpus_setup):
     from fugu_spark.serve import LocalSearcher
 
     _, _, si, _ = corpus_setup
-    with pytest.raises(ValueError, match="nested"):
-        LocalSearcher(si.index_dir).search("(merge OR hash) AND join", k=5)
+    with pytest.raises(ValueError, match="docs table"):
+        LocalSearcher(si.index_dir).search("NOT (merge OR hash)", k=5)
+    hot = LocalSearcher(si.index_dir)
+    with pytest.raises(ValueError, match="serve cap"):
+        hot.search("(merge OR hash) AND join", k=5, max_postings=1)
