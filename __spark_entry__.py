@@ -208,6 +208,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(textstats.avg_token_len(F.col("text")), 6).alias("avg_len"),
         )
 
+    def bpe_tokens(spark, sf_dir):
+        return _docs(spark, sf_dir).select(
+            "doc_id", textstats.bpe_token_count(F.col("text")).alias("n_bpe")
+        )
+
+    def emb_dup_exact(spark, sf_dir):
+        """Exact embedding-cosine near-dup pairs on an id-capped slice
+        (the brute-force ground truth the LSH-blocked variant targets)."""
+        e = _emb(spark, sf_dir).filter(F.col("vec_id") < 80).select("vec_id", "embedding")
+        a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+        b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+        return (
+            a.join(b, F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a",
+                "id_b",
+                F.round(similarity.cosine_expr(F.col("va"), F.col("vb")), 6).alias("cosine"),
+            )
+            .filter(F.col("cosine") >= 0.25)
+        )
+
     def quality(spark, sf_dir):
         return _docs(spark, sf_dir).select(
             "doc_id", F.round(textstats.quality_score(F.col("text")), 6).alias("q")
@@ -296,6 +317,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_facets_src1": search_facets_src1,
         "exact_dedup": exact_dedup_q,
         "token_stats": token_stats,
+        "bpe_token_count": bpe_tokens,
+        "emb_dup_exact": emb_dup_exact,
         "quality": quality,
         "lang_id": lang_id_q,
         "fingerprint": fingerprint,
@@ -553,6 +576,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*) AS n_tok, count(DISTINCT term) AS n_distinct,
                    round(avg(len(term)), 6) AS avg_len
             FROM tok GROUP BY doc_id""",
+        "bpe_token_count": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s'']+|''| ?\s+'))::BIGINT AS n_bpe
+            FROM documents""",
+        "emb_dup_exact": """
+            WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 80),
+            p AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     round(sum(a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)
+                           / (sqrt(sum(a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))
+                              * sqrt(sum(b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))), 6) AS cosine
+              FROM e a, e b, unnest(generate_series(1, len(a.embedding))) t(i)
+              WHERE a.vec_id < b.vec_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.25""",
         "quality": f"""WITH {_TOK}
             SELECT dl.doc_id,
                    round(0.4 * least(1.0, dl.doc_len / 100.0)

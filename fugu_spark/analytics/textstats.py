@@ -33,6 +33,19 @@ def token_count(text_col: Column) -> Column:
     return F.size(simple_tokens(text_col)).cast("long")
 
 
+# GPT-2-style pre-tokenizer shape, ASCII-simplified so the SAME pattern
+# runs in Java regex (Spark) and RE2 (DuckDB): contraction suffixes,
+# space-prefixed letter runs, digit runs, punctuation runs, whitespace.
+BPE_ISH_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s']+|'| ?\s+"
+
+
+def bpe_token_count(text_col: Column) -> Column:
+    """Subword-ish token count: matches of the BPE-style pre-tokenizer
+    regex (the standard cheap proxy for LLM token budgeting when the
+    real BPE merges aren't available)."""
+    return F.size(F.regexp_extract_all(text_col, F.lit(BPE_ISH_PATTERN), 0)).cast("long")
+
+
 def distinct_token_count(text_col: Column) -> Column:
     return F.size(F.array_distinct(simple_tokens(text_col))).cast("long")
 

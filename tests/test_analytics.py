@@ -217,6 +217,16 @@ def test_textstats(docs):
     assert 0.0 < rows[0].q <= 1.0
 
 
+def test_bpe_token_count(spark):
+    df = spark.createDataFrame(
+        [(1, "it's a test-case, 42 don't"), (2, ""), (3, "hello")],
+        "doc_id long, text string",
+    ).select("doc_id", textstats.bpe_token_count(F.col("text")).alias("n"))
+    got = {r.doc_id: r.n for r in df.collect()}
+    # it|'s| a| test|-|case|,| 42| don|'t → 10 subword-ish tokens
+    assert got == {1: 10, 2: 0, 3: 1}
+
+
 def test_winnow_fingerprints(docs):
     rows = textstats.winnow_fingerprints(docs).collect()
     fps: dict[int, set[int]] = {}
