@@ -46,6 +46,34 @@ class TestCodecs:
         assert enc["max_tf"] == int(tfs.max())
         assert enc["min_doc_len"] == int(doc_lens.min())
 
+    def test_varint_roundtrip_property(self):
+        """Property: varint/delta round-trip is identity for ANY uint64
+        multiset and ANY sorted-by-view doc-id list (hypothesis)."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.lists(st.integers(min_value=0, max_value=2**64 - 1), max_size=300))
+        def roundtrip(vals):
+            arr = np.array(vals, dtype=np.uint64)
+            assert list(codecs.varint_decode(codecs.varint_encode(arr), len(arr))) == vals
+
+        @settings(max_examples=200, deadline=None)
+        @given(
+            st.lists(
+                st.integers(min_value=-(2**63), max_value=2**63 - 1),
+                max_size=300,
+                unique=True,
+            )
+        )
+        def delta_roundtrip(ids):
+            arr = np.sort(np.array(ids, dtype=np.int64))
+            dec = codecs.delta_decode(codecs.delta_encode(arr.view(np.uint64))).view(np.int64)
+            assert list(dec) == list(arr)
+
+        roundtrip()
+        delta_roundtrip()
+
     def test_compression_shrinks(self):
         doc_ids = np.sort(np.arange(1000, dtype=np.uint64) * 3)
         enc = codecs.varint_encode(codecs.delta_encode(doc_ids))
