@@ -34,7 +34,7 @@ _TOKEN_RE = re.compile(
     r"""
       "(?P<phrase>[^"]*)"(?:\^(?P<pboost>\d+(?:\.\d+)?))?
     | (?P<lparen>\()
-    | (?P<rparen>\))
+    | (?P<rparen>\))(?:\^(?P<gboost>\d+(?:\.\d+)?))?
     | (?P<word>[^\s()]+)
     """,
     re.VERBOSE,
@@ -121,6 +121,16 @@ def _flatten(node: "Leaf | BoolNode") -> list[Leaf]:
     return out
 
 
+def _boosted(node: "Leaf | BoolNode", factor: float) -> "Leaf | BoolNode":
+    """Group boost '(a b)^2': since scores are sums of leaf scores, a
+    group boost distributes as a multiplier on every leaf boost."""
+    if factor == 1.0:
+        return node
+    if isinstance(node, Leaf):
+        return Leaf(node.terms, node.boost * factor, node.occur)
+    return BoolNode(tuple((occ, _boosted(c, factor)) for occ, c in node.children))
+
+
 def _parse_group(tokens: list, pos: int, mode: str, depth: int):
     """Recursive descent over one boolean level → ([(occur, node)], pos).
 
@@ -144,11 +154,14 @@ def _parse_group(tokens: list, pos: int, mode: str, depth: int):
             sub, pos = _parse_group(tokens, pos + 1, mode, depth + 1)
             if pos >= len(tokens) or tokens[pos][0] != "rparen":
                 raise QueryParseError("unbalanced parens")
+            gboost = tokens[pos][1] or 1.0
             if len(sub) == 1 and isinstance(sub[0][1], Leaf):
                 # '(x)' ≡ 'x' — keep single-leaf groups flat
-                children.append((pending or sub[0][0], sub[0][1]))
+                children.append((pending or sub[0][0], _boosted(sub[0][1], gboost)))
             elif sub:
-                children.append((pending or "should", BoolNode(tuple(sub))))
+                children.append(
+                    (pending or "should", _boosted(BoolNode(tuple(sub)), gboost))
+                )
             pending = None
             pos += 1
             continue
@@ -199,8 +212,8 @@ def _parse_once(query: str, mode: str) -> QueryPlan:
     for m in _TOKEN_RE.finditer(query):
         if m.group("lparen"):
             tokens.append(("lparen", None))
-        elif m.group("rparen"):
-            tokens.append(("rparen", None))
+        elif m.group("rparen") is not None:
+            tokens.append(("rparen", float(m.group("gboost")) if m.group("gboost") else None))
         elif m.group("phrase") is not None:
             tokens.append(("phrase", (m.group("phrase"), float(m.group("pboost") or 1.0))))
         else:

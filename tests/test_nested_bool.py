@@ -33,6 +33,11 @@ def test_parse_nested_shapes():
         ("must", ("alpha",)),
         ("must", ("beta",)),
     ]
+    # group boost distributes onto every leaf of the group
+    gb = parse_query("(alpha OR beta)^2 AND gamma")
+    grp = gb.root.children[0][1]
+    assert all(n.boost == 2.0 for _, n in grp.children)
+    assert gb.root.children[1][1].boost == 1.0
     # NOT before a group
     r = parse_query("gamma NOT (alpha OR beta)")
     assert r.root is not None
@@ -90,6 +95,8 @@ NESTED_QUERIES = [
     "(merge AND join) OR (hash AND table)",
     '("merge join" OR hash) AND table',
     "sort NOT (merge OR hash)",
+    "(merge OR hash)^2 AND join",  # group boost distributes over leaves
+    '("merge join" OR hash)^2 AND table^3',
 ]
 
 
