@@ -40,6 +40,24 @@ from .segments import (
 from .tokenizer import DEFAULT_MODE
 
 
+def _write_filter_index(
+    docs: DataFrame, index_dir: str, id_col: str, facets_col: str, gen: int, mode: str
+) -> None:
+    """Persist (doc_id, facet, gen) next to the segments so the
+    driver-side LocalSearcher can serve Equals/Prefix facet filters with
+    parquet pushdown; generations are delete-masked exactly like posting
+    blocks (the reference's filter index analog, SURVEY D5)."""
+    from . import fsio
+    from .dataset import build_filter_index
+
+    rows = (
+        build_filter_index(docs, id_col=id_col, facets_col=facets_col)
+        .select(F.col(id_col).cast("long").alias("doc_id"), "facet")
+        .withColumn("gen", F.lit(gen))
+    )
+    rows.write.mode(mode).parquet(fsio.join(index_dir, "filter_index"))
+
+
 @dataclass
 class FuguSparkEngine:
     spark: SparkSession
@@ -92,6 +110,8 @@ class FuguSparkEngine:
             max_text_len=cfg.max_text_len,
         )
         good = with_date_fields(good).cache()  # RFC3339 → timestamp (X5)
+        if facets_col and facets_col in good.columns:
+            _write_filter_index(good, index_dir, id_col, facets_col, gen=0, mode="overwrite")
         si = build_segments(
             good,
             index_dir,
@@ -149,19 +169,24 @@ class FuguSparkEngine:
         for col, (start, end) in (date_ranges or {}).items():
             rng = date_range_filter(F.col(col), start, end)
             doc_filter = rng if doc_filter is None else (doc_filter & rng)
-        if doc_filter is None and min_score is None:
-            # serving fast path: LocalSearcher over the same segment files
-            # (rank/score-identical; ~ms instead of a Spark job)
+        if min_score is None and not date_ranges:
+            # serving fast path: LocalSearcher over the same segment +
+            # filter-index files (rank/score-identical; ~ms, no Spark job)
             try:
                 pdf = self._local_searcher().search(
-                    query, k=k, offset=offset, max_postings=self.serve_max_postings
+                    query,
+                    k=k,
+                    offset=offset,
+                    max_postings=self.serve_max_postings,
+                    filters=filters,
                 )
                 return self.spark.createDataFrame(
                     pdf if len(pdf) else [], "doc_id long, score double"
                 )
             except ValueError:
-                # AllQuery / NOT-only (needs the docs table) or posting
-                # volume above the serve cap: run distributed
+                # AllQuery / NOT-only (needs the docs table), posting
+                # volume above the serve cap, or a contains/wildcard
+                # filter (no parquet pushdown): run distributed
                 pass
         out = search_segments(
             self.si,
@@ -302,6 +327,15 @@ class FuguSparkEngine:
         self.si = upsert_segments(
             self.si, good, id_col=self.id_col, text_col=self.text_col, mode=self.mode
         )
+        if self.facets_col in good.columns:
+            _write_filter_index(
+                good,
+                self.index_dir,
+                self.id_col,
+                self.facets_col,
+                gen=self.si.max_gen(),
+                mode="append",
+            )
         from .dataset import upsert as ds_upsert
 
         self.docs = ds_upsert(self.docs, good, id_col=self.id_col).cache()
@@ -317,6 +351,12 @@ class FuguSparkEngine:
 
     def compact(self) -> "FuguSparkEngine":
         self.si = compact(self.si)
+        # segments reset to gen 0 and the delete masks are gone: the
+        # filter index must be rewritten too or stale generations revive
+        if self.facets_col in self.docs.columns:
+            _write_filter_index(
+                self.docs, self.index_dir, self.id_col, self.facets_col, gen=0, mode="overwrite"
+            )
         return self
 
     # ---- facet analytics --------------------------------------------

@@ -90,6 +90,11 @@ class LocalSearcher:
             )
             if len(d):
                 self._deletes = d
+        # facet filter index (written by FuguSparkEngine when facets exist)
+        fpath = os.path.join(index_dir, "filter_index")
+        self._filters_ds = (
+            pads.dataset(fpath, format="parquet") if os.path.isdir(fpath) else None
+        )
 
     # ------------------------------------------------------------- lookups
 
@@ -169,6 +174,47 @@ class LocalSearcher:
                         positions = [p for p, k in zip(positions, keep) if k]
             out[term] = {"doc_ids": doc_ids, "tfs": tfs, "doc_lens": dls, "positions": positions}
         return out
+
+    # ------------------------------------------------------------- filters
+
+    def _allowed_docs(self, filters: list[str]) -> np.ndarray:
+        """Doc ids matching ANY filter (the reference ORs filters), read
+        from the persisted filter index with pyarrow pushdown: equality
+        for Equals, a [path, path+\\uffff) range for Prefix. Contains /
+        wildcard filters can't push down (full facet-column scan at
+        corpus scale) → raise; callers fall back to the Spark path."""
+        import pyarrow.dataset as pads
+
+        from .facets import FacetFilter, parse_filter
+
+        if self._filters_ds is None:
+            raise ValueError(
+                "no filter_index in this index dir — facet-filtered "
+                "queries need the Spark path"
+            )
+        expr = None
+        for raw in filters:
+            flt = raw if isinstance(raw, FacetFilter) else parse_filter(raw)
+            if flt.operator == "equals":
+                e = pads.field("facet") == flt.path
+            elif flt.operator == "prefix":
+                e = (pads.field("facet") >= flt.path) & (
+                    pads.field("facet") < flt.path + "\uffff"
+                )
+            else:
+                raise ValueError(
+                    f"filter operator {flt.operator!r} is not locally "
+                    "servable — use search_segments"
+                )
+            expr = e if expr is None else (expr | e)
+        tbl = self._filters_ds.to_table(columns=["doc_id", "gen"], filter=expr)
+        ids = tbl["doc_id"].to_numpy()
+        gens = tbl["gen"].to_numpy()
+        if self._deletes is not None and len(ids):
+            dg = self._deletes.reindex(ids).to_numpy(dtype=np.float64)
+            keep = np.isnan(dg) | (gens >= dg)
+            ids = ids[keep]
+        return np.unique(ids)
 
     # ------------------------------------------------------------- scoring
 
@@ -258,6 +304,7 @@ class LocalSearcher:
         k: int = 10,
         offset: int = 0,
         max_postings: int | None = None,
+        filters: list | None = None,
     ) -> pd.DataFrame:
         """Top-k → pandas DataFrame(doc_id, score); identical ranks/scores
         to search_segments for locally-servable queries.
@@ -268,8 +315,12 @@ class LocalSearcher:
         OOMing the driver — callers fall back to the distributed engine.
         """
         plan = parse_query(query_text, mode=self.mode)
+        allowed = self._allowed_docs(filters) if filters else None
+        if allowed is not None and len(allowed) == 0:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "score": pd.Series([], dtype="float64")})
         if plan.root is not None:
-            return self._search_nested(plan, k, offset, max_postings)
+            return self._search_nested(plan, k, offset, max_postings, allowed)
         musts, must_nots = set(plan.musts), set(plan.must_nots)
         if plan.is_all or not any(
             i not in must_nots for i in range(len(plan.leaves))
@@ -304,7 +355,12 @@ class LocalSearcher:
         need_pos = any(l.is_phrase for l in plan.leaves)
         live_terms = sorted({t for i in live_leaf_ids | must_nots for t in plan.leaves[i].terms if t in meta})
 
-        if pure_or and len({l.terms[0] for l in plan.leaves if l.terms[0] in meta}) > 1:
+        if (
+            pure_or
+            and allowed is None  # a filter shrinks true top-k scores below
+            # the unfiltered θ seed, so MaxScore pruning is not rank-safe
+            and len({l.terms[0] for l in plan.leaves if l.terms[0] in meta}) > 1
+        ):
             rows = self._block_rows(live_terms, meta, need_pos=False)
             # θ must cover the full requested window: docs ranked in
             # (k, k+offset] live only in blocks a k-seeded θ would prune
@@ -346,6 +402,8 @@ class LocalSearcher:
             scores = scores[scores.index.isin(ok_docs)]
         if len(excl_docs):
             scores = scores[~scores.index.isin(excl_docs)]
+        if allowed is not None:
+            scores = scores[scores.index.isin(allowed)]
         out = scores.reset_index()
         out.columns = ["doc_id", "score"]
         out = out.sort_values(
@@ -354,7 +412,12 @@ class LocalSearcher:
         return out.reset_index(drop=True)
 
     def _search_nested(
-        self, plan: QueryPlan, k: int, offset: int, max_postings: int | None
+        self,
+        plan: QueryPlan,
+        k: int,
+        offset: int,
+        max_postings: int | None,
+        allowed: np.ndarray | None = None,
     ) -> pd.DataFrame:
         """Nested boolean serving: pandas mirror of search._execute_node
         (same child order, same f64 arithmetic shape → identical scores)."""
@@ -382,6 +445,10 @@ class LocalSearcher:
         base = self._eval_node(plan.root, meta, postings)
         if base is None or not len(base):
             return empty
+        if allowed is not None:
+            base = base[base.index.isin(allowed)]
+            if not len(base):
+                return empty
         out = base.reset_index()
         out.columns = ["doc_id", "score"]
         out = out.sort_values(

@@ -61,6 +61,63 @@ def test_facet_surface(engine):
     assert ("/lang", "py") in pairs and ("/lang", "go") not in pairs
 
 
+def test_filtered_search_serves_locally(spark, tmp_path):
+    """Equals/Prefix facet filters run through the LocalSearcher filter
+    index with pushdown; parity with the distributed path across the full
+    ingest→delete→compact lifecycle. Wildcard filters fall back."""
+    docs = spark.createDataFrame(
+        [
+            (1, "merge join alpha", ["/lang/py", "/source/s1"]),
+            (2, "merge join beta", ["/lang/rs", "/source/s1"]),
+            (3, "merge gamma", ["/lang/py", "/source/s2"]),
+        ],
+        "doc_id long, text string, facets array<string>",
+    )
+    eng = FuguSparkEngine.build(docs, str(tmp_path / "idx"))
+
+    def both(q, filters):
+        loc = [(r.doc_id, round(r.score, 9)) for r in eng.search(q, k=10, filters=filters).collect()]
+        eng.serve_max_postings = 0
+        dist = [(r.doc_id, round(r.score, 9)) for r in eng.search(q, k=10, filters=filters).collect()]
+        eng.serve_max_postings = 5_000_000
+        return loc, dist
+
+    loc, dist = both("merge", ["/lang/py"])
+    assert loc == dist and {d for d, _ in loc} == {1, 3}
+    loc, dist = both("merge join", ["/source/s1"])
+    assert loc == dist and {d for d, _ in loc} == {1, 2}
+    # prefix filter
+    loc, dist = both("merge", ["/lang/*"])
+    assert loc == dist and {d for d, _ in loc} == {1, 2, 3}
+    # OR across filters
+    loc, dist = both("merge", ["/lang/rs", "/source/s2"])
+    assert loc == dist and {d for d, _ in loc} == {2, 3}
+    # wildcard → ValueError inside, transparent fallback, same answer
+    loc, dist = both("merge", ["*lang*"])
+    assert loc == dist and len(loc) == 3
+    # no match
+    loc, dist = both("merge", ["/lang/go"])
+    assert loc == dist == []
+
+    # lifecycle: upsert re-facets doc 3, delete doc 2, compact
+    batch = spark.createDataFrame(
+        [(3, "merge gamma v2", ["/lang/go"])], "doc_id long, text string, facets array<string>"
+    )
+    eng.ingest(batch)
+    loc, dist = both("merge", ["/lang/py"])
+    assert loc == dist and {d for d, _ in loc} == {1}  # doc 3 left /lang/py
+    loc, dist = both("merge", ["/lang/go"])
+    assert loc == dist and {d for d, _ in loc} == {3}
+    eng.delete(spark.createDataFrame([(2,)], "doc_id long"))
+    loc, dist = both("merge", ["/source/s1"])
+    assert loc == dist and {d for d, _ in loc} == {1}
+    eng.compact()
+    loc, dist = both("merge", ["/lang/go"])
+    assert loc == dist and {d for d, _ in loc} == {3}
+    loc, dist = both("merge", ["/lang/py"])
+    assert loc == dist and {d for d, _ in loc} == {1}
+
+
 def test_compact_invalidates_serving_cache(spark, tmp_path):
     """Regression: search → ingest → compact → search. compact() resets to
     (gen=0, no deletes), colliding with a fresh build's cache key; a stale
