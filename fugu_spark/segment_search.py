@@ -251,6 +251,7 @@ def _term_meta(si: SegmentIndex, terms: list[str]) -> dict[str, dict]:
         tbl = dset.to_table(columns=_META_COLS, filter=pads.field("term").isin(terms))
         rows = tbl.to_pylist()
     except Exception:
+        # exotic FS, or an empty index whose terms dir has no data files
         rows = [
             r.asDict() for r in si.terms.filter(F.col("term").isin(terms)).collect()
         ]

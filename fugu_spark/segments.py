@@ -46,7 +46,7 @@ from pyspark.sql import types as T
 
 from . import fsio
 from .codecs import BLOCK_SIZE
-from .postings import CorpusStats, build_postings
+from .postings import POSTINGS_ENC_SCHEMA, CorpusStats, build_postings
 from .tokenizer import DEFAULT_MODE
 
 SEGMENT_SCHEMA = T.StructType(
@@ -67,6 +67,19 @@ SEGMENT_SCHEMA = T.StructType(
         T.StructField("positions_enc", T.BinaryType(), True),
         T.StructField("term_bucket", T.IntegerType(), False),
     ]
+)
+
+# Explicit read schemas: a build over a tiny/empty corpus can leave a
+# stage directory with zero data files, where schema inference fails.
+RAW_READ_SCHEMA = T.StructType(
+    POSTINGS_ENC_SCHEMA.fields + [T.StructField("term_bucket", T.IntegerType(), False)]
+)
+SEG_READ_SCHEMA = T.StructType(
+    SEGMENT_SCHEMA.fields + [T.StructField("gen", T.IntegerType(), False)]
+)
+TERMS_SCHEMA = (
+    "term string, df bigint, cf bigint, max_tf int, min_doc_len int, "
+    "term_bucket int, n_blocks bigint, n_salts bigint, bytes_encoded bigint"
 )
 
 MANIFEST_SCHEMA = (
@@ -229,7 +242,9 @@ def merge_dictionary(spark: SparkSession, seg_path: str, terms_path: str) -> Non
     across salts and generations into the final term dictionary. Like
     Lucene/Tantivy, df/cf count masked-deleted postings until compaction
     (documented divergence from live counts)."""
-    _dict_agg(spark.read.parquet(seg_path)).write.mode("overwrite").parquet(terms_path)
+    _dict_agg(spark.read.schema(SEG_READ_SCHEMA).parquet(seg_path)).write.mode(
+        "overwrite"
+    ).parquet(terms_path)
 
 
 def merge_dictionary_incremental(
@@ -244,8 +259,10 @@ def merge_dictionary_incremental(
 
     The swap is write-new → drop-old → rename (terms parquet can't be
     overwritten while it is also the read source of the merge)."""
-    new = _dict_agg(spark.read.parquet(seg_path).filter(F.col("gen") == new_gen))
-    old = spark.read.parquet(terms_path)
+    new = _dict_agg(
+        spark.read.schema(SEG_READ_SCHEMA).parquet(seg_path).filter(F.col("gen") == new_gen)
+    )
+    old = spark.read.schema(TERMS_SCHEMA).parquet(terms_path)
     merged = old.unionByName(new).groupBy("term").agg(
         F.sum("df").alias("df"),
         F.sum("cf").alias("cf"),
@@ -305,7 +322,7 @@ class SegmentIndex:
     @classmethod
     def load(cls, spark: SparkSession, index_dir: str) -> "SegmentIndex":
         s = json.loads(fsio.read_text(fsio.join(index_dir, "stats.json")))
-        terms = spark.read.parquet(fsio.join(index_dir, "terms")).cache()
+        terms = spark.read.schema(TERMS_SCHEMA).parquet(fsio.join(index_dir, "terms")).cache()
         return cls(
             spark=spark,
             index_dir=index_dir,
@@ -316,7 +333,9 @@ class SegmentIndex:
         )
 
     def segments_df(self, terms: list[str] | None = None, buckets: list[int] | None = None) -> DataFrame:
-        df = self.spark.read.parquet(fsio.join(self.index_dir, "segments"))
+        df = self.spark.read.schema(SEG_READ_SCHEMA).parquet(
+            fsio.join(self.index_dir, "segments")
+        )
         if buckets is not None:
             df = df.filter(F.col("term_bucket").isin(buckets))  # partition pruning
         if terms is not None:
@@ -384,7 +403,7 @@ def build_segments(
             (build_id, "postings_raw", "all", "complete", 0, 0, 0, wall, time.time())
         )
 
-    raw = spark.read.parquet(raw_path)
+    raw = spark.read.schema(RAW_READ_SCHEMA).parquet(raw_path)
 
     # ---- stage 2: salted repartition-by-term → encoded segment blocks ----
     if not (resume and _stage_done(index_dir, "segments")):
@@ -585,7 +604,7 @@ def compact(si: SegmentIndex, hot_df_threshold: int = 250_000) -> SegmentIndex:
     )
     raw_path = fsio.join(si.index_dir, "postings_raw")
     live.write.mode("overwrite").parquet(raw_path)
-    raw = spark.read.parquet(raw_path)
+    raw = spark.read.parquet(raw_path)  # live postings: unencoded positions schema
     seg_path = fsio.join(si.index_dir, "segments")
     fsio.rmtree(seg_path)
     encode_postings_df(raw, seg_path, hot_df_threshold, gen=0, append=False)

@@ -104,10 +104,13 @@ class LocalSearcher:
 
         if not terms:
             return {}
-        tbl = self._terms.to_table(
-            columns=["term", "df", "term_bucket", "max_tf", "min_doc_len"],
-            filter=pads.field("term").isin(terms),
-        )
+        try:
+            tbl = self._terms.to_table(
+                columns=["term", "df", "term_bucket", "max_tf", "min_doc_len"],
+                filter=pads.field("term").isin(terms),
+            )
+        except Exception:
+            return {}  # empty index: terms dir has no data files / schema
         out = {}
         for r in tbl.to_pylist():
             out[r["term"]] = {

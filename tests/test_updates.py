@@ -87,6 +87,21 @@ def test_double_upsert_latest_wins(spark, si):
     assert got == []
 
 
+def test_empty_index_lifecycle(spark, tmp_path):
+    """Regression: an empty corpus must build a valid (empty) index —
+    explicit read schemas, since zero-row stage dirs defeat parquet
+    schema inference — and then grow via upsert."""
+    empty = spark.createDataFrame([], "doc_id long, content string")
+    si = build_segments(empty, str(tmp_path / "e"), n_buckets=2)
+    assert si.stats.n_docs == 0
+    assert search_segments(si, "merge", k=5).count() == 0
+    assert search_segments(si, "", k=5, docs=empty).count() == 0  # AllQuery
+    batch = spark.createDataFrame([(1, "grown merge doc")], "doc_id long, content string")
+    si2 = upsert_segments(si, batch, text_col="content")
+    got = [r.doc_id for r in search_segments(si2, "merge", k=5).collect()]
+    assert got == [1]
+
+
 def test_incremental_dictionary_equals_full_remerge(spark, si, tmp_path):
     """Upsert folds only the new generation into the dictionary; the
     result must be row-identical to re-aggregating every generation."""
