@@ -95,6 +95,33 @@ def main():
         )
     )
 
+    sections.append(
+        (
+            "Nested boolean: (merge OR hash) AND join",
+            "MUST: per-level combine as joins over ONE term-pruned candidate "
+            "scan; the must-group intersection is a join on doc_id, shoulds "
+            "sum via a sorted-struct fold (deterministic f64).",
+            grab(search_segments(si, "(merge OR hash) AND join", k=10, docs=docs)),
+        )
+    )
+
+    from fugu_spark.dates import date_range_filter, parse_rfc3339
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    sections.append(
+        (
+            "Date-range filter pushdown (X5)",
+            "MUST: the timestamp range reaches the parquet scan as "
+            "PushedFilters GreaterThanOrEqual/LessThan on ts.",
+            grab(
+                ev.filter(
+                    (F.col("ts") >= F.lit("2024-01-05 00:00:00").cast("timestamp_ntz"))
+                    & (F.col("ts") < F.lit("2024-01-08 00:00:00").cast("timestamp_ntz"))
+                ).select("event_id", "ts")
+            ),
+        )
+    )
+
     with open("/root/repo/PLANS.md", "w") as f:
         f.write("# PLANS — physical-plan review (`.explain('formatted')`)\n\n")
         f.write(
