@@ -11,7 +11,12 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+# direct `python jobs/<x>.py` runs: make the repo root importable (under
+# spark-submit --py-files the zip is already on the path)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:

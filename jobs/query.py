@@ -8,7 +8,12 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+# direct `python jobs/<x>.py` runs: make the repo root importable (under
+# spark-submit --py-files the zip is already on the path)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 
@@ -16,6 +21,13 @@ def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--index-dir", required=True)
     p.add_argument("--query", action="append", required=True)
+    p.add_argument(
+        "--filter",
+        action="append",
+        default=None,
+        help="facet filter (repeatable, OR'd): '/lang/py', 'lang/*', 'lang=py'. "
+        "Served from the index's filter_index (Equals/Prefix pushdown).",
+    )
     p.add_argument("-k", type=int, default=10)
     p.add_argument("--no-wand", action="store_true")
     p.add_argument(
@@ -33,6 +45,17 @@ def main() -> int:
     )
     args = p.parse_args()
 
+    if args.spark and args.filter:
+        print(
+            json.dumps(
+                {
+                    "error": "--filter needs the serving path (omit --spark) or "
+                    "the FuguSparkEngine API with a docs table"
+                }
+            )
+        )
+        return 2
+
     searcher = None
     if not args.spark:
         from fugu_spark.serve import LocalSearcher
@@ -46,12 +69,23 @@ def main() -> int:
         hits = None
         if searcher is not None:
             try:
-                pdf = searcher.search(q, k=args.k, max_postings=args.serve_max_postings)
+                pdf = searcher.search(
+                    q,
+                    k=args.k,
+                    max_postings=args.serve_max_postings,
+                    filters=args.filter,
+                )
                 hits = [
                     {"doc_id": int(r.doc_id), "score": float(r.score)}
                     for r in pdf.itertuples(index=False)
                 ]
-            except ValueError:
+            except ValueError as e:
+                if args.filter:
+                    # the Spark fallback below has no docs table to apply
+                    # facet filters against — surface instead of silently
+                    # answering the UNfiltered query
+                    print(json.dumps({"query": q, "error": str(e)}))
+                    continue
                 pass  # AllQuery / NOT-only / above the serve cap → Spark
         if hits is None:
             if spark is None:
