@@ -163,9 +163,9 @@ class FuguSparkEngine:
         RFC3339 ``(start, end)`` half-open range (X5)."""
         if k <= 0 or k > 100:
             k = 20
-        doc_filter = (
-            FC.combine_filters(filters, F.col(self.facets_col)) if filters else None
-        )
+        # facet filters resolve against the persisted filter_index (no
+        # docs-table scan); only date ranges need a docs predicate
+        doc_filter = None
         for col, (start, end) in (date_ranges or {}).items():
             rng = date_range_filter(F.col(col), start, end)
             doc_filter = rng if doc_filter is None else (doc_filter & rng)
@@ -198,6 +198,7 @@ class FuguSparkEngine:
             mode=self.mode,
             k1=self.k1,
             b=self.b,
+            filter_paths=filters or None,
         )
         if min_score is not None:
             out = out.filter(F.col("score") >= min_score)

@@ -369,6 +369,46 @@ def _score_col(idf: dict[str, float], avgdl: float, k1: float, b: float) -> Colu
     return idf_col * tf * F.lit(k1 + 1.0) / (tf + norm)
 
 
+def filter_index_docs(si: SegmentIndex, filters: list) -> DataFrame:
+    """Doc ids matching ANY facet filter, from the index's persisted
+    filter_index (written by FuguSparkEngine) — no docs table required,
+    so filtered queries work straight off the index at any scale.
+    Equals/Prefix push down to the parquet scan (equality /
+    StringStartsWith); Contains/Wildcard run as a distributed scan of the
+    facet column. Generations are delete-masked like posting blocks."""
+    from . import fsio
+    from .facets import FacetFilter, parse_filter
+
+    path = fsio.join(si.index_dir, "filter_index")
+    if not fsio.exists(path):
+        raise ValueError(
+            "no filter_index in this index dir — build through "
+            "FuguSparkEngine (facets_col) or pass docs + doc_filter"
+        )
+    fi = si.spark.read.schema("doc_id long, facet string, gen int").parquet(path)
+    pred = None
+    for raw in filters:
+        flt = raw if isinstance(raw, FacetFilter) else parse_filter(raw)
+        if flt.operator == "equals":
+            e = F.col("facet") == flt.path
+        elif flt.operator == "prefix":
+            e = F.col("facet").startswith(flt.path)
+        elif flt.operator == "contains":
+            e = F.col("facet").contains(flt.value or flt.path)
+        else:  # wildcard
+            e = F.lower(F.col("facet")).contains(flt.value)
+        pred = e if pred is None else (pred | e)
+    hits = fi.filter(pred)
+    mask = si.deletes_df()
+    if mask is not None:
+        hits = (
+            hits.join(F.broadcast(mask), "doc_id", "left")
+            .filter(F.col("del_gen").isNull() | (F.col("gen") >= F.col("del_gen")))
+            .drop("del_gen")
+        )
+    return hits.select("doc_id").distinct()
+
+
 def search_segments(
     si: SegmentIndex,
     query_text: str | None,
@@ -381,13 +421,18 @@ def search_segments(
     b: float = BM25_B,
     use_wand: bool = True,
     wand_min_postings: int = 100_000,
+    filter_paths: list | None = None,
 ) -> DataFrame:
     """Top-k search over the segment index → DataFrame(doc_id, score).
 
     MaxScore/block-max pruning costs one extra θ-seeding job, so it only
     engages for pure-OR queries whose posting volume exceeds
     ``wand_min_postings`` — below that the exhaustive single-pass is
-    faster (and identical in results)."""
+    faster (and identical in results).
+
+    ``filter_paths`` applies facet filters from the index's own persisted
+    filter_index (no docs table needed); ``doc_filter`` + ``docs`` is the
+    arbitrary-predicate alternative."""
     plan = parse_query(query_text, mode=mode)
     spark = si.spark
 
@@ -397,6 +442,7 @@ def search_segments(
         and plan.leaves
         and all(l.occur == "should" and not l.is_phrase for l in plan.leaves)
         and doc_filter is None
+        and filter_paths is None
     )
     if pure_or and use_wand:
         meta = _term_meta(si, plan.all_terms())
@@ -443,6 +489,8 @@ def search_segments(
             raise ValueError("doc_filter requires docs")
         keep = docs.filter(doc_filter).select(F.col(id_col).cast("long").alias("doc_id"))
         scored = scored.join(keep, "doc_id", "left_semi")
+    if filter_paths:
+        scored = scored.join(filter_index_docs(si, filter_paths), "doc_id", "left_semi")
     return top_k(scored, k=k)
 
 

@@ -45,17 +45,6 @@ def main() -> int:
     )
     args = p.parse_args()
 
-    if args.spark and args.filter:
-        print(
-            json.dumps(
-                {
-                    "error": "--filter needs the serving path (omit --spark) or "
-                    "the FuguSparkEngine API with a docs table"
-                }
-            )
-        )
-        return 2
-
     searcher = None
     if not args.spark:
         from fugu_spark.serve import LocalSearcher
@@ -79,14 +68,11 @@ def main() -> int:
                     {"doc_id": int(r.doc_id), "score": float(r.score)}
                     for r in pdf.itertuples(index=False)
                 ]
-            except ValueError as e:
-                if args.filter:
-                    # the Spark fallback below has no docs table to apply
-                    # facet filters against — surface instead of silently
-                    # answering the UNfiltered query
-                    print(json.dumps({"query": q, "error": str(e)}))
-                    continue
-                pass  # AllQuery / NOT-only / above the serve cap → Spark
+            except ValueError:
+                # AllQuery / NOT-only / above the serve cap / wildcard
+                # filter: fall through to Spark (which reads the same
+                # persisted filter_index via filter_paths)
+                pass
         if hits is None:
             if spark is None:
                 from pyspark.sql import SparkSession
@@ -97,7 +83,9 @@ def main() -> int:
                 si = SegmentIndex.load(spark, args.index_dir)
             from fugu_spark.segment_search import search_segments
 
-            rows = search_segments(si, q, k=args.k, use_wand=not args.no_wand).collect()
+            rows = search_segments(
+                si, q, k=args.k, use_wand=not args.no_wand, filter_paths=args.filter
+            ).collect()
             hits = [{"doc_id": r.doc_id, "score": r.score} for r in rows]
         print(
             json.dumps(
