@@ -21,7 +21,6 @@ from pyspark.sql import functions as F
 from fugu_spark import postings as P
 from fugu_spark.analytics import dedup, similarity, textstats
 from fugu_spark.facets import (
-    combine_filters,
     derive_facets,
     facet_counts,
     facet_tree_counts,
