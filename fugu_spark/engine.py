@@ -249,18 +249,36 @@ class FuguSparkEngine:
         filters: list[str] | None = None,
         include_data: bool | None = None,
         include_text: bool = True,
+        include_highlights: bool = False,
         **kw,
     ) -> dict:
         """Reference-shaped JSON response (F8,
-        /root/reference/src/server/handlers/search.rs:242-286):
-        ``include_data`` defaults to NOT targeting conv/org filters; when
-        set, each hit carries the full stored object (minus ``text``
-        unless ``include_text``)."""
+        /root/reference/src/server/handlers/search.rs:242-286; shape
+        /root/reference/API.md:108-121 — hits + took_ms, optional
+        highlights): ``include_data`` defaults to NOT targeting conv/org
+        filters; when set, each hit carries the full stored object (minus
+        ``text`` unless ``include_text``)."""
+        import time as _time
+
+        t0 = _time.time()
         targeting = self.is_targeting_conv_or_org(filters)
         if include_data is None:
             include_data = not targeting
         hits = self.search(query, k=k, offset=offset, filters=filters, **kw)
-        results = [{"doc_id": r["doc_id"], "score": r["score"]} for r in hits.collect()]
+        if include_highlights:
+            from .highlights import with_snippets
+
+            hits = with_snippets(
+                hits, self.docs, query or "", id_col=self.id_col, text_col=self.text_col
+            )
+        results = [
+            {
+                "doc_id": r["doc_id"],
+                "score": r["score"],
+                **({"highlights": r["snippet"]} if include_highlights else {}),
+            }
+            for r in hits.collect()
+        ]
         if include_data and results:
             ids = [r["doc_id"] for r in results]
             rows = {
@@ -276,6 +294,7 @@ class FuguSparkEngine:
             "results": results,
             "includes_data_objects": include_data,
             "targeting_conversations_or_organizations": targeting,
+            "took_ms": int((_time.time() - t0) * 1000),
         }
 
     def get(self, doc_id) -> DataFrame:

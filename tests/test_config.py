@@ -102,6 +102,12 @@ def test_include_data_defaults(f8_engine):
     assert all("text" not in r["data"] for r in resp3["results"])
 
 
+def test_search_response_took_and_highlights(f8_engine):
+    resp = f8_engine.search_response("merge", k=10, include_highlights=True)
+    assert isinstance(resp["took_ms"], int) and resp["took_ms"] >= 0
+    assert all("**merge**" in r["highlights"] for r in resp["results"])
+
+
 def test_ingest_facet_tally(f8_engine, spark):
     batch = spark.createDataFrame(
         [
