@@ -327,19 +327,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_all": ann_cosine_all,
         "suggestions": suggestions_q,
         "winnow_fps": lambda spark, sf_dir: textstats.winnow_fingerprints(_docs(spark, sf_dir)),
-        # rows-only (non-SQL-expressible) coverage:
         "minhash_pairs": lambda spark, sf_dir: dedup.minhash_dedup_pairs(
             _docs(spark, sf_dir), threshold=0.5
-        ),
+        ).select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")),
         "simhash_sigs": lambda spark, sf_dir: dedup.simhash_signatures(_docs(spark, sf_dir)),
-        "ann_lsh_top10": lambda spark, sf_dir: similarity.lsh_topk(
-            _emb(spark, sf_dir),
-            list(_emb(spark, sf_dir).filter(F.col("vec_id") == 0).first().embedding),
-            k=10,
-        ),
+        "ann_lsh_top10": _ann_lsh_top10,
+        "ann_lsh_probe2": _ann_lsh_probe2,
         "ann_ivf_top10": _ann_ivf_top10,
     }
     return out
+
+
+def _ann_lsh_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH ANN with full probe: max_probe == n_planes accepts every
+    signature, degenerating to the exact scan — a REAL oracle for the
+    LSH serving path (same trick as _ann_ivf_top10)."""
+    emb = _emb(spark, sf_dir)
+    qvec = list(emb.filter(F.col("vec_id") == 0).first().embedding)
+    out = similarity.lsh_topk(emb, qvec, k=10, n_planes=12, max_probe=12)
+    return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
+def _ann_lsh_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPROXIMATE LSH path (max_probe=2) — oracle-checked too: the
+    hyperplanes are deterministic, so the DuckDB oracle recomputes the
+    same signatures from inlined plane constants and applies the same
+    Hamming prune before the exact re-rank."""
+    emb = _emb(spark, sf_dir)
+    qvec = list(emb.filter(F.col("vec_id") == 0).first().embedding)
+    out = similarity.lsh_topk(emb, qvec, k=10, n_planes=12, max_probe=2)
+    return out.select("vec_id", F.round("score", 6).alias("score"))
 
 
 def _ann_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -524,6 +541,127 @@ reach(a, b) AS (
 SELECT a AS doc_id, least(a, min(b)) AS keep_id FROM reach GROUP BY a"""
 
 
+# MinHash oracle: recompute the EXACT signatures (md5-60bit shingle hash
+# mod p31, (a·x+b) mod p31 per slot — same spec as dedup.minhash_signatures),
+# derive LSH-band candidates (a pair is a candidate iff some band of
+# consecutive slots matches entirely — what the Spark side's xxhash64
+# band-bucket join computes, minus negligible hash collisions), then
+# est_jaccard = matching-slot fraction over candidates.
+def _minhash_oracle_sql(
+    num_hashes: int = 64, k: int = 3, bands: int = 16, threshold: float = 0.5
+) -> str:
+    from fugu_spark.analytics.dedup import MINHASH_P, minhash_params
+
+    a, b = minhash_params(num_hashes)
+    params = ", ".join(f"({i},{ai},{bi})" for i, (ai, bi) in enumerate(zip(a, b)))
+    rpb = num_hashes // bands
+    return f"""WITH params(i, a, b) AS (VALUES {params}),
+toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS l
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS gram
+  FROM toks, unnest(generate_series(1, len(l) - {k - 1})) AS t(i)
+  WHERE len(l) >= {k}
+  UNION ALL
+  SELECT doc_id, array_to_string(l, ' ') FROM toks WHERE len(l) BETWEEN 1 AND {k - 1}
+),
+gh AS (SELECT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT % {MINHASH_P} AS x FROM grams),
+sig AS (
+  SELECT d.doc_id, p.i, coalesce(min((p.a * g.x + p.b) % {MINHASH_P}), 0) AS slot
+  FROM documents d CROSS JOIN params p LEFT JOIN gh g ON g.doc_id = d.doc_id
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT id_a, id_b FROM (
+    SELECT sa.doc_id AS id_a, sb.doc_id AS id_b
+    FROM sig sa JOIN sig sb ON sa.i = sb.i AND sa.slot = sb.slot AND sa.doc_id < sb.doc_id
+    GROUP BY sa.doc_id, sb.doc_id, sa.i // {rpb}
+    HAVING count(*) = {rpb}
+  )
+),
+est AS (
+  SELECT c.id_a, c.id_b,
+         sum(CASE WHEN sa.slot = sb.slot THEN 1 ELSE 0 END)::DOUBLE / {num_hashes} AS est_jaccard
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.id_a
+  JOIN sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(est_jaccard, 6) AS est_jaccard FROM est WHERE est_jaccard >= {threshold}"""
+
+
+# SimHash oracle: identical 60-bit weighted-bit-majority signature from
+# the same md5-60bit token hash (dedup.simhash_signatures spec).
+_SIMHASH_SQL = f"""WITH {_TOK},
+tokc AS (SELECT doc_id, term, count(*) AS w FROM tok GROUP BY 1, 2),
+th AS (SELECT doc_id, ('0x' || substr(md5(term), 1, 15))::BIGINT AS h, w FROM tokc),
+acc AS (
+  SELECT doc_id, j, sum(CASE WHEN ((h >> j) & 1) = 1 THEN w ELSE -w END) AS a
+  FROM th, unnest(generate_series(0, 59)) AS t(j)
+  GROUP BY 1, 2
+),
+sh AS (
+  SELECT doc_id, sum(CASE WHEN a > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS simhash
+  FROM acc GROUP BY 1
+)
+SELECT d.doc_id, coalesce(s.simhash, 0) AS simhash FROM documents d LEFT JOIN sh s USING (doc_id)"""
+
+
+# Exact ANN top-10 (shared by the full-probe IVF and full-probe LSH
+# entries — both degenerate to the brute-force scan).
+_EXACT_ANN_TOP10_SQL = """
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    sc AS (
+      SELECT e.vec_id,
+             sum(e.embedding[i]::DOUBLE * q.qe[i]::DOUBLE)
+               / (sqrt(sum(e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))
+                  * sqrt(sum(q.qe[i]::DOUBLE * q.qe[i]::DOUBLE))) AS cosine
+      FROM embeddings e, q, unnest(generate_series(1, len(e.embedding))) t(i)
+      GROUP BY e.vec_id
+    )
+    SELECT vec_id, round(cosine, 6) AS score FROM sc
+    ORDER BY cosine DESC, vec_id ASC LIMIT 10"""
+
+
+# Approximate-LSH oracle: the hyperplanes are deterministic functions of
+# (n_planes, dim, seed), so they are inlined as constants; signatures,
+# the query signature, the Hamming-<=max_probe prune, and the exact
+# cosine re-rank are all recomputed independently in SQL.
+def _lsh_probe_oracle_sql(
+    n_planes: int = 12, dim: int = 64, seed: int = 42, max_probe: int = 2, k: int = 10
+) -> str:
+    from fugu_spark.analytics.similarity import _planes
+
+    pl = _planes(dim, n_planes, seed)
+    vals = ", ".join(
+        f"({i},{j},{pl[i, j]!r})" for i in range(n_planes) for j in range(dim)
+    )
+    return f"""WITH planes(i, j, v) AS (VALUES {vals}),
+dots AS (
+  SELECT e.vec_id, p.i, sum(e.embedding[p.j + 1]::DOUBLE * p.v) AS dp
+  FROM embeddings e, planes p GROUP BY 1, 2
+),
+sigs AS (
+  SELECT vec_id, sum(CASE WHEN dp > 0 THEN (1::BIGINT << i) ELSE 0 END) AS sig
+  FROM dots GROUP BY 1
+),
+q AS (SELECT sig AS qsig FROM sigs WHERE vec_id = 0),
+qe AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+cand AS (SELECT s.vec_id FROM sigs s, q WHERE bit_count(xor(s.sig, q.qsig)) <= {max_probe}),
+sc AS (
+  SELECT e.vec_id,
+         sum(e.embedding[i]::DOUBLE * qe.qv[i]::DOUBLE)
+           / (sqrt(sum(e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))
+              * sqrt(sum(qe.qv[i]::DOUBLE * qe.qv[i]::DOUBLE))) AS score
+  FROM embeddings e JOIN cand c USING (vec_id), qe,
+       unnest(generate_series(1, len(e.embedding))) t(i)
+  GROUP BY e.vec_id
+)
+SELECT vec_id, round(score, 6) AS score FROM sc ORDER BY score DESC, vec_id ASC LIMIT {k}"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "postings_tf": f"WITH {_TOK} SELECT term, doc_id, tf FROM post",
@@ -626,19 +764,13 @@ def oracle_sql() -> dict[str, str]:
                             * sqrt(sum(q.qe[i]::DOUBLE * q.qe[i]::DOUBLE))), 6) AS cosine
             FROM embeddings e, q, unnest(generate_series(1, len(e.embedding))) t(i)
             GROUP BY e.vec_id""",
-        # IVF with nprobe == n_centroids is exact → brute-force top-10 oracle
-        "ann_ivf_top10": """
-            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-            sc AS (
-              SELECT e.vec_id,
-                     sum(e.embedding[i]::DOUBLE * q.qe[i]::DOUBLE)
-                       / (sqrt(sum(e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))
-                          * sqrt(sum(q.qe[i]::DOUBLE * q.qe[i]::DOUBLE))) AS cosine
-              FROM embeddings e, q, unnest(generate_series(1, len(e.embedding))) t(i)
-              GROUP BY e.vec_id
-            )
-            SELECT vec_id, round(cosine, 6) AS score FROM sc
-            ORDER BY cosine DESC, vec_id ASC LIMIT 10""",
+        # IVF nprobe == n_centroids and LSH max_probe == n_planes are both
+        # exact → shared brute-force top-10 oracle
+        "ann_ivf_top10": _EXACT_ANN_TOP10_SQL,
+        "ann_lsh_top10": _EXACT_ANN_TOP10_SQL,
+        "ann_lsh_probe2": _lsh_probe_oracle_sql(),
+        "minhash_pairs": _minhash_oracle_sql(),
+        "simhash_sigs": _SIMHASH_SQL,
         "suggestions": """
             WITH toks AS (
               SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents

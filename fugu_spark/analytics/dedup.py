@@ -2,9 +2,11 @@
 
 Scale design: every near-dup path is candidate-generation-by-bucketing
 (band-hash equality join) followed by verification ONLY within buckets —
-never an all-pairs product. Signatures are computed in one vectorized
-mapInPandas pass (numpy broadcasting, deterministic hashes), so the only
-shuffles are the bucket groupBy/join and the final pair dedup.
+never an all-pairs product. MinHash signatures are pure column
+expressions (JVM codegen, zero Python workers); SimHash is one vectorized
+mapInPandas pass. Both hash with the SQL-expressible md5-60-bit value so
+the driver's independent DuckDB oracle recomputes identical signatures.
+The only shuffles are the bucket groupBy/join and the final pair dedup.
 """
 
 from __future__ import annotations
@@ -17,8 +19,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-_MERSENNE = (1 << 61) - 1
+from .textstats import gram_hash60
+
 _MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+# MinHash permutation modulus: the Mersenne prime 2^31−1. Chosen (over
+# 2^61−1, used in rounds 1-2) so (a·x + b) mod p is exact in plain BIGINT
+# arithmetic — a, x < 2^31 keeps the product < 2^62 — making the SAME
+# signature computable in Spark column expressions AND in ANSI SQL for
+# the DuckDB oracle. 2^31 slot values keep same-slot collisions for
+# unequal grams negligible at est_jaccard resolution (1/num_hashes).
+MINHASH_P = (1 << 31) - 1
 
 
 def _splitmix64(x: np.ndarray) -> np.ndarray:
@@ -28,32 +39,14 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
     return x ^ (x >> np.uint64(31))
 
 
-def _affine_mod_p61(x: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """(a·x + b) mod (2^61−1) in pure uint64 numpy — no Python-object
-    bigints in the MinHash hot loop. Inputs must already be < 2^61−1.
-
-    The 128-bit product is assembled from 32-bit limbs (each partial fits
-    u64, numpy wraps mod 2^64 so carries are recovered by comparison),
-    then reduced with 2^64 ≡ 8 (mod p) for the Mersenne prime p=2^61−1."""
-    P = np.uint64(_MERSENNE)
-    m32 = np.uint64(0xFFFFFFFF)
-    c32, c61, c64 = np.uint64(32), np.uint64(61), np.uint64(8)
-    ah, al = a >> c32, a & m32
-    xh, xl = x >> c32, x & m32
-    ll = al * xl
-    lh = al * xh
-    hl = ah * xl
-    hh = ah * xh
-    mid = lh + hl  # may wrap: carry contributes 2^64·carry → hi += 2^32·carry
-    carry_mid = (mid < lh).astype(np.uint64)
-    lo = ll + ((mid & m32) << c32)
-    carry_lo = (lo < ll).astype(np.uint64)
-    hi = hh + (mid >> c32) + (carry_mid << c32) + carry_lo
-    r = (lo & P) + (lo >> c61) + hi * c64  # hi < 2^58 → hi·8 < 2^61, no wrap
-    r = (r & P) + (r >> c61)
-    r = np.where(r >= P, r - P, r)
-    v = r + b
-    return np.where(v >= P, v - P, v)
+def minhash_params(num_hashes: int) -> tuple[list[int], list[int]]:
+    """Deterministic (a_i, b_i) permutation parameters, a in [1, p−1],
+    b in [0, p−1], derived from splitmix64 — identical across runs and
+    shared with the SQL oracle generator."""
+    seeds = _splitmix64(np.arange(1, num_hashes + 1, dtype=np.uint64))
+    a = (seeds % np.uint64(MINHASH_P - 1) + np.uint64(1)).astype(np.int64)
+    b = (_splitmix64(seeds) % np.uint64(MINHASH_P)).astype(np.int64)
+    return a.tolist(), b.tolist()
 
 
 # ---------------------------------------------------------------- exact
@@ -71,14 +64,24 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 # ---------------------------------------------------------------- minhash
 
 
-def _shingle_hashes(tokens: list[str], k: int) -> np.ndarray:
-    if len(tokens) < k:
-        grams = [" ".join(tokens)] if tokens else []
-    else:
-        grams = [" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)]
-    if not grams:
-        return np.array([], dtype=np.uint64)
-    return pd.util.hash_array(np.asarray(grams, dtype=object)).astype(np.uint64)
+def shingle_grams_expr(text_col, k: int):
+    """Token k-shingle strings as an array column: k-token joins for docs
+    with ≥ k tokens; ONE whole-doc gram for shorter non-empty docs (the
+    standard short-doc degeneration); empty array for empty docs. The
+    sequence upper bound is only evaluated when size ≥ k (Spark's
+    sequence(1,0) would yield [1,0] and slice(·,0,·) errors)."""
+    toks = F.filter(F.split(F.lower(text_col), "[^a-z0-9]+"), lambda x: x != "")
+    return (
+        F.when(
+            F.size(toks) >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
+                lambda i: F.array_join(F.slice(toks, i, k), " "),
+            ),
+        )
+        .when(F.size(toks) > 0, F.array(F.array_join(toks, " ")))
+        .otherwise(F.array().cast("array<string>"))
+    )
 
 
 def minhash_signatures(
@@ -90,39 +93,31 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, signature array<long>) — MinHash over token k-shingles.
 
-    Permutations are (a_i * x + b_i) mod 2^61-1 with a/b derived from
-    splitmix64(seed), identical across runs/partitions.
-    """
-    seeds = _splitmix64(np.arange(1, num_hashes + 1, dtype=np.uint64))
-    a = (seeds % np.uint64(_MERSENNE - 1) + np.uint64(1)).astype(np.uint64)
-    b = _splitmix64(seeds) % np.uint64(_MERSENNE)
+    Pure column expressions (JVM codegen — no Python workers): gram hash
+    is the SQL-expressible md5-60-bit value (:func:`gram_hash60`) reduced
+    mod p = 2^31−1, permutations are (a_i·x + b_i) mod p with a/b from
+    splitmix64 (``minhash_params``). The identical signature is
+    recomputable in DuckDB SQL, which is what greens the driver oracle.
+    Empty docs get the all-zeros signature."""
+    a, b = minhash_params(num_hashes)
+    p = F.lit(MINHASH_P)
+    xs = F.transform(
+        shingle_grams_expr(F.col(text_col), shingle_k), lambda g: gram_hash60(g) % p
+    )
+    staged = docs.select(F.col(id_col), xs.alias("_xs"))
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        P = np.uint64(_MERSENNE)
-        for pdf in batches:
-            toks = pdf[text_col].fillna("").str.lower().str.findall(r"[a-z0-9]+")
-            ids, sigs = [], []
-            for doc_id, ts in zip(pdf[id_col], toks):
-                sh = _shingle_hashes(list(ts), shingle_k)
-                if len(sh) == 0:
-                    ids.append(doc_id)
-                    sigs.append([0] * num_hashes)
-                    continue
-                # x ≡ sh (mod p) keeps (a·x+b) mod p identical to exact
-                # bigint arithmetic on the raw 64-bit shingle hashes
-                x = (sh % P)[:, None]
-                vals = _affine_mod_p61(x, a[None, :], b[None, :])
-                sigs.append(vals.min(axis=0).astype(np.int64).tolist())
-                ids.append(doc_id)
-            yield pd.DataFrame({id_col: ids, "signature": sigs})
+    def perm(ai: int, bi: int):
+        return lambda v: (F.lit(ai) * v + F.lit(bi)) % p
 
-    schema = T.StructType(
-        [
-            T.StructField(id_col, T.LongType(), False),
-            T.StructField("signature", T.ArrayType(T.LongType()), False),
+    sig = F.array(
+        *[
+            F.coalesce(F.array_min(F.transform(F.col("_xs"), perm(ai, bi))), F.lit(0)).cast(
+                "long"
+            )
+            for ai, bi in zip(a, b)
         ]
     )
-    return docs.select(id_col, text_col).mapInPandas(gen, schema=schema)
+    return staged.select(id_col, sig.alias("signature"))
 
 
 def lsh_bands(sigs: DataFrame, id_col: str = "doc_id", bands: int = 16) -> DataFrame:
@@ -247,14 +242,28 @@ def dup_groups(
 # ---------------------------------------------------------------- simhash
 
 
+SIMHASH_BITS = 60
+
+
 def simhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """64-bit SimHash over tf-weighted token hashes (vectorized numpy)."""
+    """60-bit SimHash over tf-weighted token hashes.
+
+    Token hash = first 15 hex chars of md5 as an integer — the same
+    SQL-expressible value as :func:`gram_hash60` — so the driver's DuckDB
+    oracle recomputes the identical signature (60 bits rather than 64 is
+    the price of staying inside signed BIGINT on both engines). The
+    per-doc accumulation is vectorized numpy: weighted ±1 bit votes, one
+    shift-and-sum bit-pack (no per-bit Python loop); md5 per DISTINCT
+    token is memoized per Arrow batch."""
+    import hashlib
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        shifts = np.arange(SIMHASH_BITS, dtype=np.uint64)
         for pdf in batches:
             toks = pdf[text_col].fillna("").str.lower().str.findall(r"[a-z0-9]+")
+            memo: dict[str, int] = {}
             ids, hashes = [], []
             for doc_id, ts in zip(pdf[id_col], toks):
                 ids.append(doc_id)
@@ -262,17 +271,17 @@ def simhash_signatures(
                     hashes.append(0)
                     continue
                 vc = pd.Series(ts).value_counts()
-                h = pd.util.hash_array(np.asarray(vc.index, dtype=object)).astype(np.uint64)
+                hv = np.empty(len(vc), dtype=np.uint64)
+                for i, t in enumerate(vc.index):
+                    v = memo.get(t)
+                    if v is None:
+                        v = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+                        memo[t] = v
+                    hv[i] = v
                 w = vc.to_numpy().astype(np.int64)
-                bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
-                    np.int64
-                )
+                bits = ((hv[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
                 acc = ((bits * 2 - 1) * w[:, None]).sum(axis=0)
-                sig = np.uint64(0)
-                for j in range(64):
-                    if acc[j] > 0:
-                        sig |= np.uint64(1) << np.uint64(j)
-                hashes.append(int(sig.astype(np.int64)))  # reinterpret as signed
+                hashes.append(int(((acc > 0).astype(np.uint64) << shifts).sum()))
             yield pd.DataFrame({id_col: ids, "simhash": hashes})
 
     schema = T.StructType(
@@ -291,13 +300,13 @@ def simhash_dup_pairs(
     max_hamming: int = 3,
 ) -> DataFrame:
     """Pairs with Hamming(simhash) ≤ max_hamming. Candidates bucketed by
-    4 × 16-bit chunks (pigeonhole: ≤3 differing bits → ≥1 identical chunk)."""
+    4 × 15-bit chunks (pigeonhole: ≤3 differing bits → ≥1 identical chunk)."""
     sigs = simhash_signatures(docs, id_col, text_col).cache()
     chunks = sigs.select(
         id_col,
         "simhash",
         F.posexplode(
-            F.array(*[F.shiftrightunsigned("simhash", s).bitwiseAND(F.lit(0xFFFF)) for s in (0, 16, 32, 48)])
+            F.array(*[F.shiftrightunsigned("simhash", s).bitwiseAND(F.lit(0x7FFF)) for s in (0, 15, 30, 45)])
         ).alias("chunk_id", "chunk"),
     )
     left = chunks.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"), "chunk_id", "chunk")
@@ -340,23 +349,14 @@ def ngram_jaccard_pairs(
     base = docs.select(id_col, text_col)
     if id_limit is not None:
         base = base.filter(F.col(id_col) < id_limit)
-    toks = base.select(
+    grams = base.select(
         id_col,
-        F.filter(F.split(F.lower(text_col), "[^a-z0-9]+"), lambda x: x != "").alias("toks"),
-    )
-    grams = toks.select(
-        id_col,
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.greatest(F.size("toks") - (n - 1), F.lit(0))),
-                    lambda i: F.array_join(F.slice("toks", i, n), " "),
-                )
-            )
-        ).alias("gram"),
+        F.explode(F.array_distinct(shingle_grams_expr(F.col(text_col), n))).alias("gram"),
     )
     if max_gram_df is not None:
-        gram_df = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("gram_df"))
+        # distinct docs per gram (grams are already doc-distinct via
+        # array_distinct, but countDistinct states the contract exactly)
+        gram_df = grams.groupBy("gram").agg(F.countDistinct(id_col).alias("gram_df"))
         grams = (
             grams.join(gram_df.filter(F.col("gram_df") <= max_gram_df), "gram")
             .drop("gram_df")

@@ -460,8 +460,9 @@ def search_segments(
         # come from the index itself — decode every live posting (this IS
         # a full scan; that's the query's semantics). Docs whose text
         # produced zero postings are unrepresentable here: pass `docs` to
-        # include them.
-        decoded = decode_all_postings(si)
+        # include them. Positions must ride along when the plan has a
+        # phrase (e.g. `NOT "foo bar"`) or the exclusion silently no-ops.
+        decoded = decode_all_postings(si, with_positions=need_pos)
     elif plan.is_all or not live_terms:
         decoded = spark.createDataFrame([], _DECODED_SCHEMA)
     else:
@@ -490,7 +491,23 @@ def search_segments(
         keep = docs.filter(doc_filter).select(F.col(id_col).cast("long").alias("doc_id"))
         scored = scored.join(keep, "doc_id", "left_semi")
     if filter_paths:
-        scored = scored.join(filter_index_docs(si, filter_paths), "doc_id", "left_semi")
+        try:
+            matched = filter_index_docs(si, filter_paths)
+        except ValueError:
+            # pre-0.3.0 index (or one built without a facets column): fall
+            # back to combining the filters over the docs table — the
+            # loud error stays only for the docs-less case
+            if docs is None:
+                raise
+            from .facets import combine_filters
+
+            pred = combine_filters(filter_paths, F.col("facets"))
+            matched = (
+                docs.filter(pred)
+                .select(F.col(id_col).cast("long").alias("doc_id"))
+                .distinct()
+            )
+        scored = scored.join(matched, "doc_id", "left_semi")
     return top_k(scored, k=k)
 
 

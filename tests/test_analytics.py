@@ -30,28 +30,76 @@ def test_exact_dedup(docs):
     assert dup.keep_id == 0
 
 
-def test_minhash_affine_mod_exactness():
-    """uint64 limb-split (a·x+b) mod 2^61−1 must equal exact bigint math —
-    signatures are pinned across the vectorization rewrite."""
-    import numpy as np
+def _py_tokens(text: str) -> list[str]:
+    import re
 
-    from fugu_spark.analytics.dedup import _MERSENNE, _affine_mod_p61
+    return [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
 
-    rng = np.random.default_rng(7)
-    P = np.uint64(_MERSENNE)
-    x = np.concatenate(
-        [
-            rng.integers(0, 2**64, size=500, dtype=np.uint64),
-            np.array([0, 1, _MERSENNE - 1, _MERSENNE, 2**64 - 1], dtype=np.uint64),
-        ]
+
+def _py_hash60(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _py_minhash(text: str, num_hashes: int = 64, k: int = 3) -> list[int]:
+    """Independent pure-Python MinHash reference (exact bigint math)."""
+    from fugu_spark.analytics.dedup import MINHASH_P, minhash_params
+
+    toks = _py_tokens(text)
+    if len(toks) >= k:
+        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    else:
+        grams = [" ".join(toks)] if toks else []
+    xs = [_py_hash60(g) % MINHASH_P for g in grams]
+    a, b = minhash_params(num_hashes)
+    if not xs:
+        return [0] * num_hashes
+    return [min((ai * x + bi) % MINHASH_P for x in xs) for ai, bi in zip(a, b)]
+
+
+def _py_simhash(text: str) -> int:
+    """Independent pure-Python SimHash reference."""
+    from collections import Counter
+
+    from fugu_spark.analytics.dedup import SIMHASH_BITS
+
+    counts = Counter(_py_tokens(text))
+    sig = 0
+    for j in range(SIMHASH_BITS):
+        acc = sum(w if (_py_hash60(t) >> j) & 1 else -w for t, w in counts.items())
+        if acc > 0:
+            sig |= 1 << j
+    return sig
+
+
+def test_minhash_matches_python_reference(docs):
+    """Spark column-expression signatures == exact-bigint Python reference
+    (pins the md5-60bit-mod-p31 hash spec the DuckDB oracle relies on)."""
+    sigs = {r.doc_id: list(r.signature) for r in dedup.minhash_signatures(docs).collect()}
+    for doc_id, text in DOCS:
+        assert sigs[doc_id] == _py_minhash(text), f"doc {doc_id}"
+
+
+def test_minhash_short_and_empty_docs(spark):
+    """<k tokens → single whole-doc gram; empty → all-zero signature
+    (Spark's sequence(1,0)=[1,0] / slice(·,0,·) trap must not fire)."""
+    df = spark.createDataFrame(
+        [(1, "two tokens"), (2, ""), (3, "one"), (4, "   .,;   ")],
+        "doc_id long, text string",
     )
-    a = rng.integers(1, _MERSENNE - 1, size=64).astype(np.uint64)
-    b = rng.integers(0, _MERSENNE, size=64).astype(np.uint64)
-    got = _affine_mod_p61((x % P)[:, None], a[None, :], b[None, :])
-    exact = (
-        x.astype(object)[:, None] * a.astype(object)[None, :] + b.astype(object)[None, :]
-    ) % _MERSENNE
-    assert (got.astype(object) == exact).all()
+    sigs = {r.doc_id: list(r.signature) for r in dedup.minhash_signatures(df).collect()}
+    assert sigs[1] == _py_minhash("two tokens")
+    assert sigs[2] == [0] * 64
+    assert sigs[3] == _py_minhash("one")
+    assert sigs[4] == [0] * 64
+
+
+def test_simhash_matches_python_reference(docs):
+    got = {r.doc_id: r.simhash for r in dedup.simhash_signatures(docs).collect()}
+    for doc_id, text in DOCS:
+        assert got[doc_id] == _py_simhash(text), f"doc {doc_id}"
+    assert all(0 <= v < 2**60 for v in got.values())
 
 
 def test_minhash_identical_signature(docs):
