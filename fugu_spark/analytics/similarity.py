@@ -230,27 +230,124 @@ def ivf_topk(
     )
 
 
+def lsh_band_params(
+    threshold: float, target_recall: float = 0.98, max_planes: int = 192
+) -> tuple[int, int]:
+    """(bands, bits_per_band) sized so a pair at exactly ``threshold``
+    cosine becomes a candidate with probability ≥ ``target_recall``.
+
+    A hyperplane bit agrees with probability p = 1 − acos(t)/π; one band
+    of r bits fully matches with p^r; ANY of b bands matching makes the
+    pair a candidate: 1 − (1−p^r)^b. Larger r → smaller (2^r-way) buckets
+    per band, so pick the largest r whose required b fits ``max_planes``
+    total hyperplanes. At threshold 0.95 this yields b=14 bands of r=13
+    bits (predicted recall 0.98, 8192 buckets per band) — vs the
+    single-band-equality blocking it replaces, whose recall at 0.95 was
+    ≈ (1 − acos(.95)/π)^12 ≈ 0.28."""
+    import math
+
+    t = min(max(threshold, -1.0), 1.0)
+    p = 1.0 - math.acos(t) / math.pi
+    for r in range(16, 0, -1):
+        pr = p**r
+        if pr >= 1.0:
+            return 1, r
+        if pr <= 0.0:
+            continue
+        b = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - pr))
+        if b * r <= max_planes:
+            return b, r
+    return max_planes, 1
+
+
+def banded_signatures(
+    embeddings: DataFrame,
+    bands: int,
+    bits_per_band: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """(id, band, bucket) rows: one vectorized mapInPandas pass — the
+    whole batch is one (n × dim) @ (dim × b·r) matmul, bits packed per
+    band with a shift-and-sum (no per-row Python)."""
+    import pandas as pd
+
+    dim = len(embeddings.select(vec_col).first()[0])
+    planes = _planes(dim, bands * bits_per_band, seed)
+    bc = embeddings.sparkSession.sparkContext.broadcast(planes)
+    nb, r = bands, bits_per_band
+
+    def gen(batches):
+        pl = bc.value
+        w = 1 << np.arange(r, dtype=np.uint64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            bits = (x @ pl.T) > 0  # (n, nb·r)
+            buckets = (
+                (bits.reshape(len(x), nb, r).astype(np.uint64) * w[None, None, :])
+                .sum(axis=2)
+                .astype(np.int64)
+            )
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), nb),
+                    "band": np.tile(np.arange(nb, dtype=np.int32), len(x)),
+                    "bucket": buckets.reshape(-1),
+                }
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        gen, schema=f"{id_col} long, band int, bucket long"
+    )
+
+
 def embedding_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 12,
+    bands: int | None = None,
+    bits_per_band: int | None = None,
     seed: int = 42,
+    target_recall: float = 0.98,
+    max_bucket: int | None = 1_000_000,
 ) -> DataFrame:
-    """Near-dup pairs by cosine ≥ threshold; LSH-bucket equality blocking."""
-    dim = len(embeddings.select(vec_col).first()[0])
-    planes = _planes(dim, n_planes, seed)
-    sig = embeddings.select(id_col, vec_col).withColumn(
-        "bucket", lsh_signature_expr(F.col(vec_col), planes)
-    )
-    a = sig.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket")
-    b = sig.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket")
-    return (
-        a.join(b, "bucket")
+    """Near-dup pairs by cosine ≥ threshold with MULTI-BAND LSH blocking:
+    a pair is a candidate if ANY band's bucket matches, then exact cosine
+    verify. Precision is exact (verification); recall ≥ ``target_recall``
+    at the threshold by construction (:func:`lsh_band_params`), pinned
+    against brute-force ground truth in tests.
+
+    ``max_bucket`` drops (band, bucket) groups larger than the cap before
+    the self-join — the skew guard for 10^12-row corpora (a degenerate
+    bucket makes the join quadratic in its size). A pair sharing only
+    over-cap buckets is missed; with b bands a pair has b independent
+    chances, so the documented recall floor degrades only for vectors
+    inside >max_bucket-sized near-duplicate clusters (which exact-dedup
+    upstream should have collapsed). Set None to disable."""
+    if bands is None or bits_per_band is None:
+        bands, bits_per_band = lsh_band_params(threshold, target_recall)
+    sig = banded_signatures(embeddings, bands, bits_per_band, id_col, vec_col, seed)
+    if max_bucket is not None:
+        counts = sig.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_n"))
+        sig = sig.join(counts.filter(F.col("_n") <= max_bucket), ["band", "bucket"]).drop("_n")
+    a = sig.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = sig.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ea = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    eb = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
         .withColumn("cosine", cosine_expr(F.col("va"), F.col("vb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
-        .distinct()
     )

@@ -227,13 +227,29 @@ def heap_topk(scored: DataFrame, k: int) -> DataFrame:
 _META_COLS = ["term", "df", "term_bucket", "max_tf", "min_doc_len"]
 
 
+def _warn_spark_fallback(what: str, exc: Exception) -> None:
+    """The pyarrow fast paths fall back to a Spark scan rather than fail,
+    but NEVER silently: a real defect in the pyarrow path (schema drift,
+    corrupted files, a wrong filter) would otherwise be masked as a
+    10-100x per-query slowdown."""
+    import warnings
+
+    warnings.warn(
+        f"{what}: pyarrow fast path failed "
+        f"({type(exc).__name__}: {exc}); falling back to a Spark scan",
+        RuntimeWarning,
+        stacklevel=3,
+    )
+
+
 def _term_meta(si: SegmentIndex, terms: list[str]) -> dict[str, dict]:
     """Dictionary lookup for the query's terms.
 
     Hot path reads the terms parquet driver-side through pyarrow with a
     pushed-down term filter (row-group min/max pruning; no Spark job —
-    queries should launch exactly one job). Falls back to a Spark scan if
-    the dictionary isn't reachable as a pyarrow dataset (e.g. exotic FS)."""
+    queries should launch exactly one job). Falls back to a Spark scan —
+    with a RuntimeWarning, never silently — if the dictionary isn't
+    reachable as a pyarrow dataset (exotic FS, empty/corrupt terms dir)."""
     rows: list[dict] = []
     if not terms:
         return {}
@@ -250,8 +266,8 @@ def _term_meta(si: SegmentIndex, terms: list[str]) -> dict[str, dict]:
             si._terms_ds = dset
         tbl = dset.to_table(columns=_META_COLS, filter=pads.field("term").isin(terms))
         rows = tbl.to_pylist()
-    except Exception:
-        # exotic FS, or an empty index whose terms dir has no data files
+    except Exception as e:
+        _warn_spark_fallback("terms dictionary lookup", e)
         rows = [
             r.asDict() for r in si.terms.filter(F.col("term").isin(terms)).collect()
         ]
@@ -347,7 +363,8 @@ def anchor_doc_ranges(
         tbl = dset.to_table(columns=["min_doc_id", "max_doc_id"], filter=flt)
         starts = tbl["min_doc_id"].to_numpy()
         ends = tbl["max_doc_id"].to_numpy()
-    except Exception:
+    except Exception as e:
+        _warn_spark_fallback("anchor block-range metadata read", e)
         rows = (
             si.segments_df(terms=[term], buckets=[term_meta[term]["term_bucket"]])
             .select("min_doc_id", "max_doc_id")

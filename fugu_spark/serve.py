@@ -48,6 +48,21 @@ def _tf_norm(tf: np.ndarray, dl: np.ndarray, avgdl: float, k1: float, b: float) 
     return tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl.astype(np.float64) / avgdl))
 
 
+def _prefix_upper_bound(prefix: str) -> str | None:
+    """Smallest string (in UTF-8 byte order) greater than every string
+    with this prefix: increment the last incrementable code point,
+    skipping the surrogate gap. None when no such bound exists (the
+    prefix is all U+10FFFF) — callers then scan with only the lower
+    bound and rely on the exact re-check."""
+    for i in range(len(prefix) - 1, -1, -1):
+        nxt = ord(prefix[i]) + 1
+        if nxt == 0xD800:  # skip the unencodable surrogate range
+            nxt = 0xE000
+        if nxt <= 0x10FFFF:
+            return prefix[:i] + chr(nxt)
+    return None
+
+
 class LocalSearcher:
     """Query-side reader over a segment index directory (no SparkSession)."""
 
@@ -183,8 +198,9 @@ class LocalSearcher:
     def _allowed_docs(self, filters: list[str]) -> np.ndarray:
         """Doc ids matching ANY filter (the reference ORs filters), read
         from the persisted filter index with pyarrow pushdown: equality
-        for Equals, a [path, path+\\uffff) range for Prefix. Contains /
-        wildcard filters can't push down (full facet-column scan at
+        for Equals, a [path, successor(path)) byte-order range plus an
+        exact startswith re-check for Prefix. Contains / wildcard filters
+        can't push down (full facet-column scan at
         corpus scale) → raise; callers fall back to the Spark path."""
         import pyarrow.dataset as pads
 
@@ -196,23 +212,38 @@ class LocalSearcher:
                 "queries need the Spark path"
             )
         expr = None
+        post: list[tuple[str, str]] = []
         for raw in filters:
             flt = raw if isinstance(raw, FacetFilter) else parse_filter(raw)
             if flt.operator == "equals":
                 e = pads.field("facet") == flt.path
+                post.append(("equals", flt.path))
             elif flt.operator == "prefix":
-                e = (pads.field("facet") >= flt.path) & (
-                    pads.field("facet") < flt.path + "\uffff"
-                )
+                # [path, successor(path)) in UTF-8 byte order: the
+                # successor increments the last incrementable code point,
+                # upper-bounding EVERY continuation (a path+U+FFFF bound
+                # misses non-BMP continuations, whose UTF-8 bytes sort
+                # above it); the exact startswith re-check below handles
+                # the widened range when an earlier position had to be
+                # incremented
+                ub = _prefix_upper_bound(flt.path)
+                e = pads.field("facet") >= flt.path
+                if ub is not None:
+                    e = e & (pads.field("facet") < ub)
+                post.append(("prefix", flt.path))
             else:
                 raise ValueError(
                     f"filter operator {flt.operator!r} is not locally "
                     "servable — use search_segments"
                 )
             expr = e if expr is None else (expr | e)
-        tbl = self._filters_ds.to_table(columns=["doc_id", "gen"], filter=expr)
-        ids = tbl["doc_id"].to_numpy()
-        gens = tbl["gen"].to_numpy()
+        tbl = self._filters_ds.to_table(columns=["doc_id", "facet", "gen"], filter=expr)
+        fac = tbl["facet"].to_pandas()
+        ok = np.zeros(len(fac), dtype=bool)
+        for op, v in post:
+            ok |= (fac == v).to_numpy() if op == "equals" else fac.str.startswith(v).to_numpy()
+        ids = tbl["doc_id"].to_numpy()[ok]
+        gens = tbl["gen"].to_numpy()[ok]
         if self._deletes is not None and len(ids):
             dg = self._deletes.reindex(ids).to_numpy(dtype=np.float64)
             keep = np.isnan(dg) | (gens >= dg)

@@ -30,6 +30,7 @@ def start_stream_ingest(
     checkpoint_dir: str,
     id_col: str = "doc_id",
     text_col: str = "content",
+    facets_col: str | None = "facets",
     mode: str = DEFAULT_MODE,
     fmt: str = "parquet",
     available_now: bool = True,
@@ -40,6 +41,12 @@ def start_stream_ingest(
     ``available_now=True`` drains everything currently present and stops
     (the batch-resume pattern: run it from cron/Airflow); False keeps a
     continuous micro-batch stream running. Returns the StreamingQuery.
+
+    When the stream schema carries ``facets_col``, each micro-batch also
+    appends the corresponding filter_index rows at the new generation —
+    without this, an upsert's del_gen would delete-mask the doc's OLDER
+    filter_index rows and the doc would silently vanish from
+    facet-filtered results while still matching unfiltered queries.
     """
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
@@ -50,7 +57,13 @@ def start_stream_ingest(
         if batch.isEmpty():
             return
         si = SegmentIndex.load(spark, index_dir)
-        upsert_segments(si, batch, id_col=id_col, text_col=text_col, mode=mode)
+        si = upsert_segments(si, batch, id_col=id_col, text_col=text_col, mode=mode)
+        if facets_col and facets_col in batch.columns:
+            from .engine import _write_filter_index
+
+            _write_filter_index(
+                batch, index_dir, id_col, facets_col, gen=si.max_gen(), mode="append"
+            )
 
     writer = (
         stream.writeStream.foreachBatch(_sink)
