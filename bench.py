@@ -314,12 +314,33 @@ def main() -> None:
         ls.search(q, k=k)
         stimes[name] = round(time.time() - t0, 4)
 
+    # date-filtered serving (X5 fast path): derive a deterministic date
+    # per doc, persist the date_index sidecar next to the bench index,
+    # and time the driver-side [start, end) query — the latency class a
+    # date-filtered query costs WITHOUT a Spark job over the docs table.
+    from pyspark.sql import functions as F
+
+    from fugu_spark.engine import _write_date_index
+
+    dated = docs.withColumn(
+        "date_created",
+        F.timestamp_seconds(F.lit(1704067200) + (F.col("doc_id") % 365) * 86400),
+    )
+    _write_date_index(dated, idx_dir, "doc_id", gen=0, mode="overwrite")
+    ls = LocalSearcher(idx_dir)  # reload: sidecar added after first open
+    dr = {"date_created": ("2024-03-01T00:00:00Z", "2024-06-01T00:00:00Z")}
+    ls.search("merge", k=10, date_ranges=dr)  # warm
+    t0 = time.time()
+    ls.search("merge join", k=10, date_ranges=dr)
+    date_serve_sec = round(time.time() - t0, 4)
+
     p50 = statistics.median(stimes.values())
     result = {
         "metric": "bm25_top10_p50_sec",
         "value": round(p50, 4),
         "unit": "sec",
         "queries": stimes,
+        "date_filtered_serving_sec": date_serve_sec,
         "queries_spark_job": qtimes,
         "p50_spark_job": round(statistics.median(qtimes.values()), 4),
         "sf": _sf_from_dir(sf_dir),
@@ -354,6 +375,9 @@ def _write_bench_md(r: dict) -> None:
         f"- BM25 top-k p50 latency, distributed Spark path: "
         f"**{r.get('p50_spark_job', '—')}s** (per-query Spark job floor; "
         "used when queries need the docs table or cluster-sized posting lists)",
+        f"- date-filtered query, serving path (date_index sidecar, "
+        f"pyarrow min/max pushdown, no Spark job): "
+        f"**{r.get('date_filtered_serving_sec', '—')}s**",
         "",
         "| query | serving s | spark job s |",
         "|---|---|---|",

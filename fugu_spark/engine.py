@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from . import facets as FC
 from .dataset import Dataset, build_dataset, validate
-from .dates import date_range_filter, with_date_fields
+from .dates import DATE_FIELDS, date_range_filter, with_date_fields
 from .segment_search import search_segments
 from .segments import (
     SegmentIndex,
@@ -56,6 +56,27 @@ def _write_filter_index(
         .withColumn("gen", F.lit(gen))
     )
     rows.write.mode(mode).parquet(fsio.join(index_dir, "filter_index"))
+
+
+def _write_date_index(
+    docs: DataFrame, index_dir: str, id_col: str, gen: int, mode: str
+) -> None:
+    """Persist (doc_id, <date_field>_us …, gen) — epoch micros of every
+    parsed date column (X5) — so the driver-side LocalSearcher serves
+    [start, end) date-range filters at ms latency with parquet min/max
+    pushdown instead of forcing a Spark job over the docs table. Same
+    generation delete-masking as the filter_index."""
+    from . import fsio
+
+    types = dict(docs.dtypes)
+    present = [c for c in DATE_FIELDS if types.get(c, "").startswith("timestamp")]
+    if not present:
+        return
+    rows = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        *[F.unix_micros(F.col(c)).alias(f"{c}_us") for c in present],
+    ).withColumn("gen", F.lit(gen))
+    rows.write.mode(mode).parquet(fsio.join(index_dir, "date_index"))
 
 
 @dataclass
@@ -109,9 +130,11 @@ class FuguSparkEngine:
             strict=strict,
             max_text_len=cfg.max_text_len,
         )
+        good = FC.normalize_metadata(good)  # struct metadata → JSON string (X6)
         good = with_date_fields(good).cache()  # RFC3339 → timestamp (X5)
         if facets_col and facets_col in good.columns:
             _write_filter_index(good, index_dir, id_col, facets_col, gen=0, mode="overwrite")
+        _write_date_index(good, index_dir, id_col, gen=0, mode="overwrite")
         si = build_segments(
             good,
             index_dir,
@@ -169,9 +192,10 @@ class FuguSparkEngine:
         for col, (start, end) in (date_ranges or {}).items():
             rng = date_range_filter(F.col(col), start, end)
             doc_filter = rng if doc_filter is None else (doc_filter & rng)
-        if min_score is None and not date_ranges:
+        if min_score is None:
             # serving fast path: LocalSearcher over the same segment +
-            # filter-index files (rank/score-identical; ~ms, no Spark job)
+            # filter-index + date-index files (rank/score-identical;
+            # ~ms, no Spark job)
             try:
                 pdf = self._local_searcher().search(
                     query,
@@ -179,14 +203,16 @@ class FuguSparkEngine:
                     offset=offset,
                     max_postings=self.serve_max_postings,
                     filters=filters,
+                    date_ranges=date_ranges,
                 )
                 return self.spark.createDataFrame(
                     pdf if len(pdf) else [], "doc_id long, score double"
                 )
             except ValueError:
                 # AllQuery / NOT-only (needs the docs table), posting
-                # volume above the serve cap, or a contains/wildcard
-                # filter (no parquet pushdown): run distributed
+                # volume above the serve cap, a contains/wildcard filter
+                # (no parquet pushdown), or a date filter on an index
+                # without a date sidecar: run distributed
                 pass
         out = search_segments(
             self.si,
@@ -322,6 +348,7 @@ class FuguSparkEngine:
             facets_col=self.facets_col if self.facets_col in batch.columns else None,
             strict=strict,
         )
+        good = FC.normalize_metadata(good)
         good = with_date_fields(good)
         # A9 (/root/reference/src/server/handlers/ingest.rs:88-117): tally
         # objects arriving with explicit facets vs facet-less (generated)
@@ -356,6 +383,9 @@ class FuguSparkEngine:
                 gen=self.si.max_gen(),
                 mode="append",
             )
+        _write_date_index(
+            good, self.index_dir, self.id_col, gen=self.si.max_gen(), mode="append"
+        )
         from .dataset import upsert as ds_upsert
 
         self.docs = ds_upsert(self.docs, good, id_col=self.id_col).cache()
@@ -377,6 +407,7 @@ class FuguSparkEngine:
             _write_filter_index(
                 self.docs, self.index_dir, self.id_col, self.facets_col, gen=0, mode="overwrite"
             )
+        _write_date_index(self.docs, self.index_dir, self.id_col, gen=0, mode="overwrite")
         return self
 
     # ---- facet analytics --------------------------------------------

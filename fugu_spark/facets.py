@@ -95,6 +95,19 @@ def _flatten_json(obj, prefix: str, out: list[str]) -> None:
         out.append(f"{prefix}/{obj}")
 
 
+def normalize_metadata(docs, metadata_col: str = "metadata"):
+    """X6 serialize side (/root/reference/src/db/document.rs:168-173: the
+    reference stores metadata as a serialized JSON string): struct / map /
+    array-typed metadata columns are serialized with ``to_json`` at
+    ingest; string columns (already JSON) pass through untouched. The
+    stored string round-trips through :func:`metadata_facets_udf` (X7)."""
+    if metadata_col not in docs.columns:
+        return docs
+    if dict(docs.dtypes)[metadata_col] == "string":
+        return docs
+    return docs.withColumn(metadata_col, F.to_json(F.col(metadata_col)))
+
+
 def metadata_facets_udf(json_col: Column) -> Column:
     """Metadata JSON → '/metadata/...' facet paths (pandas UDF, X7)."""
 

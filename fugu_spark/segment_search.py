@@ -426,6 +426,46 @@ def filter_index_docs(si: SegmentIndex, filters: list) -> DataFrame:
     return hits.select("doc_id").distinct()
 
 
+def date_index_docs(si: SegmentIndex, date_ranges: dict) -> DataFrame:
+    """Doc ids inside EVERY [start, end) range, from the index's persisted
+    epoch-micros date sidecar (written by FuguSparkEngine) — no docs
+    table required, the distributed analog of
+    ``LocalSearcher._allowed_dates``. Generations are delete-masked like
+    posting blocks; NULL dates (unparseable at ingest) never match."""
+    from . import fsio
+    from .dates import parse_rfc3339
+
+    path = fsio.join(si.index_dir, "date_index")
+    if not fsio.exists(path):
+        raise ValueError(
+            "no date_index in this index dir — build through "
+            "FuguSparkEngine with date fields, or pass docs + doc_filter"
+        )
+    di = si.spark.read.parquet(path)
+    pred = None
+    for col, (start, end) in date_ranges.items():
+        cu = f"{col}_us"
+        if cu not in di.columns:
+            raise ValueError(f"date column {col!r} is not in the date sidecar")
+        e = F.col(cu).isNotNull()
+        if start is not None:
+            e = e & (F.col(cu) >= F.unix_micros(parse_rfc3339(F.lit(start))))
+        if end is not None:
+            e = e & (F.col(cu) < F.unix_micros(parse_rfc3339(F.lit(end))))
+        pred = e if pred is None else (pred & e)
+    if pred is None:
+        raise ValueError("empty date_ranges")
+    hits = di.filter(pred)
+    mask = si.deletes_df()
+    if mask is not None:
+        hits = (
+            hits.join(F.broadcast(mask), "doc_id", "left")
+            .filter(F.col("del_gen").isNull() | (F.col("gen") >= F.col("del_gen")))
+            .drop("del_gen")
+        )
+    return hits.select("doc_id").distinct()
+
+
 def search_segments(
     si: SegmentIndex,
     query_text: str | None,
@@ -439,6 +479,7 @@ def search_segments(
     use_wand: bool = True,
     wand_min_postings: int = 100_000,
     filter_paths: list | None = None,
+    date_ranges: dict | None = None,
 ) -> DataFrame:
     """Top-k search over the segment index → DataFrame(doc_id, score).
 
@@ -448,8 +489,10 @@ def search_segments(
     faster (and identical in results).
 
     ``filter_paths`` applies facet filters from the index's own persisted
-    filter_index (no docs table needed); ``doc_filter`` + ``docs`` is the
-    arbitrary-predicate alternative."""
+    filter_index and ``date_ranges`` ({col: (start_rfc3339, end)}) applies
+    half-open date ranges from the date_index sidecar — neither needs the
+    docs table; ``doc_filter`` + ``docs`` is the arbitrary-predicate
+    alternative."""
     plan = parse_query(query_text, mode=mode)
     spark = si.spark
 
@@ -460,6 +503,7 @@ def search_segments(
         and all(l.occur == "should" and not l.is_phrase for l in plan.leaves)
         and doc_filter is None
         and filter_paths is None
+        and date_ranges is None
     )
     if pure_or and use_wand:
         meta = _term_meta(si, plan.all_terms())
@@ -525,6 +569,8 @@ def search_segments(
                 .distinct()
             )
         scored = scored.join(matched, "doc_id", "left_semi")
+    if date_ranges:
+        scored = scored.join(date_index_docs(si, date_ranges), "doc_id", "left_semi")
     return top_k(scored, k=k)
 
 

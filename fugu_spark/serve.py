@@ -17,9 +17,12 @@ skipped when their block score bound plus the other terms' global upper
 bounds cannot reach θ — the same rank-safe MaxScore criterion as the
 distributed path, so results are identical to exhaustive evaluation.
 
-Not servable locally (fall back to ``search_segments``): AllQuery /
-NOT-only queries (need the docs table) and facet-filtered queries (the
-filter is a Spark Column over the docs table).
+Facet filters (Equals/Prefix) serve locally from the persisted
+filter_index, and date-range filters from the epoch-micros date_index
+sidecar — both with parquet predicate pushdown. Not servable locally
+(fall back to ``search_segments``): AllQuery / NOT-only queries (need
+the docs table), Contains/Wildcard facet filters (no pushdown), and
+queries whose posting volume exceeds the driver serve cap.
 """
 
 from __future__ import annotations
@@ -46,6 +49,19 @@ _META_BLOCK_COLS = [
 def _tf_norm(tf: np.ndarray, dl: np.ndarray, avgdl: float, k1: float, b: float) -> np.ndarray:
     tf = tf.astype(np.float64)
     return tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl.astype(np.float64) / avgdl))
+
+
+def _rfc3339_us(s: str) -> int:
+    """RFC3339 bound string → epoch microseconds, matching Spark's
+    cast-to-timestamp semantics under the default session timezone:
+    offset/'Z' strings are absolute instants; naive strings are local
+    time (Spark's session tz defaults to the JVM/system zone)."""
+    from datetime import datetime, timedelta, timezone
+
+    dt = datetime.fromisoformat(s.replace("Z", "+00:00"))
+    if dt.tzinfo is None:
+        dt = dt.astimezone()
+    return (dt - datetime(1970, 1, 1, tzinfo=timezone.utc)) // timedelta(microseconds=1)
 
 
 def _prefix_upper_bound(prefix: str) -> str | None:
@@ -109,6 +125,11 @@ class LocalSearcher:
         fpath = os.path.join(index_dir, "filter_index")
         self._filters_ds = (
             pads.dataset(fpath, format="parquet") if os.path.isdir(fpath) else None
+        )
+        # date sidecar (written by FuguSparkEngine when date fields exist)
+        dxpath = os.path.join(index_dir, "date_index")
+        self._dates_ds = (
+            pads.dataset(dxpath, format="parquet") if os.path.isdir(dxpath) else None
         )
 
     # ------------------------------------------------------------- lookups
@@ -250,6 +271,44 @@ class LocalSearcher:
             ids = ids[keep]
         return np.unique(ids)
 
+    def _allowed_dates(self, date_ranges: dict) -> np.ndarray:
+        """Doc ids inside EVERY [start, end) range (ranges AND together,
+        matching engine.search's Spark-path predicate), via pyarrow
+        min/max pushdown over the epoch-micros date sidecar. NULL dates
+        (unparseable at ingest) never match — X5 skip semantics."""
+        import pyarrow.dataset as pads
+
+        if self._dates_ds is None:
+            raise ValueError(
+                "no date_index in this index dir — date-filtered queries "
+                "need the Spark path (or a rebuild with date fields)"
+            )
+        names = set(self._dates_ds.schema.names)
+        expr = None
+        for col, (start, end) in date_ranges.items():
+            cu = f"{col}_us"
+            if cu not in names:
+                raise ValueError(
+                    f"date column {col!r} is not in the date sidecar — "
+                    "use the Spark path"
+                )
+            e = pads.field(cu).is_valid()
+            if start is not None:
+                e = e & (pads.field(cu) >= _rfc3339_us(start))
+            if end is not None:
+                e = e & (pads.field(cu) < _rfc3339_us(end))
+            expr = e if expr is None else (expr & e)
+        if expr is None:
+            raise ValueError("empty date_ranges")
+        tbl = self._dates_ds.to_table(columns=["doc_id", "gen"], filter=expr)
+        ids = tbl["doc_id"].to_numpy()
+        gens = tbl["gen"].to_numpy()
+        if self._deletes is not None and len(ids):
+            dg = self._deletes.reindex(ids).to_numpy(dtype=np.float64)
+            keep = np.isnan(dg) | (gens >= dg)
+            ids = ids[keep]
+        return np.unique(ids)
+
     # ------------------------------------------------------------- scoring
 
     def _leaf_parts(
@@ -339,6 +398,7 @@ class LocalSearcher:
         offset: int = 0,
         max_postings: int | None = None,
         filters: list | None = None,
+        date_ranges: dict | None = None,
     ) -> pd.DataFrame:
         """Top-k → pandas DataFrame(doc_id, score); identical ranks/scores
         to search_segments for locally-servable queries.
@@ -350,6 +410,9 @@ class LocalSearcher:
         """
         plan = parse_query(query_text, mode=self.mode)
         allowed = self._allowed_docs(filters) if filters else None
+        if date_ranges:
+            dallowed = self._allowed_dates(date_ranges)
+            allowed = dallowed if allowed is None else np.intersect1d(allowed, dallowed)
         if allowed is not None and len(allowed) == 0:
             return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                                  "score": pd.Series([], dtype="float64")})

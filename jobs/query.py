@@ -28,6 +28,16 @@ def main() -> int:
         help="facet filter (repeatable, OR'd): '/lang/py', 'lang/*', 'lang=py'. "
         "Served from the index's filter_index (Equals/Prefix pushdown).",
     )
+    p.add_argument(
+        "--date-range",
+        action="append",
+        default=None,
+        metavar="COL,START,END",
+        help="half-open [START, END) RFC3339 date filter (repeatable, "
+        "AND'd): 'date_created,2024-01-01T00:00:00Z,2024-02-01T00:00:00Z'; "
+        "leave START or END empty for an open bound. Served from the "
+        "index's date_index sidecar.",
+    )
     p.add_argument("-k", type=int, default=10)
     p.add_argument("--no-wand", action="store_true")
     p.add_argument(
@@ -44,6 +54,16 @@ def main() -> int:
         "the query is locally servable — ms latency, identical results)",
     )
     args = p.parse_args()
+
+    date_ranges = None
+    if args.date_range:
+        date_ranges = {}
+        for spec in args.date_range:
+            parts = spec.split(",")
+            if len(parts) != 3:
+                p.error(f"--date-range needs COL,START,END (got {spec!r})")
+            col, start, end = parts
+            date_ranges[col] = (start or None, end or None)
 
     searcher = None
     if not args.spark:
@@ -63,6 +83,7 @@ def main() -> int:
                     k=args.k,
                     max_postings=args.serve_max_postings,
                     filters=args.filter,
+                    date_ranges=date_ranges,
                 )
                 hits = [
                     {"doc_id": int(r.doc_id), "score": float(r.score)}
@@ -84,7 +105,12 @@ def main() -> int:
             from fugu_spark.segment_search import search_segments
 
             rows = search_segments(
-                si, q, k=args.k, use_wand=not args.no_wand, filter_paths=args.filter
+                si,
+                q,
+                k=args.k,
+                use_wand=not args.no_wand,
+                filter_paths=args.filter,
+                date_ranges=date_ranges,
             ).collect()
             hits = [{"doc_id": r.doc_id, "score": r.score} for r in rows]
         print(

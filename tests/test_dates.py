@@ -76,3 +76,74 @@ def test_date_range_filter_open_bounds(spark):
     assert [r.id for r in only_start.collect()] == [1]
     only_end = df.filter(date_range_filter(F.col("d"), None, "2024-01-01T00:00:00Z"))
     assert only_end.count() == 0
+
+
+def test_date_serving_local_parity(spark, tmp_path):
+    """Driver-side date serving (date_index sidecar, no Spark job) must be
+    rank/score-identical to the distributed docs-predicate path."""
+    from fugu_spark.dates import date_range_filter
+    from fugu_spark.segment_search import search_segments
+
+    rows = [
+        (i, f"merge doc {i} " + "join " * (i % 4), f"2024-01-{(i % 28) + 1:02d}T12:00:00Z")
+        for i in range(24)
+    ] + [(24, "merge unparseable", "not-a-date"), (25, "merge missing", None)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, date_created string")
+    eng = FuguSparkEngine.build(docs, str(tmp_path / "idx"), facets_col=None)
+    dr = {"date_created": ("2024-01-05T00:00:00Z", "2024-01-15T00:00:00Z")}
+    # local path directly (proves it serves, not merely falls back)
+    pdf = eng._local_searcher().search("merge join", k=20, date_ranges=dr)
+    local = [(int(r.doc_id), round(float(r.score), 9)) for r in pdf.itertuples(index=False)]
+    # distributed path over the same predicate
+    dist = [
+        (r.doc_id, round(r.score, 9))
+        for r in search_segments(
+            eng.si,
+            "merge join",
+            k=20,
+            docs=eng.docs,
+            doc_filter=date_range_filter(F.col("date_created"), *dr["date_created"]),
+        ).collect()
+    ]
+    assert local == dist
+    assert local  # the window is non-empty
+    # distributed date-sidecar path (no docs table) agrees too
+    sidecar = [
+        (r.doc_id, round(r.score, 9))
+        for r in search_segments(eng.si, "merge join", k=20, date_ranges=dr).collect()
+    ]
+    assert sidecar == dist
+    got_ids = {d for d, _ in local}
+    assert got_ids <= set(range(4, 15))  # day 5..14 → doc_id 4..13
+    assert 24 not in got_ids and 25 not in got_ids
+    # the engine facade agrees with both
+    eng_ids = {r.doc_id for r in eng.search("merge join", k=20, date_ranges=dr).collect()}
+    assert eng_ids == got_ids
+
+
+def test_date_serving_after_ingest_and_fallback(spark, tmp_path):
+    """Ingest appends date sidecar rows at the new generation (the
+    rewritten doc's NEW date wins); an index without date fields raises
+    in the local path so the engine can fall back."""
+    docs = spark.createDataFrame(
+        [(1, "merge one", "2024-01-01T00:00:00Z"), (2, "merge two", "2024-06-01T00:00:00Z")],
+        "doc_id long, text string, date_created string",
+    )
+    eng = FuguSparkEngine.build(docs, str(tmp_path / "idx"), facets_col=None)
+    dr = {"date_created": ("2024-05-01T00:00:00Z", None)}
+    assert {r.doc_id for r in eng.search("merge", date_ranges=dr).collect()} == {2}
+    # move doc 1 into the range via upsert
+    eng.ingest(
+        spark.createDataFrame(
+            [(1, "merge one rewritten", "2024-07-01T00:00:00Z")],
+            "doc_id long, text string, date_created string",
+        )
+    )
+    assert {r.doc_id for r in eng.search("merge", date_ranges=dr).collect()} == {1, 2}
+    # no-date index: local path refuses loudly
+    import pytest as _pytest
+
+    nd = spark.createDataFrame([(5, "merge plain")], "doc_id long, text string")
+    eng2 = FuguSparkEngine.build(nd, str(tmp_path / "idx2"), facets_col=None)
+    with _pytest.raises(ValueError, match="date_index"):
+        eng2._local_searcher().search("merge", date_ranges=dr)

@@ -171,3 +171,29 @@ def test_facet_boost_variant(docs):
     assert by_id[0] == 2.25  # both match: 1.5^2
     assert by_id[1] == 1.5  # one match
     assert by_id[4] == 1.0  # none match
+
+
+def test_normalize_metadata_round_trip(spark):
+    """X6 both ways: struct/map metadata serializes with to_json at
+    ingest; the stored string flattens back to facet paths (X7)."""
+    from fugu_spark.facets import metadata_facets_udf, normalize_metadata
+
+    df = spark.createDataFrame(
+        [(1, {"team": "search", "env": "prod"}), (2, None)],
+        "doc_id long, metadata map<string,string>",
+    )
+    out = normalize_metadata(df)
+    assert dict(out.dtypes)["metadata"] == "string"
+    rows = {
+        r.doc_id: r.facets
+        for r in out.select(
+            "doc_id", metadata_facets_udf(F.col("metadata")).alias("facets")
+        ).collect()
+    }
+    assert set(rows[1]) == {"/metadata/team/search", "/metadata/env/prod"}
+    assert rows[2] == []
+    # string metadata passes through untouched
+    s = spark.createDataFrame([(3, '{"a":"b"}')], "doc_id long, metadata string")
+    assert normalize_metadata(s).first().metadata == '{"a":"b"}'
+    # no metadata column is a no-op
+    assert normalize_metadata(s.drop("metadata")).columns == ["doc_id"]
