@@ -288,6 +288,105 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", F.explode(suggestions_udf(F.col("text"))).alias("suggestion")
         )
 
+    # ---- training-data curation (fugu_spark/analytics/curation.py) ----
+    from fugu_spark.analytics import curation
+
+    def split_assign_q(spark, sf_dir):
+        return curation.split_assign(_docs(spark, sf_dir)).select("doc_id", "split")
+
+    def stratified_sample_q(spark, sf_dir):
+        return curation.stratified_sample(
+            _docs(spark, sf_dir), 0.2, strata_col="lang"
+        ).select("doc_id", "lang")
+
+    def _pii_docs(spark, sf_dir):
+        # testdata text contains no PII; inject deterministically so the
+        # counts/redaction are non-trivial and oracle-checkable
+        d = _docs(spark, sf_dir)
+        inj = (
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" mail doc"), F.col("doc_id").cast("string"), F.lit("@example.com")
+                ),
+            )
+            .when(F.col("doc_id") % 3 == 1, F.lit(" call 555-123-4567"))
+            .otherwise(F.lit(""))
+        )
+        return d.withColumn("text", F.concat(F.col("text"), inj))
+
+    def pii_scan_q(spark, sf_dir):
+        out = curation.pii_counts(_pii_docs(spark, sf_dir))
+        return out.select(
+            "doc_id",
+            "n_email",
+            "n_ipv4",
+            "n_phone",
+            F.col("has_pii").cast("long").alias("has_pii"),
+            F.length(curation.pii_redact(F.col("text"))).cast("long").alias("red_len"),
+        )
+
+    def repetition_q(spark, sf_dir):
+        r = curation.repetition_stats(_docs(spark, sf_dir))
+        return r.select(
+            "doc_id",
+            "n_tokens",
+            F.round("dup_token_frac", 6).alias("dup_token_frac"),
+            F.round("top_token_frac", 6).alias("top_token_frac"),
+            F.round("top_bigram_frac", 6).alias("top_bigram_frac"),
+        )
+
+    def contamination_q(spark, sf_dir):
+        d = _docs(spark, sf_dir)
+        bench = d.filter(F.col("source") == "src0")
+        corpus = d.filter(F.col("source") != "src0")
+        c = curation.contamination(corpus, bench, n=3)
+        return c.select(
+            "doc_id",
+            "n_grams",
+            "n_contaminated",
+            F.round("contamination_frac", 6).alias("contamination_frac"),
+        )
+
+    def c4_filters_q(spark, sf_dir):
+        # testdata text has no punctuation/braces; perturb deterministically
+        d = _docs(spark, sf_dir)
+        suffix = (
+            F.when(F.col("doc_id") % 4 == 0, F.lit("."))
+            .when(F.col("doc_id") % 4 == 1, F.lit(" {x}"))
+            .when(F.col("doc_id") % 4 == 2, F.lit(" lorem ipsum."))
+            .otherwise(F.lit(""))
+        )
+        flags = curation.c4_filters(d.withColumn("text", F.concat(F.col("text"), suffix)))
+        return flags.select(
+            "doc_id",
+            *[
+                F.col(c).cast("long").alias(c)
+                for c in (
+                    "too_few_words",
+                    "has_long_word",
+                    "has_lorem",
+                    "has_brace",
+                    "ends_with_punct",
+                    "keep",
+                )
+            ],
+        )
+
+    def dedup_against_q(spark, sf_dir):
+        # new batch = 100 case-perturbed dups of existing docs + 50 novel
+        # docs; incremental dedup must keep exactly the novel 50
+        d = _docs(spark, sf_dir)
+        dup_batch = d.filter(F.col("doc_id") < 100).select(
+            (F.col("doc_id") + 10000).alias("doc_id"), F.upper(F.col("text")).alias("text")
+        )
+        novel_batch = d.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 150)).select(
+            (F.col("doc_id") + 20000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" genuinely novel suffix")).alias("text"),
+        )
+        new_docs = dup_batch.unionByName(novel_batch)
+        return curation.dedup_against(new_docs, d).select("doc_id")
+
     out = {
         "postings_tf": postings_tf,
         "doc_len": doc_len,
@@ -334,6 +433,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_top10": _ann_lsh_top10,
         "ann_lsh_probe2": _ann_lsh_probe2,
         "ann_ivf_top10": _ann_ivf_top10,
+        "split_assign": split_assign_q,
+        "stratified_sample": stratified_sample_q,
+        "pii_scan": pii_scan_q,
+        "repetition_stats": repetition_q,
+        "contamination": contamination_q,
+        "c4_filters": c4_filters_q,
+        "dedup_against": dedup_against_q,
     }
     return out
 
@@ -485,6 +591,139 @@ ORDER BY COALESCE(txt.s, 0) + COALESCE(src.s, 0) DESC, 1 ASC LIMIT 10"""
 # Winnowing (k=5 token grams, window=4): rolling min over 4 consecutive
 # 60-bit gram hashes. The gram hash is the first 15 hex chars of md5 —
 # identical to fugu_spark.analytics.textstats.gram_hash60.
+# ---- curation oracles (fugu_spark/analytics/curation.py) ----
+# md5-60bit id hash, identical to curation._id_hash / textstats.gram_hash60
+def _hash60_sql(arg: str) -> str:
+    return f"('0x' || substr(md5({arg}), 1, 15))::BIGINT"
+
+
+_SPLIT_SQL = f"""
+SELECT doc_id,
+       CASE WHEN {_hash60_sql("'42::' || doc_id::VARCHAR")} % 10000 < 9000 THEN 'train'
+            WHEN {_hash60_sql("'42::' || doc_id::VARCHAR")} % 10000 < 9500 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents"""
+
+_STRAT_SAMPLE_SQL = f"""
+SELECT doc_id, lang FROM documents
+WHERE {_hash60_sql("'42:' || lang || ':' || doc_id::VARCHAR")} % 1000000 < 200000"""
+
+
+def _pii_sql() -> str:
+    from fugu_spark.analytics.curation import PII_PATTERNS
+
+    e, i, p = PII_PATTERNS["email"], PII_PATTERNS["ipv4"], PII_PATTERNS["phone"]
+    return f"""
+WITH pdocs AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 3 = 0 THEN ' mail doc' || doc_id::VARCHAR || '@example.com'
+                      WHEN doc_id % 3 = 1 THEN ' call 555-123-4567'
+                      ELSE '' END AS text
+  FROM documents
+),
+counts AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{e}'))::BIGINT AS n_email,
+         len(regexp_extract_all(text, '{i}'))::BIGINT AS n_ipv4,
+         len(regexp_extract_all(text, '{p}'))::BIGINT AS n_phone,
+         len(regexp_replace(regexp_replace(regexp_replace(text,
+             '{e}', '[EMAIL]', 'g'), '{i}', '[IPV4]', 'g'), '{p}', '[PHONE]', 'g'))::BIGINT AS red_len
+  FROM pdocs
+)
+SELECT doc_id, n_email, n_ipv4, n_phone,
+       (CASE WHEN n_email > 0 OR n_ipv4 > 0 OR n_phone > 0 THEN 1 ELSE 0 END)::BIGINT AS has_pii,
+       red_len
+FROM counts"""
+
+
+_REPETITION_SQL = """
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS l
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(l) AS t FROM toks),
+tcnt AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2),
+tagg AS (SELECT doc_id, sum(c)::BIGINT AS n, count(*)::BIGINT AS nd, max(c)::BIGINT AS topc
+         FROM tcnt GROUP BY 1),
+big AS (SELECT doc_id, l[i] || ' ' || l[i+1] AS g
+        FROM toks, unnest(generate_series(1, len(l) - 1)) AS u(i) WHERE len(l) >= 2),
+bcnt AS (SELECT doc_id, g, count(*) AS c FROM big GROUP BY 1, 2),
+bagg AS (SELECT doc_id, sum(c)::BIGINT AS ng, max(c)::BIGINT AS topg FROM bcnt GROUP BY 1)
+SELECT t.doc_id,
+       coalesce(a.n, 0) AS n_tokens,
+       round(CASE WHEN coalesce(a.n, 0) > 0 THEN (a.n - a.nd)::DOUBLE / a.n ELSE 0.0 END, 6) AS dup_token_frac,
+       round(CASE WHEN coalesce(a.n, 0) > 0 THEN a.topc::DOUBLE / a.n ELSE 0.0 END, 6) AS top_token_frac,
+       round(CASE WHEN coalesce(b.ng, 0) > 0 THEN b.topg::DOUBLE / b.ng ELSE 0.0 END, 6) AS top_bigram_frac
+FROM toks t LEFT JOIN tagg a USING (doc_id) LEFT JOIN bagg b USING (doc_id)"""
+
+_CONTAMINATION_SQL = """
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS l
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, source, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS g
+  FROM toks, unnest(generate_series(1, len(l) - 2)) AS u(i) WHERE len(l) >= 3
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE source = 'src0'),
+docg AS (SELECT doc_id, g FROM grams WHERE source <> 'src0'),
+agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_grams,
+         sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_contaminated
+  FROM docg LEFT JOIN bench b USING (g) GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(a.n_grams, 0) AS n_grams,
+       coalesce(a.n_contaminated, 0) AS n_contaminated,
+       round(CASE WHEN coalesce(a.n_grams, 0) > 0
+                  THEN a.n_contaminated::DOUBLE / a.n_grams ELSE 0.0 END, 6) AS contamination_frac
+FROM documents d LEFT JOIN agg a USING (doc_id)
+WHERE d.source <> 'src0'"""
+
+_C4_SQL = """
+WITH pdocs AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 4 = 0 THEN '.'
+                      WHEN doc_id % 4 = 1 THEN ' {x}'
+                      WHEN doc_id % 4 = 2 THEN ' lorem ipsum.'
+                      ELSE '' END AS text
+  FROM documents
+),
+t AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS l
+  FROM pdocs
+)
+SELECT doc_id,
+       (CASE WHEN len(l) < 5 THEN 1 ELSE 0 END)::BIGINT AS too_few_words,
+       (CASE WHEN len(list_filter(l, x -> len(x) > 25)) > 0 THEN 1 ELSE 0 END)::BIGINT AS has_long_word,
+       (CASE WHEN contains(lower(text), 'lorem ipsum') THEN 1 ELSE 0 END)::BIGINT AS has_lorem,
+       (CASE WHEN contains(text, '{') THEN 1 ELSE 0 END)::BIGINT AS has_brace,
+       (CASE WHEN regexp_matches(rtrim(text), '[.!?"'']$') THEN 1 ELSE 0 END)::BIGINT AS ends_with_punct,
+       (CASE WHEN len(l) >= 5 AND len(list_filter(l, x -> len(x) > 25)) = 0
+                  AND NOT contains(lower(text), 'lorem ipsum') AND NOT contains(text, '{')
+                  AND regexp_matches(rtrim(text), '[.!?"'']$')
+             THEN 1 ELSE 0 END)::BIGINT AS keep
+FROM t"""
+
+_FP_EXPR = (
+    "md5(array_to_string(list_filter(regexp_split_to_array(lower({t}), '[^a-z0-9]+'),"
+    " x -> x <> ''), ' '))"
+)
+
+_DEDUP_AGAINST_SQL = f"""
+WITH newd AS (
+  SELECT doc_id + 10000 AS doc_id, upper(text) AS text FROM documents WHERE doc_id < 100
+  UNION ALL
+  SELECT doc_id + 20000, text || ' genuinely novel suffix' FROM documents
+  WHERE doc_id >= 100 AND doc_id < 150
+),
+corpus_fp AS (SELECT DISTINCT {_FP_EXPR.format(t="text")} AS f FROM documents)
+SELECT n.doc_id FROM newd n
+WHERE {_FP_EXPR.format(t="n.text")} NOT IN (SELECT f FROM corpus_fp)"""
+
+
 _WINNOW_SQL = """WITH toks AS (
   SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS l
   FROM documents
@@ -779,4 +1018,11 @@ def oracle_sql() -> dict[str, str]:
             FROM toks
             WHERE len(array_to_string(w[1:least(3, len(w))], ' ')) > 3
               AND len(array_to_string(w[1:least(3, len(w))], ' ')) < 50""",
+        "split_assign": _SPLIT_SQL,
+        "stratified_sample": _STRAT_SAMPLE_SQL,
+        "pii_scan": _pii_sql(),
+        "repetition_stats": _REPETITION_SQL,
+        "contamination": _CONTAMINATION_SQL,
+        "c4_filters": _C4_SQL,
+        "dedup_against": _DEDUP_AGAINST_SQL,
     }

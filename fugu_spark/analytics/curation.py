@@ -1,0 +1,340 @@
+"""Training-data curation operators: deterministic splits, stratified
+sampling, PII scan/redaction, repetition statistics, benchmark
+contamination, C4-style rule filters, and incremental dedup against an
+existing corpus.
+
+Everything here is designed for the 100-TB shape first:
+
+- ``split_assign`` / ``stratified_sample`` / ``pii_*`` / ``c4_filters``
+  are pure column expressions — narrow, whole-stage-codegen'd, zero
+  shuffle, and their filters push down to the parquet scan.
+- ``repetition_stats`` folds over the token array with ``F.aggregate``
+  instead of explode+groupBy, so per-doc statistics never shuffle: the
+  work is proportional to tokens per document, not corpus size.
+- ``contamination`` broadcasts the (small) benchmark gram set; the
+  corpus side stays narrow after one per-doc explode.
+- ``dedup_against`` is a broadcast-able left-anti join on a normalized
+  content fingerprint; when the existing corpus is large, Spark falls
+  back to a shuffled anti-join on the (already tiny) fingerprint
+  projection.
+
+Determinism contract: all hashes are the md5-60bit construction from
+:func:`fugu_spark.analytics.textstats.gram_hash60`, so every operator is
+reproducible across runs/engines and each has an exact ANSI-SQL oracle
+(see ``__spark_entry__.oracle_sql``).
+
+Reference scope note: the reference engine (mycorrhiza-inc/fugu) stops
+at indexing/search; these operators extend the engine toward the
+training-data pipeline described in SURVEY.md §6 and are fugu_spark
+originals (no reference counterpart to cite).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import gram_hash60, simple_tokens
+
+# ---------------------------------------------------------------- splits
+
+_SPLIT_BUCKETS = 10_000
+
+DEFAULT_SPLIT_WEIGHTS = {"train": 0.90, "val": 0.05, "test": 0.05}
+
+
+def _id_hash(id_col: Column, seed: int, salt: str = "") -> Column:
+    """Deterministic 60-bit hash of (seed, salt, id) — the split/sample
+    coin. md5-based so DuckDB computes the identical value."""
+    return gram_hash60(F.concat_ws(":", F.lit(str(seed)), F.lit(salt), id_col.cast("string")))
+
+
+def split_assign(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Add a deterministic ``split`` column ('train'/'val'/'test'/...).
+
+    The assignment is a pure function of (seed, id): stable under
+    re-runs, re-partitioning, and incremental appends — a new document
+    lands in the same split no matter when it arrives, which is the
+    property a training pipeline actually needs (no leakage when the
+    corpus is rebuilt). Buckets are ``hash(id) % 10000`` against the
+    cumulative weight table, so weights are honored to 0.01%.
+
+    Narrow, codegen'd, no shuffle.
+    """
+    w = weights or DEFAULT_SPLIT_WEIGHTS
+    total = sum(w.values())
+    if total <= 0:
+        raise ValueError("split weights must sum to a positive value")
+    bucket = _id_hash(F.col(id_col), seed) % _SPLIT_BUCKETS
+    expr: Column | None = None
+    acc = 0.0
+    # deterministic order: insertion order of the weights dict
+    items = list(w.items())
+    for name, frac in items[:-1]:
+        acc += frac / total
+        bound = int(round(acc * _SPLIT_BUCKETS))
+        cond = bucket < F.lit(bound)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = items[-1][0]
+    split = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return docs.withColumn("split", split)
+
+
+def stratified_sample(
+    docs: DataFrame,
+    fraction: float,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    fractions: dict[str, float] | None = None,
+) -> DataFrame:
+    """Deterministic per-stratum sample: keep a row iff
+    ``hash(seed, stratum, id) % 1e6 < fraction * 1e6``.
+
+    Unlike ``DataFrame.sample`` this is reproducible across runs and
+    cluster sizes (no RNG state per partition), and the per-stratum rate
+    is exact in expectation regardless of how rows are distributed over
+    partitions. ``fractions`` overrides the rate for specific stratum
+    values. Narrow, no shuffle; the predicate cannot push to parquet
+    (hash of two columns) but evaluates in codegen at scan speed.
+    """
+    m = 1_000_000
+    coin = gram_hash60(
+        F.concat_ws(
+            ":", F.lit(str(seed)), F.col(strata_col).cast("string"), F.col(id_col).cast("string")
+        )
+    ) % m
+    thresh: Column = F.lit(int(round(fraction * m)))
+    for val, frac in sorted((fractions or {}).items()):
+        thresh = F.when(F.col(strata_col) == val, F.lit(int(round(frac * m)))).otherwise(thresh)
+    return docs.filter(coin < thresh)
+
+
+# ------------------------------------------------------------------ PII
+
+# Patterns chosen to behave identically under Java regex (Spark) and
+# RE2 (DuckDB): no backrefs, no lookaround, no possessive quantifiers.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\b\d{3}-\d{3}-\d{4}\b",
+}
+
+
+def pii_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document PII hit counts (``n_email``/``n_ipv4``/``n_phone``)
+    plus ``has_pii``. Pure regexp column expressions — narrow, codegen'd,
+    suitable as a pre-filter before any external egress of corpus text."""
+    t = F.col(text_col)
+    out = docs
+    for name, pat in PII_PATTERNS.items():
+        out = out.withColumn(
+            f"n_{name}", F.size(F.regexp_extract_all(t, F.lit(pat), 0)).cast("long")
+        )
+    flags = [F.col(f"n_{name}") > 0 for name in PII_PATTERNS]
+    has = flags[0]
+    for fl in flags[1:]:
+        has = has | fl
+    return out.withColumn("has_pii", has)
+
+
+def pii_redact(text_col: Column) -> Column:
+    """Replace every PII match with a typed placeholder ('[EMAIL]'…).
+    Single pass per pattern, global replacement (Spark regexp_replace
+    semantics; the DuckDB oracle passes the 'g' flag for parity)."""
+    out = text_col
+    for name, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"[{name.upper()}]")
+    return out
+
+
+# --------------------------------------------------------- repetition
+
+def _max_multiplicity(arr: Column) -> Column:
+    """Largest number of occurrences of any single element, computed as a
+    fold over the SORTED array (state = (prev, run, best)) — no explode,
+    no shuffle, O(len) per row inside codegen."""
+    sorted_arr = F.array_sort(arr)
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def step(s: Column, x: Column) -> Column:
+        run = F.when(x.eqNullSafe(s["prev"]), s["run"] + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(s["best"], run).alias("best")
+        )
+
+    return F.aggregate(sorted_arr, init, step, lambda s: s["best"])
+
+
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style within-document repetition signals:
+
+    - ``n_tokens`` — token count;
+    - ``dup_token_frac`` — fraction of tokens that are repeats of an
+      earlier token (1 − distinct/total);
+    - ``top_token_frac`` — occurrences of the most frequent token / total
+      (Gopher's "fraction in most common word");
+    - ``top_bigram_frac`` — same for word bigrams.
+
+    High values mark degenerate/boilerplate documents that poison LLM
+    training. Entirely column expressions (array fold, no explode):
+    per-doc cost is O(tokens log tokens), corpus cost is one narrow scan.
+    """
+    toks = simple_tokens(F.col(text_col))
+    # guard: sequence(1, 0) would yield [1, 0] (descending), so only
+    # build bigrams when there are at least 2 tokens
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n = F.size(toks).cast("long")
+    nd = F.size(F.array_distinct(toks)).cast("long")
+    safe = F.when(n > 0, n.cast("double")).otherwise(F.lit(1.0))
+    ng = F.size(grams).cast("long")
+    gsafe = F.when(ng > 0, ng.cast("double")).otherwise(F.lit(1.0))
+    return docs.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        ((n - nd).cast("double") / safe).alias("dup_token_frac"),
+        (_max_multiplicity(toks).cast("double") / safe).alias("top_token_frac"),
+        (_max_multiplicity(grams).cast("double") / gsafe).alias("top_bigram_frac"),
+    )
+
+
+# ------------------------------------------------------- contamination
+
+def contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark-contamination score: for each document, the fraction of
+    its distinct word n-grams that appear anywhere in ``benchmark`` —
+    the standard train/eval overlap check before a training run.
+
+    Output: ``(doc_id, n_grams, n_contaminated, contamination_frac)``;
+    documents with fewer than ``n`` tokens report ``n_grams = 0`` and
+    fraction 0.
+
+    Scale shape: the benchmark gram set is distinct-ed and broadcast
+    (eval suites are small by construction — if yours is not, Spark's
+    AQE demotes the broadcast automatically); the corpus side explodes
+    to distinct grams per doc and aggregates back by doc id — one
+    map-side-combined shuffle keyed by doc, no corpus self-join.
+    """
+
+    def _grams(df: DataFrame) -> DataFrame:
+        toks = simple_tokens(F.col(text_col))
+        # guard: only evaluate the sequence when size >= n (sequence(1,0)
+        # is the descending [1,0]); docs with < n tokens yield no grams
+        g = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return df.select(
+            F.col(id_col), F.explode(F.array_distinct(g)).alias("gram")
+        )
+
+    bench_grams = _grams(benchmark).select("gram").distinct()
+    doc_grams = _grams(docs)
+    hits = doc_grams.join(
+        F.broadcast(bench_grams.withColumn("_hit", F.lit(1))), "gram", "left"
+    )
+    per_doc = hits.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_contaminated"),
+    )
+    base = docs.select(F.col(id_col))
+    out = base.join(per_doc, id_col, "left")
+    return out.select(
+        F.col(id_col),
+        F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+        F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("long").alias("n_contaminated"),
+        F.when(
+            F.coalesce(F.col("n_grams"), F.lit(0)) > 0,
+            F.col("n_contaminated").cast("double") / F.col("n_grams").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("contamination_frac"),
+    )
+
+
+# --------------------------------------------------------- C4 filters
+
+def c4_filters(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 5,
+    max_word_len: int = 25,
+) -> DataFrame:
+    """C4-style heuristic quality flags + keep decision (Raffel et al.
+    2020 §2.2, the public cleaning recipe): too few words, pathological
+    word length, lorem-ipsum boilerplate, code brace, and terminal
+    punctuation. ``keep`` is the conjunction used by C4. Pure column
+    expressions — the ``keep`` predicate runs at scan speed and prunes
+    the corpus before any heavier operator."""
+    t = F.col(text_col)
+    toks = simple_tokens(t)
+    low = F.lower(t)
+    n_words = F.size(toks)
+    flag_few = n_words < F.lit(min_words)
+    flag_long = F.exists(toks, lambda x: F.length(x) > max_word_len)
+    flag_lorem = low.contains("lorem ipsum")
+    flag_brace = t.contains("{")
+    ends_punct = F.rtrim(t).rlike(r"[.!?\"']$")
+    return docs.select(
+        F.col(id_col),
+        flag_few.alias("too_few_words"),
+        flag_long.alias("has_long_word"),
+        flag_lorem.alias("has_lorem"),
+        flag_brace.alias("has_brace"),
+        ends_punct.alias("ends_with_punct"),
+        (~flag_few & ~flag_long & ~flag_lorem & ~flag_brace & ends_punct).alias("keep"),
+    )
+
+
+# --------------------------------------------- incremental exact dedup
+
+def dedup_against(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental exact dedup: rows of ``new_docs`` whose normalized
+    content fingerprint (md5 over the token stream — whitespace/punct
+    insensitive) does NOT already occur in ``corpus``. The ingest-time
+    companion to :func:`fugu_spark.analytics.dedup.exact_dedup`: dedup a
+    new batch against what is already indexed without re-scanning pairs.
+
+    Scale shape: only the fingerprint column of ``corpus`` is read
+    (column pruning reaches the scan), and the anti-join broadcasts when
+    that projection is small; otherwise it is a hash anti-join shuffled
+    on the fingerprint — never a pairwise comparison.
+    """
+    from .textstats import fingerprint_md5
+
+    fp = fingerprint_md5(F.col(text_col)).alias("_fp")
+    new_fp = new_docs.withColumn("_fp", fingerprint_md5(F.col(text_col)))
+    corpus_fp = corpus.select(fp).distinct()
+    return new_fp.join(corpus_fp, "_fp", "left_anti").drop("_fp")
