@@ -111,6 +111,44 @@ def _multifield_q(query: str, k: int = 10):
     return run
 
 
+_ENG_CACHE: dict[str, object] = {}
+
+
+def _engine(spark: SparkSession, sf_dir: str):
+    """Full FuguSparkEngine (segments + filter_index) over the driver
+    table with derived lang/source facets — used by the filter-family
+    serving entries (F3/F4/F5, R6 min_score, R3 offset)."""
+    if sf_dir not in _ENG_CACHE:
+        import os
+        import shutil
+
+        import fugu_spark
+        from fugu_spark.engine import FuguSparkEngine
+
+        d = (
+            f"/tmp/fugu_entry_eng_{os.path.basename(sf_dir.rstrip('/'))}"
+            f"_v{fugu_spark.__version__}"
+        )
+        shutil.rmtree(d, ignore_errors=True)
+        _ENG_CACHE[sf_dir] = FuguSparkEngine.build(
+            _facet_docs(spark, sf_dir),
+            index_dir=d,
+            id_col="doc_id",
+            text_col="text",
+            facets_col="facets",
+        )
+    return _ENG_CACHE[sf_dir]
+
+
+def _eng_search_q(query: str, k: int = 10, offset: int = 0, filters=None, min_score=None):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        eng = _engine(spark, sf_dir)
+        out = eng.search(query, k=k, offset=offset, filters=filters, min_score=min_score)
+        return out.select("doc_id", F.round("score", 6).alias("score"))
+
+    return run
+
+
 def _search_q(query: str, k: int = 10, lang: str | None = None):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, idx = _index(spark, sf_dir)
@@ -387,6 +425,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         new_docs = dup_batch.unionByName(novel_batch)
         return curation.dedup_against(new_docs, d).select("doc_id")
 
+    # ---- filter family + score tweaks over the full engine ----
+
+    def _contains_filter_q(spark, sf_dir):
+        from fugu_spark.facets import FacetFilter
+
+        eng = _engine(spark, sf_dir)
+        out = eng.search(
+            "merge", k=10, filters=[FacetFilter(path="", operator="contains", value="rc1")]
+        )
+        return out.select("doc_id", F.round("score", 6).alias("score"))
+
+    def facet_boost_q(spark, sf_dir):
+        """R5 (disabled-variant) score tweak: BM25 × 1.5^matching over the
+        full candidate set, then top-10 — rank-safe because the rescore
+        precedes truncation."""
+        from fugu_spark.facets import facet_boost_score
+
+        docs, idx = _index(spark, sf_dir)
+        base = search(idx, "merge", k=100_000, docs=docs)
+        fd = _facet_docs(spark, sf_dir).select("doc_id", "facets")
+        boosted = base.join(fd, "doc_id").select(
+            "doc_id",
+            facet_boost_score(F.col("score"), F.col("facets"), ["/lang/es"]).alias("score"),
+        )
+        from fugu_spark.search import top_k
+
+        return top_k(boosted, k=10).select("doc_id", F.round("score", 6).alias("score"))
+
+    def filter_boost_q(spark, sf_dir):
+        """R4 score tweak: BM25 × 0.25^missing-query-facets."""
+        from fugu_spark.facets import filter_boost_score
+
+        docs, idx = _index(spark, sf_dir)
+        base = search(idx, "merge", k=100_000, docs=docs)
+        fd = _facet_docs(spark, sf_dir).select("doc_id", "facets")
+        boosted = base.join(fd, "doc_id").select(
+            "doc_id",
+            filter_boost_score(
+                F.col("score"), F.col("facets"), ["/lang/es", "/source/src1"]
+            ).alias("score"),
+        )
+        from fugu_spark.search import top_k
+
+        return top_k(boosted, k=10).select("doc_id", F.round("score", 6).alias("score"))
+
+    def namespaces_q(spark, sf_dir):
+        """A2: namespace enumeration from '/namespace/...' facets."""
+        from fugu_spark.facets import derive_facets, namespaces
+
+        d = _docs(spark, sf_dir).withColumn(
+            "facets", derive_facets(("namespace", F.col("source")))
+        )
+        return namespaces(d)
+
     out = {
         "postings_tf": postings_tf,
         "doc_len": doc_len,
@@ -433,6 +525,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_top10": _ann_lsh_top10,
         "ann_lsh_probe2": _ann_lsh_probe2,
         "ann_ivf_top10": _ann_ivf_top10,
+        "bm25_prefix_filter": _eng_search_q("merge", 10, filters=["lang/e/*"]),
+        "bm25_contains_filter": _contains_filter_q,
+        "bm25_wildcard_filter": _eng_search_q("merge", 10, filters=["*rc1*"]),
+        "bm25_min_score": _eng_search_q("merge join", 100, min_score=0.35),
+        "bm25_page2": _eng_search_q("merge join", 10, offset=10),
+        "facet_boost": facet_boost_q,
+        "filter_boost": filter_boost_q,
+        "namespaces": namespaces_q,
         "split_assign": split_assign_q,
         "stratified_sample": stratified_sample_q,
         "pii_scan": pii_scan_q,
@@ -556,6 +656,63 @@ SELECT sc.doc_id, round(sum(sc.sc), 6) AS score
 FROM scored sc JOIN documents doc ON sc.doc_id = doc.doc_id AND doc.lang = 'es'
 WHERE sc.term = 'merge'
 GROUP BY sc.doc_id ORDER BY sum(sc.sc) DESC, sc.doc_id ASC LIMIT 10"""
+
+# F3/F4/F5: the same scored-BM25 skeleton with the three non-equality
+# facet predicates mirrored over the derived '/lang/x' + '/source/y' paths
+_PREFIX_FILTER_SQL = f"""WITH {_TOK}, {_SCORED}
+SELECT sc.doc_id, round(sum(sc.sc), 6) AS score
+FROM scored sc JOIN documents doc ON sc.doc_id = doc.doc_id AND doc.lang LIKE 'e%'
+WHERE sc.term = 'merge'
+GROUP BY sc.doc_id ORDER BY sum(sc.sc) DESC, sc.doc_id ASC LIMIT 10"""
+
+_CONTAINS_FILTER_SQL = f"""WITH {_TOK}, {_SCORED}
+SELECT sc.doc_id, round(sum(sc.sc), 6) AS score
+FROM scored sc JOIN documents doc ON sc.doc_id = doc.doc_id
+ AND (contains('/lang/' || doc.lang, 'rc1') OR contains('/source/' || doc.source, 'rc1'))
+WHERE sc.term = 'merge'
+GROUP BY sc.doc_id ORDER BY sum(sc.sc) DESC, sc.doc_id ASC LIMIT 10"""
+
+_WILDCARD_FILTER_SQL = f"""WITH {_TOK}, {_SCORED}
+SELECT sc.doc_id, round(sum(sc.sc), 6) AS score
+FROM scored sc JOIN documents doc ON sc.doc_id = doc.doc_id
+ AND (contains(lower('/lang/' || doc.lang), 'rc1') OR contains(lower('/source/' || doc.source), 'rc1'))
+WHERE sc.term = 'merge'
+GROUP BY sc.doc_id ORDER BY sum(sc.sc) DESC, sc.doc_id ASC LIMIT 10"""
+
+# R6 min_score: top-(k+offset) first, THEN the threshold — mirroring the
+# engine's truncate-then-filter order
+_MIN_SCORE_SQL = f"""WITH {_TOK}, {_SCORED},
+ranked AS (
+  SELECT doc_id, sum(sc) AS s FROM scored WHERE term IN ('merge', 'join')
+  GROUP BY doc_id ORDER BY s DESC, doc_id ASC LIMIT 100
+)
+SELECT doc_id, round(s, 6) AS score FROM ranked WHERE s >= 0.35"""
+
+# R3/O3 pagination: page 2 of the OR query (offset 10, k 10)
+_PAGE2_SQL = f"""WITH {_TOK}, {_SCORED},
+r AS (SELECT doc_id, sum(sc) AS s FROM scored WHERE term IN ('merge', 'join') GROUP BY doc_id)
+SELECT doc_id, round(s, 6) AS score FROM r ORDER BY s DESC, doc_id ASC LIMIT 10 OFFSET 10"""
+
+# R5 facet boost 1.5^matching; R4 filter boost 0.25^missing
+_FACET_BOOST_SQL = f"""WITH {_TOK}, {_SCORED},
+r AS (
+  SELECT sc.doc_id, sum(sc.sc) * (CASE WHEN max(doc.lang) = 'es' THEN 1.5 ELSE 1.0 END) AS s
+  FROM scored sc JOIN documents doc ON sc.doc_id = doc.doc_id
+  WHERE sc.term = 'merge' GROUP BY sc.doc_id
+)
+SELECT doc_id, round(s, 6) AS score FROM r ORDER BY s DESC, doc_id ASC LIMIT 10"""
+
+_FILTER_BOOST_SQL = f"""WITH {_TOK}, {_SCORED},
+r AS (
+  SELECT sc.doc_id,
+         sum(sc.sc) * power(0.25, (CASE WHEN max(doc.lang) <> 'es' THEN 1 ELSE 0 END)
+                                + (CASE WHEN max(doc.source) <> 'src1' THEN 1 ELSE 0 END)) AS s
+  FROM scored sc JOIN documents doc ON sc.doc_id = doc.doc_id
+  WHERE sc.term = 'merge' GROUP BY sc.doc_id
+)
+SELECT doc_id, round(s, 6) AS score FROM r ORDER BY s DESC, doc_id ASC LIMIT 10"""
+
+_NAMESPACES_SQL = "SELECT DISTINCT source AS value FROM documents"
 
 _STOPWORDS_EN = "'the','a','and','of','to','in','is','it','that','for'"
 _SW = {
@@ -1018,6 +1175,14 @@ def oracle_sql() -> dict[str, str]:
             FROM toks
             WHERE len(array_to_string(w[1:least(3, len(w))], ' ')) > 3
               AND len(array_to_string(w[1:least(3, len(w))], ' ')) < 50""",
+        "bm25_prefix_filter": _PREFIX_FILTER_SQL,
+        "bm25_contains_filter": _CONTAINS_FILTER_SQL,
+        "bm25_wildcard_filter": _WILDCARD_FILTER_SQL,
+        "bm25_min_score": _MIN_SCORE_SQL,
+        "bm25_page2": _PAGE2_SQL,
+        "facet_boost": _FACET_BOOST_SQL,
+        "filter_boost": _FILTER_BOOST_SQL,
+        "namespaces": _NAMESPACES_SQL,
         "split_assign": _SPLIT_SQL,
         "stratified_sample": _STRAT_SAMPLE_SQL,
         "pii_scan": _pii_sql(),
