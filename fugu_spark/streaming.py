@@ -46,7 +46,10 @@ def start_stream_ingest(
     appends the corresponding filter_index rows at the new generation —
     without this, an upsert's del_gen would delete-mask the doc's OLDER
     filter_index rows and the doc would silently vanish from
-    facet-filtered results while still matching unfiltered queries.
+    facet-filtered results while still matching unfiltered queries. Date
+    columns (X5) get the same treatment: each batch is run through
+    ``with_date_fields`` and its date_index sidecar rows appended, so
+    stream-re-upserted docs keep matching date-range-filtered queries.
     """
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
@@ -56,6 +59,9 @@ def start_stream_ingest(
     def _sink(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
             return
+        from .dates import with_date_fields
+
+        batch = with_date_fields(batch)
         si = SegmentIndex.load(spark, index_dir)
         si = upsert_segments(si, batch, id_col=id_col, text_col=text_col, mode=mode)
         if facets_col and facets_col in batch.columns:
@@ -64,6 +70,9 @@ def start_stream_ingest(
             _write_filter_index(
                 batch, index_dir, id_col, facets_col, gen=si.max_gen(), mode="append"
             )
+        from .engine import _write_date_index
+
+        _write_date_index(batch, index_dir, id_col, gen=si.max_gen(), mode="append")
 
     writer = (
         stream.writeStream.foreachBatch(_sink)
