@@ -425,6 +425,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         new_docs = dup_batch.unionByName(novel_batch)
         return curation.dedup_against(new_docs, d).select("doc_id")
 
+    def mix_corpus_q(spark, sf_dir):
+        # exact-binary weights (0.5 + 0.25 + 0.25 == 1.0 in f64) so the
+        # driver-side threshold arithmetic is bit-identical to the oracle
+        return curation.mix_corpus(
+            _docs(spark, sf_dir), {"src1": 0.5, "src2": 0.25, "src3": 0.25}
+        ).select("doc_id", "source")
+
+    def pack_sequences_q(spark, sf_dir):
+        return curation.pack_sequences(_docs(spark, sf_dir), cap_tokens=200, n_streams=8)
+
     # ---- filter family + score tweaks over the full engine ----
 
     def _contains_filter_q(spark, sf_dir):
@@ -540,6 +550,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": contamination_q,
         "c4_filters": c4_filters_q,
         "dedup_against": dedup_against_q,
+        "mix_corpus": mix_corpus_q,
+        "pack_sequences": pack_sequences_q,
     }
     return out
 
@@ -863,6 +875,30 @@ SELECT doc_id,
                   AND regexp_matches(rtrim(text), '[.!?"'']$')
              THEN 1 ELSE 0 END)::BIGINT AS keep
 FROM t"""
+
+_MIX_SQL = f"""
+WITH w(s, wt) AS (VALUES ('src1', 0.5), ('src2', 0.25), ('src3', 0.25)),
+n AS (SELECT source AS s, count(*)::BIGINT AS cnt FROM documents GROUP BY 1),
+cap AS (SELECT min(cnt / wt) AS c FROM n JOIN w USING (s)),
+thr AS (SELECT s, round(wt * c / cnt * 1000000)::BIGINT AS t FROM n JOIN w USING (s), cap)
+SELECT d.doc_id, d.source FROM documents d JOIN thr ON d.source = thr.s
+WHERE {_hash60_sql("'42:' || d.source || ':' || d.doc_id::VARCHAR")} % 1000000 < thr.t"""
+
+_PACK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''))::BIGINT AS n_tokens
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n_tokens,
+         {_hash60_sql("'42:pack:' || doc_id::VARCHAR")} % 8 AS stream
+  FROM toks
+)
+SELECT doc_id, n_tokens, stream,
+       floor((sum(n_tokens) OVER (PARTITION BY stream ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n_tokens) / 200)::BIGINT AS pack_id
+FROM s"""
 
 _FP_EXPR = (
     "md5(array_to_string(list_filter(regexp_split_to_array(lower({t}), '[^a-z0-9]+'),"
@@ -1190,4 +1226,6 @@ def oracle_sql() -> dict[str, str]:
         "contamination": _CONTAMINATION_SQL,
         "c4_filters": _C4_SQL,
         "dedup_against": _DEDUP_AGAINST_SQL,
+        "mix_corpus": _MIX_SQL,
+        "pack_sequences": _PACK_SQL,
     }

@@ -115,6 +115,96 @@ def stratified_sample(
     return docs.filter(coin < thresh)
 
 
+def mix_corpus(
+    docs: DataFrame,
+    weights: dict[str, float],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic corpus mixing: sample each stratum so the OUTPUT
+    follows the target distribution ``weights`` (e.g. 50% web, 30% code,
+    20% papers) — the data-mixing step of an LLM training recipe.
+
+    The largest achievable output is ``T = min_s(n_s / w_s)`` (the
+    scarcest stratum saturates); each stratum keeps ``w_s·T / n_s`` of
+    its rows via the same stable hash coin as
+    :func:`stratified_sample` — so the mix is reproducible and a given
+    document's membership never depends on partitioning. Strata not in
+    ``weights`` are dropped.
+
+    Scale shape: one tiny groupBy-count (|strata| rows collected), then
+    a narrow hash-filter scan. The count pass is the only shuffle.
+    """
+    if not weights or any(w <= 0 for w in weights.values()):
+        raise ValueError("weights must be a non-empty dict of positive fractions")
+    total_w = sum(weights.values())
+    norm = {k: w / total_w for k, w in weights.items()}
+    counts = {
+        r["stratum"]: r["n"]
+        for r in docs.groupBy(F.col(strata_col).alias("stratum"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+        if r["stratum"] in norm
+    }
+    missing = set(norm) - set(counts)
+    if missing:
+        raise ValueError(f"strata absent from the corpus: {sorted(missing)}")
+    # achievable output size, saturated by the scarcest stratum
+    cap = min(counts[s] / norm[s] for s in norm)
+    fractions = {s: norm[s] * cap / counts[s] for s in norm}
+    out = docs.filter(F.col(strata_col).isin(list(norm)))
+    return stratified_sample(
+        out, 0.0, strata_col=strata_col, id_col=id_col, seed=seed, fractions=fractions
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    cap_tokens: int,
+    n_streams: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 42,
+) -> DataFrame:
+    """Assign documents to training-sequence packs of ~``cap_tokens``
+    tokens: contiguous first-fit within ``n_streams`` independent
+    streams. Output: ``(doc_id, n_tokens, stream, pack_id)`` where
+    ``(stream, pack_id)`` identifies the pack.
+
+    A single global running sum cannot scale (one ordered partition), so
+    packing runs in ``n_streams`` hash-assigned streams — each a window
+    partition that packs independently and deterministically (ordered by
+    id). Packs may overflow ``cap_tokens`` by at most one document
+    (documents are never split); degenerate docs longer than the cap get
+    a pack of their own. At 100 TB, set ``n_streams`` >= cluster cores so
+    every executor packs in parallel.
+    """
+    from pyspark.sql import Window
+
+    from .textstats import token_count
+
+    if cap_tokens <= 0 or n_streams <= 0:
+        raise ValueError("cap_tokens and n_streams must be positive")
+    base = docs.select(
+        F.col(id_col),
+        token_count(F.col(text_col)).alias("n_tokens"),
+        (_id_hash(F.col(id_col), seed, "pack") % n_streams).alias("stream"),
+    )
+    w = Window.partitionBy("stream").orderBy(F.col(id_col)).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = F.sum("n_tokens").over(w)
+    # pack by starting offset: the doc whose tokens start at offset o
+    # joins pack floor(o / cap)
+    return base.select(
+        id_col,
+        "n_tokens",
+        "stream",
+        F.floor((cum - F.col("n_tokens")) / F.lit(cap_tokens)).cast("long").alias("pack_id"),
+    )
+
+
 # ------------------------------------------------------------------ PII
 
 # Patterns chosen to behave identically under Java regex (Spark) and

@@ -187,3 +187,77 @@ def test_dedup_against_prunes_corpus_columns(spark, docs):
     """Only the text column of the corpus should be read."""
     plan = C.dedup_against(docs, docs)._jdf.queryExecution().executedPlan().toString()
     assert "LocalTableScan" in plan or "Scan" in plan  # smoke: plan materializes
+
+
+# ------------------------------------------------------------ mixing
+
+
+def test_mix_corpus_hits_target_distribution(spark):
+    big = spark.range(0, 30000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 3).cast("string")).alias("source"),
+    )
+    # 10k of each; target 50/25/25 -> cap = min(10k/.5, 10k/.25, 10k/.25) = 20k
+    out = C.mix_corpus(big, {"s0": 0.5, "s1": 0.25, "s2": 0.25})
+    counts = {r.source: r["count"] for r in out.groupBy("source").count().collect()}
+    total = sum(counts.values())
+    assert counts["s0"] == 10000  # scarcest-by-weight stratum keeps everything
+    assert abs(counts["s1"] / total - 0.25) < 0.02
+    assert abs(counts["s2"] / total - 0.25) < 0.02
+    # deterministic
+    again = C.mix_corpus(big.repartition(13), {"s0": 0.5, "s1": 0.25, "s2": 0.25})
+    assert {r.doc_id for r in again.collect()} == {r.doc_id for r in out.collect()}
+
+
+def test_mix_corpus_validates(spark, docs):
+    with pytest.raises(ValueError):
+        C.mix_corpus(docs, {})
+    with pytest.raises(ValueError):
+        C.mix_corpus(docs, {"nope": 1.0}, strata_col="lang")
+
+
+# ------------------------------------------------------------ packing
+
+
+def test_pack_sequences_caps_and_determinism(spark):
+    big = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", F.array_repeat(F.lit("tok"), (F.col("id") % 50 + 1).cast("int"))).alias(
+            "text"
+        ),
+    )
+    packed = C.pack_sequences(big, cap_tokens=100, n_streams=4)
+    rows = packed.collect()
+    assert len(rows) == 2000
+    # pack totals: every pack fits cap + one overflow doc at most
+    agg = (
+        packed.groupBy("stream", "pack_id")
+        .agg(F.sum("n_tokens").alias("tot"), F.max("n_tokens").alias("mx"))
+        .collect()
+    )
+    assert all(r.tot <= 100 + r.mx for r in agg)
+    # contiguity: within a stream, pack_id is monotone in doc_id
+    by_stream: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: (r.stream, r.doc_id)):
+        by_stream.setdefault(r.stream, []).append(r.pack_id)
+    for packs in by_stream.values():
+        assert packs == sorted(packs)
+    # deterministic under partitioning
+    again = C.pack_sequences(big.repartition(7), cap_tokens=100, n_streams=4).collect()
+    assert {(r.doc_id, r.stream, r.pack_id) for r in again} == {
+        (r.doc_id, r.stream, r.pack_id) for r in rows
+    }
+
+
+def test_pack_sequences_oversize_doc_gets_own_pack(spark):
+    d = spark.createDataFrame(
+        [(1, "a " * 500), (2, "b c"), (3, "d e f")], "doc_id long, text string"
+    )
+    packed = {r.doc_id: r for r in C.pack_sequences(d, cap_tokens=10, n_streams=1).collect()}
+    assert packed[1].n_tokens == 500
+    # the oversize doc occupies its own pack; later docs start new packs
+    ids_by_pack: dict[int, set] = {}
+    for r in packed.values():
+        ids_by_pack.setdefault(r.pack_id, set()).add(r.doc_id)
+    pack_of_1 = packed[1].pack_id
+    assert ids_by_pack[pack_of_1] == {1}
