@@ -425,6 +425,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         new_docs = dup_batch.unionByName(novel_batch)
         return curation.dedup_against(new_docs, d).select("doc_id")
 
+    def segments_compact_q(spark, sf_dir):
+        """B7/D2 through the driver gate: build, upsert (replacing some
+        docs, inserting others), delete, COMPACT, then search — after
+        compaction the index must equal a fresh build over the effective
+        live corpus, which is exactly what the oracle recomputes."""
+        import os
+        import shutil
+
+        import fugu_spark
+        from fugu_spark.segment_search import search_segments
+        from fugu_spark.segments import (
+            build_segments,
+            compact,
+            delete_doc_ids,
+            upsert_segments,
+        )
+
+        d = (
+            f"/tmp/fugu_entry_compact_{os.path.basename(sf_dir.rstrip('/'))}"
+            f"_v{fugu_spark.__version__}"
+        )
+        shutil.rmtree(d, ignore_errors=True)
+        docs = _docs(spark, sf_dir)
+        base = docs.filter(F.col("doc_id") < 480)
+        si = build_segments(base, d, id_col="doc_id", text_col="text")
+        upd = docs.filter(F.col("doc_id") >= 470).withColumn(
+            "text", F.concat(F.col("text"), F.lit(" compacted extra tokens"))
+        )
+        si = upsert_segments(si, upd, id_col="doc_id", text_col="text")
+        si = delete_doc_ids(si, spark.range(0, 5).withColumnRenamed("id", "doc_id"))
+        si = compact(si)
+        out = search_segments(si, "merge join", k=10)
+        return out.select("doc_id", F.round("score", 6).alias("score"))
+
+    def metadata_facets_q(spark, sf_dir):
+        """X7/X8: deterministic metadata JSON → flattened facet paths.
+        The synthesized object covers nested keys, array fan-out, an
+        empty string (skipped, X8) and a numeric leaf (skipped — only
+        non-empty string leaves emit, src/db/utils.rs:11-56)."""
+        from fugu_spark.facets import metadata_facets_udf
+
+        d = _docs(spark, sf_dir).withColumn(
+            "metadata",
+            F.concat(
+                F.lit('{"team": "t'),
+                (F.col("doc_id") % 3).cast("string"),
+                F.lit('", "tags": ["alpha", "beta"], "empty": "", "n": 7}'),
+            ),
+        )
+        return d.select(
+            "doc_id", F.explode(metadata_facets_udf(F.col("metadata"))).alias("facet")
+        )
+
+    def ns_filter_paths_q(spark, sf_dir):
+        """A5: filter paths scoped to one namespace's docs."""
+        from fugu_spark.facets import derive_facets, namespace_filter_paths
+
+        d = _docs(spark, sf_dir).withColumn(
+            "facets",
+            derive_facets(("namespace", F.col("source")), ("lang", F.col("lang"))),
+        )
+        return namespace_filter_paths(d, "src1")
+
     def mix_corpus_q(spark, sf_dir):
         # exact-binary weights (0.5 + 0.25 + 0.25 == 1.0 in f64) so the
         # driver-side threshold arithmetic is bit-identical to the oracle
@@ -552,6 +615,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_against": dedup_against_q,
         "mix_corpus": mix_corpus_q,
         "pack_sequences": pack_sequences_q,
+        "segments_compact": segments_compact_q,
+        "metadata_facets": metadata_facets_q,
+        "namespace_filter_paths": ns_filter_paths_q,
     }
     return out
 
@@ -875,6 +941,47 @@ SELECT doc_id,
                   AND regexp_matches(rtrim(text), '[.!?"'']$')
              THEN 1 ELSE 0 END)::BIGINT AS keep
 FROM t"""
+
+# B7/D2: BM25 over the EFFECTIVE live corpus after upsert+delete+compact
+# (base < 480, docs >= 470 replaced/inserted with modified text, 0-4
+# deleted) — compaction must make the index equal a fresh build of this.
+def _compact_sql() -> str:
+    corpus = """
+  SELECT doc_id, text FROM documents WHERE doc_id < 470 AND doc_id NOT IN (0, 1, 2, 3, 4)
+  UNION ALL
+  SELECT doc_id, text || ' compacted extra tokens' FROM documents WHERE doc_id >= 470"""
+    return f"""WITH corpus AS ({corpus}),
+tok AS (
+  SELECT doc_id, l[i] AS term
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS l
+        FROM corpus),
+       unnest(generate_series(1, len(l))) AS t(i)
+),
+post AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS doc_len FROM tok GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM corpus) AS n,
+         (SELECT sum(doc_len) FROM dl)::DOUBLE / (SELECT count(*) FROM corpus) AS avgdl
+),
+tstat AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+scored AS (
+  SELECT p.doc_id, p.term, {_SCORE} AS sc
+  FROM post p JOIN tstat t USING (term) JOIN dl d USING (doc_id), stats s
+)
+SELECT doc_id, round(sum(sc), 6) AS score FROM scored WHERE term IN ('merge', 'join')
+GROUP BY doc_id ORDER BY sum(sc) DESC, doc_id ASC LIMIT 10"""
+
+
+_METADATA_FACETS_SQL = """
+SELECT doc_id, '/metadata/team/t' || (doc_id % 3)::VARCHAR AS facet FROM documents
+UNION ALL SELECT doc_id, '/metadata/tags/alpha' FROM documents
+UNION ALL SELECT doc_id, '/metadata/tags/beta' FROM documents"""
+
+_NS_FILTER_PATHS_SQL = """
+WITH scoped AS (SELECT * FROM documents WHERE source = 'src1')
+SELECT DISTINCT '/namespace' AS parent, source AS leaf FROM scoped
+UNION SELECT DISTINCT '/lang', lang FROM scoped"""
 
 _MIX_SQL = f"""
 WITH w(s, wt) AS (VALUES ('src1', 0.5), ('src2', 0.25), ('src3', 0.25)),
@@ -1228,4 +1335,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_against": _DEDUP_AGAINST_SQL,
         "mix_corpus": _MIX_SQL,
         "pack_sequences": _PACK_SQL,
+        "segments_compact": _compact_sql(),
+        "metadata_facets": _METADATA_FACETS_SQL,
+        "namespace_filter_paths": _NS_FILTER_PATHS_SQL,
     }
