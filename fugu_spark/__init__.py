@@ -22,7 +22,7 @@ All index/query semantics mirror the reference (citations in docstrings as
 /root/reference/<file>:<lines>); all execution is Spark-first.
 """
 
-__version__ = "0.3.0"  # bump when the on-disk segment layout changes
+__version__ = "0.4.0"  # bump when the on-disk segment layout changes
 
 BM25_K1 = 1.2  # reference default: /root/reference/API.md:82-84
 BM25_B = 0.75  # reference default: /root/reference/API.md:82-84

@@ -68,6 +68,157 @@ def varint_decode(buf: bytes, n: int) -> np.ndarray:
     return out
 
 
+# ---------------------------------------------------------------- PFOR
+#
+# Patched frame-of-reference (the "PFOR slot" above): each block stores
+# values bitpacked at a width w chosen by a cost model; values that do
+# not fit ("exceptions" — e.g. the absolute base that leads every block's
+# delta stream) are patched in from varint side streams. Streams are
+# self-describing: byte 0 is a codec tag so varint and PFOR blocks can
+# coexist in one segment file.
+
+CODEC_VARINT = 0
+CODEC_PFOR = 1
+
+
+def _bitlen(values: np.ndarray) -> np.ndarray:
+    """Per-value bit length (0 for 0), vectorized."""
+    v = np.asarray(values, dtype=np.uint64)
+    out = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    while True:
+        nz = tmp > 0
+        if not nz.any():
+            break
+        out[nz] += 1
+        tmp = tmp >> np.uint64(1)
+    return out
+
+
+def bitpack_encode(values: np.ndarray, width: int) -> bytes:
+    """Pack the LOW ``width`` bits of each value, LSB-first within the
+    stream (bit i of the stream lives at byte i//8, bit i%8)."""
+    if width == 0 or values.size == 0:
+        return b""
+    v = np.asarray(values, dtype=np.uint64)
+    bits = ((v[:, None] >> np.arange(width, dtype=np.uint64)) & np.uint64(1)).astype(np.uint8)
+    return np.packbits(bits.ravel(), bitorder="little").tobytes()
+
+
+def bitpack_decode(buf: bytes, n: int, width: int) -> np.ndarray:
+    """Vectorized decode, two strategies by width: narrow widths (the
+    common case for doc-gap frames) use unpackbits + a ``width``-step
+    bit fold (memcpy-fast); wide widths use an 8-byte window gather per
+    value (O(n) independent of width)."""
+    if width == 0 or n == 0:
+        return np.zeros(n, dtype=np.uint64)
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    if width <= 12:
+        bits = np.unpackbits(raw, count=n * width, bitorder="little").reshape(n, width)
+        out = np.zeros(n, dtype=np.uint64)
+        for b in range(width):
+            out |= bits[:, b].astype(np.uint64) << np.uint64(b)
+        return out
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    padded = np.concatenate([raw, np.zeros(8, dtype=np.uint8)])
+    bit_off = np.arange(n, dtype=np.int64) * width
+    byte_off = bit_off >> 3
+    shift = (bit_off & 7).astype(np.uint64)
+    words = np.ascontiguousarray(sliding_window_view(padded, 8)[byte_off]).view("<u8").ravel()
+    out = words >> shift
+    if width > 56:
+        # a value can span 9 bytes; fold the 9th in (only when shift > 0,
+        # else words already holds all 64 bits)
+        extra = padded[byte_off + 8].astype(np.uint64)
+        shifted_in = extra << (np.uint64(64) - np.where(shift == 0, np.uint64(1), shift))
+        out = np.where(shift == 0, out, out | shifted_in)
+    if width >= 64:
+        return out
+    return out & np.uint64((1 << width) - 1)
+
+
+def pfor_encode(values: np.ndarray) -> bytes:
+    """One ≤2^16-value block → tagged PFOR stream.
+
+    Layout: [tag=1][width u8][n_exceptions u16 LE][packed low bits]
+    [varint exception positions (delta-encoded)][varint exception high
+    bits (value >> width)]. Width minimizes total bytes over candidate
+    widths (every distinct bit length present), so a lone outlier (the
+    absolute block base) costs two varints, not 64-bit frames for all.
+    """
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    n = v.size
+    if n == 0:
+        return bytes([CODEC_PFOR, 0, 0, 0])
+    if n >= 1 << 16:
+        raise ValueError("pfor block too large")
+    lens = _bitlen(v)
+    cands = np.unique(lens)
+    best_w, best_cost = int(cands[-1]), None
+    for w in cands:
+        n_exc = int((lens > w).sum())
+        # exceptions: ~1.5 B position delta + high-bits varint
+        high = v[lens > w] >> np.uint64(w)
+        exc_bytes = n_exc + int(np.maximum((_bitlen(high) + 6) // 7, 1).sum()) if n_exc else 0
+        cost = (n * int(w) + 7) // 8 + exc_bytes
+        if best_cost is None or cost < best_cost:
+            best_cost, best_w = cost, int(w)
+    w = best_w
+    exc_mask = lens > w
+    n_exc = int(exc_mask.sum())
+    if w >= 64:
+        mask = np.uint64(0xFFFFFFFFFFFFFFFF)
+    else:
+        mask = np.uint64((1 << w) - 1)
+    low = (v & mask) if w else np.zeros_like(v)
+    head = bytes([CODEC_PFOR, w]) + int(n_exc).to_bytes(2, "little")
+    body = bitpack_encode(low, w)
+    if n_exc:
+        pos = np.flatnonzero(exc_mask).astype(np.uint64)
+        body += varint_encode(delta_encode(pos))
+        body += varint_encode(v[exc_mask] >> np.uint64(w))
+    return head + body
+
+
+def pfor_decode(buf: bytes, n: int) -> np.ndarray:
+    if not buf or buf[0] != CODEC_PFOR:
+        raise ValueError("not a pfor stream")
+    w = buf[1]
+    n_exc = int.from_bytes(buf[2:4], "little")
+    off = 4
+    packed_len = (n * w + 7) // 8
+    out = bitpack_decode(buf[off : off + packed_len], n, w)
+    off += packed_len
+    if n_exc:
+        rest = np.frombuffer(buf[off:], dtype=np.uint8)
+        is_last = (rest & 0x80) == 0
+        ends = np.flatnonzero(is_last)
+        pos_bytes = int(ends[n_exc - 1]) + 1
+        pos = delta_decode(varint_decode(buf[off : off + pos_bytes], n_exc)).astype(np.int64)
+        high = varint_decode(buf[off + pos_bytes :], n_exc)
+        out[pos] |= high << np.uint64(w)
+    return out
+
+
+def tagged_varint_encode(values: np.ndarray) -> bytes:
+    """Varint stream with the codec tag byte (coexists with PFOR)."""
+    return bytes([CODEC_VARINT]) + varint_encode(values)
+
+
+def stream_decode(buf: bytes, n: int) -> np.ndarray:
+    """Decode a TAGGED stream (varint or pfor). Untagged legacy streams
+    are not auto-detected — segment files carry tags from 0.4.0 on."""
+    if n == 0:
+        return np.array([], dtype=np.uint64)
+    tag = buf[0]
+    if tag == CODEC_PFOR:
+        return pfor_decode(buf, n)
+    if tag == CODEC_VARINT:
+        return varint_decode(buf[1:], n)
+    raise ValueError(f"unknown codec tag {tag}")
+
+
 def delta_encode(sorted_vals: np.ndarray) -> np.ndarray:
     """Ascending values → [first, gaps...] (uint64)."""
     v = np.asarray(sorted_vals, dtype=np.uint64)
@@ -100,11 +251,14 @@ def encode_posting_block(
     doc_ids = np.asarray(doc_ids, dtype=np.uint64)
     tfs = np.asarray(tfs, dtype=np.uint64)
     doc_lens = np.asarray(doc_lens, dtype=np.uint64)
+    deltas = delta_encode(doc_ids)
+    pf = pfor_encode(deltas)
+    tv = tagged_varint_encode(deltas)
     enc = {
         "n_docs": int(doc_ids.size),
-        "doc_ids_enc": varint_encode(delta_encode(doc_ids)),
-        "tfs_enc": varint_encode(tfs),
-        "doc_lens_enc": varint_encode(doc_lens),
+        "doc_ids_enc": pf if len(pf) < len(tv) else tv,
+        "tfs_enc": tagged_varint_encode(tfs),
+        "doc_lens_enc": tagged_varint_encode(doc_lens),
         "max_doc_id": int(doc_ids[-1]) if doc_ids.size else 0,
         "min_doc_id": int(doc_ids[0]) if doc_ids.size else 0,
         "max_tf": int(tfs.max()) if tfs.size else 0,
@@ -120,10 +274,10 @@ def encode_posting_block(
             deltas[1:] = pf[1:] - pf[:-1]
             starts = np.concatenate([[0], np.cumsum(pc)[:-1]]).astype(np.int64)
             deltas[starts] = pf[starts]
-            enc["positions_enc"] = varint_encode(deltas)
+            enc["positions_enc"] = tagged_varint_encode(deltas)
         else:
-            enc["positions_enc"] = b""
-        enc["pos_counts_enc"] = varint_encode(pc)
+            enc["positions_enc"] = bytes([CODEC_VARINT])
+        enc["pos_counts_enc"] = tagged_varint_encode(pc)
     else:
         enc["positions_enc"] = b""
         enc["pos_counts_enc"] = b""
@@ -134,15 +288,15 @@ def decode_posting_block(block: dict) -> dict:
     """Inverse of encode_posting_block → arrays (doc_ids, tfs, doc_lens,
     positions list-of-arrays if present)."""
     n = int(block["n_docs"])
-    doc_ids = delta_decode(varint_decode(block["doc_ids_enc"], n))
-    tfs = varint_decode(block["tfs_enc"], n)
-    doc_lens = varint_decode(block["doc_lens_enc"], n)
+    doc_ids = delta_decode(stream_decode(block["doc_ids_enc"], n))
+    tfs = stream_decode(block["tfs_enc"], n)
+    doc_lens = stream_decode(block["doc_lens_enc"], n)
     out = {"doc_ids": doc_ids, "tfs": tfs, "doc_lens": doc_lens}
     pc_buf = block.get("pos_counts_enc", b"") or b""
     if len(pc_buf):
-        counts = varint_decode(pc_buf, n)
+        counts = stream_decode(pc_buf, n)
         total = int(counts.sum())
-        deltas = varint_decode(block.get("positions_enc", b"") or b"", total)
+        deltas = stream_decode(block.get("positions_enc", b"") or b"", total)
         if total:
             # per-doc cumsum = global cumsum minus the carry at each doc start
             g = np.cumsum(deltas, dtype=np.uint64)

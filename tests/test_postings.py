@@ -4,6 +4,8 @@ postings, doc_len, df, N, avgdl."""
 from __future__ import annotations
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from fugu_spark.postings import build_index, build_postings, corpus_stats, term_stats
@@ -79,3 +81,75 @@ def test_partition_count_invariance(spark, docs_df):
         for r in build_postings(docs_df.repartition(4)).collect()
     )
     assert p1 == p4
+
+
+# ---------------------------------------------------------------- PFOR
+
+
+def test_bitpack_roundtrip_every_width():
+    import numpy as np
+
+    from fugu_spark.codecs import bitpack_decode, bitpack_encode
+
+    rng = np.random.default_rng(11)
+    for w in range(0, 65):
+        for n in (1, 7, 128, 301):
+            if w == 0:
+                v = np.zeros(n, dtype=np.uint64)
+            elif w == 64:
+                v = rng.integers(0, 2**63, n).astype(np.uint64) * 2 + 1
+            else:
+                v = rng.integers(0, 2**w, n, dtype=np.uint64)
+            assert np.array_equal(bitpack_decode(bitpack_encode(v, w), n, w), v), (w, n)
+
+
+def test_pfor_roundtrip_and_dispatch():
+    import numpy as np
+
+    from fugu_spark.codecs import (
+        pfor_decode,
+        pfor_encode,
+        stream_decode,
+        tagged_varint_encode,
+    )
+
+    rng = np.random.default_rng(13)
+    cases = [
+        np.array([], dtype=np.uint64),
+        np.array([0], dtype=np.uint64),
+        np.array([2**63 + 5], dtype=np.uint64),
+        rng.integers(0, 100, 128).astype(np.uint64),
+        np.concatenate([[2**40], rng.integers(0, 50, 127)]).astype(np.uint64),
+        rng.integers(0, 2**63, 128).astype(np.uint64),
+        np.zeros(128, dtype=np.uint64),
+        np.array([0, 2**64 - 1] * 64, dtype=np.uint64),
+    ]
+    for c in cases:
+        assert np.array_equal(pfor_decode(pfor_encode(c), len(c)), c)
+        assert np.array_equal(stream_decode(pfor_encode(c), len(c)), c)
+        assert np.array_equal(stream_decode(tagged_varint_encode(c), len(c)), c)
+
+
+def test_pfor_beats_varint_on_dense_blocks():
+    """The block-base outlier is patched, so dense posting blocks pack
+    at the gap width instead of varint's 1-byte floor."""
+    import numpy as np
+
+    from fugu_spark.codecs import pfor_encode, varint_encode
+
+    rng = np.random.default_rng(17)
+    deltas = np.concatenate([[10_000_000], rng.integers(1, 16, 127)]).astype(np.uint64)
+    assert len(pfor_encode(deltas)) < len(varint_encode(deltas)) + 1
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**63 - 1), min_size=0, max_size=400)
+)
+@settings(deadline=None, max_examples=60)
+def test_pfor_roundtrip_hypothesis(vals):
+    import numpy as np
+
+    from fugu_spark.codecs import pfor_decode, pfor_encode
+
+    v = np.array(vals, dtype=np.uint64)
+    assert np.array_equal(pfor_decode(pfor_encode(v), len(v)), v)
