@@ -488,6 +488,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return namespace_filter_paths(d, "src1")
 
+    def highlights_q(spark, sf_dir):
+        """R6 highlights: top-10 for 'merge' with **-wrapped snippet
+        windows. SQL-oracle-able on this corpus because the text is
+        space-separated vocabulary where 'merge' is never a substring of
+        another token, so strpos/replace reproduce the tokenizer's
+        whole-token matching exactly."""
+        from fugu_spark.highlights import with_snippets
+
+        docs, idx = _index(spark, sf_dir)
+        top = search(idx, "merge", k=10, docs=docs)
+        return with_snippets(top, docs, "merge").select(
+            "doc_id", F.round("score", 6).alias("score"), "snippet"
+        )
+
     def mix_corpus_q(spark, sf_dir):
         # exact-binary weights (0.5 + 0.25 + 0.25 == 1.0 in f64) so the
         # driver-side threshold arithmetic is bit-identical to the oracle
@@ -613,6 +627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": contamination_q,
         "c4_filters": c4_filters_q,
         "dedup_against": dedup_against_q,
+        "highlights": highlights_q,
         "mix_corpus": mix_corpus_q,
         "pack_sequences": pack_sequences_q,
         "segments_compact": segments_compact_q,
@@ -983,6 +998,31 @@ WITH scoped AS (SELECT * FROM documents WHERE source = 'src1')
 SELECT DISTINCT '/namespace' AS parent, source AS leaf FROM scoped
 UNION SELECT DISTINCT '/lang', lang FROM scoped"""
 
+# R6 highlights: window=60 chars around the first whole-token match of
+# 'merge', every in-window match wrapped in '**', ellipses at cut edges.
+# strpos/replace are token-exact here because 'merge' is never a
+# substring of another vocabulary token in this corpus.
+def _highlights_sql() -> str:
+    return f"""WITH {_TOK}, {_SCORED},
+top10 AS (
+  SELECT doc_id, sum(sc) AS s FROM scored WHERE term = 'merge'
+  GROUP BY doc_id ORDER BY s DESC, doc_id ASC LIMIT 10
+),
+snip AS (
+  SELECT t.doc_id, t.s, d.text,
+         strpos(d.text, 'merge') - 1 AS p,  -- 0-based first match
+         len(d.text) AS L
+  FROM top10 t JOIN documents d USING (doc_id)
+)
+SELECT doc_id, round(s, 6) AS score,
+       (CASE WHEN greatest(0, p - 60) > 0 THEN '…' ELSE '' END)
+       || replace(substr(text, greatest(0, p - 60) + 1,
+                         least(L, p + 5 + 60) - greatest(0, p - 60)),
+                  'merge', '**merge**')
+       || (CASE WHEN least(L, p + 5 + 60) < L THEN '…' ELSE '' END) AS snippet
+FROM snip"""
+
+
 _MIX_SQL = f"""
 WITH w(s, wt) AS (VALUES ('src1', 0.5), ('src2', 0.25), ('src3', 0.25)),
 n AS (SELECT source AS s, count(*)::BIGINT AS cnt FROM documents GROUP BY 1),
@@ -1333,6 +1373,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination": _CONTAMINATION_SQL,
         "c4_filters": _C4_SQL,
         "dedup_against": _DEDUP_AGAINST_SQL,
+        "highlights": _highlights_sql(),
         "mix_corpus": _MIX_SQL,
         "pack_sequences": _PACK_SQL,
         "segments_compact": _compact_sql(),
