@@ -488,6 +488,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return namespace_filter_paths(d, "src1")
 
+    def facet_counts_served_q(spark, sf_dir):
+        """A1 through the pre-rolled counts_index ledger (ms serving path)
+        — must be value-identical to the docs-scan facet_counts_lang."""
+        eng = _engine(spark, sf_dir)
+        return eng.facet_counts("/lang").select(
+            "child", F.col("count").cast("long").alias("count")
+        )
+
     def highlights_q(spark, sf_dir):
         """R6 highlights: top-10 for 'merge' with **-wrapped snippet
         windows. SQL-oracle-able on this corpus because the text is
@@ -627,6 +635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": contamination_q,
         "c4_filters": c4_filters_q,
         "dedup_against": dedup_against_q,
+        "facet_counts_served": facet_counts_served_q,
         "highlights": highlights_q,
         "mix_corpus": mix_corpus_q,
         "pack_sequences": pack_sequences_q,
@@ -1373,6 +1382,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination": _CONTAMINATION_SQL,
         "c4_filters": _C4_SQL,
         "dedup_against": _DEDUP_AGAINST_SQL,
+        "facet_counts_served": "SELECT '/lang/' || lang AS child, count(*) AS count FROM documents GROUP BY lang",
         "highlights": _highlights_sql(),
         "mix_corpus": _MIX_SQL,
         "pack_sequences": _PACK_SQL,

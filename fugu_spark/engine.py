@@ -79,6 +79,68 @@ def _write_date_index(
     rows.write.mode(mode).parquet(fsio.join(index_dir, "date_index"))
 
 
+def _counts_rows_from_facets(fac_rows: DataFrame, sign: int) -> DataFrame:
+    """(facet) rows → per-prefix occurrence-count deltas."""
+    return (
+        fac_rows.select(F.explode(FC.prefix_expand(F.col("facet"))).alias("prefix"))
+        .groupBy("prefix")
+        .agg((F.count(F.lit(1)) * sign).cast("long").alias("delta"))
+    )
+
+
+def _counts_delta_rows(docs: DataFrame, facets_col: str, sign: int) -> DataFrame:
+    """Per-prefix occurrence-count deltas for a doc batch — the exact
+    quantity `facet_tree_counts` aggregates, so sidecar-served analytics
+    are value-identical to the docs-scan path."""
+    return _counts_rows_from_facets(FC._exploded(docs, facets_col), sign)
+
+
+def live_facet_rows_for_ids(spark, index_dir: str, ids: DataFrame) -> DataFrame | None:
+    """The currently-LIVE filter_index (doc_id, facet) rows for these ids
+    — max generation per doc, delete-masked. The streaming sink uses this
+    to write negative counts-ledger deltas for docs a micro-batch
+    replaces (it has no docs table to consult)."""
+    from pyspark.sql import Window
+
+    from . import fsio
+
+    path = fsio.join(index_dir, "filter_index")
+    if not fsio.exists(path):
+        return None
+    fi = spark.read.schema("doc_id long, facet string, gen int").parquet(path)
+    fi = fi.join(ids.select(F.col(ids.columns[0]).cast("long").alias("doc_id")),
+                 "doc_id", "left_semi")
+    w = Window.partitionBy("doc_id")
+    live = fi.withColumn("_mx", F.max("gen").over(w)).filter(F.col("gen") == F.col("_mx"))
+    del_path = fsio.join(index_dir, "deletes")
+    if fsio.exists(del_path):
+        dels = (
+            spark.read.parquet(del_path)
+            .groupBy("doc_id")
+            .agg(F.max("del_gen").alias("del_gen"))
+        )
+        live = live.join(F.broadcast(dels), "doc_id", "left").filter(
+            F.col("del_gen").isNull() | (F.col("gen") >= F.col("del_gen"))
+        )
+    return live.select("doc_id", "facet")
+
+
+def _write_counts_index(
+    docs: DataFrame, index_dir: str, facets_col: str, mode: str, sign: int = 1
+) -> None:
+    """Persist the pre-rolled facet-count ledger (`counts_index`): append-
+    only (prefix, delta) rows. Serving sums the tiny ledger instead of
+    scanning the corpus — at 10^12 docs facet analytics stay O(|facets|),
+    not O(docs). Upserts/deletes append negative deltas for the replaced
+    docs' facets; compaction rewrites the ledger from live docs."""
+    from . import fsio
+
+    if facets_col not in docs.columns:
+        return
+    rows = _counts_delta_rows(docs, facets_col, sign)
+    rows.write.mode(mode).parquet(fsio.join(index_dir, "counts_index"))
+
+
 @dataclass
 class FuguSparkEngine:
     spark: SparkSession
@@ -134,6 +196,7 @@ class FuguSparkEngine:
         good = with_date_fields(good).cache()  # RFC3339 → timestamp (X5)
         if facets_col and facets_col in good.columns:
             _write_filter_index(good, index_dir, id_col, facets_col, gen=0, mode="overwrite")
+            _write_counts_index(good, index_dir, facets_col, mode="overwrite")
         _write_date_index(good, index_dir, id_col, gen=0, mode="overwrite")
         si = build_segments(
             good,
@@ -371,6 +434,16 @@ class FuguSparkEngine:
                 "explicit_facets_count": 0,
                 "generated_facets_count": good.count(),
             }
+        # counts ledger: subtract the REPLACED docs' facet prefixes (their
+        # old rows are about to be delete-masked), then add the batch's
+        if self.facets_col in good.columns and self.facets_col in self.docs.columns:
+            replaced = self.docs.join(
+                good.select(F.col(self.id_col)), self.id_col, "left_semi"
+            )
+            _write_counts_index(
+                replaced, self.index_dir, self.facets_col, mode="append", sign=-1
+            )
+            _write_counts_index(good, self.index_dir, self.facets_col, mode="append")
         self.si = upsert_segments(
             self.si, good, id_col=self.id_col, text_col=self.text_col, mode=self.mode
         )
@@ -395,6 +468,9 @@ class FuguSparkEngine:
         return self
 
     def delete(self, ids: DataFrame) -> "FuguSparkEngine":
+        if self.facets_col in self.docs.columns:
+            gone = self.docs.join(ids, self.id_col, "left_semi")
+            _write_counts_index(gone, self.index_dir, self.facets_col, mode="append", sign=-1)
         self.si = delete_doc_ids(self.si, ids, id_col=self.id_col)
         self.docs = self.docs.join(ids, self.id_col, "left_anti").cache()
         return self
@@ -407,6 +483,7 @@ class FuguSparkEngine:
             _write_filter_index(
                 self.docs, self.index_dir, self.id_col, self.facets_col, gen=0, mode="overwrite"
             )
+            _write_counts_index(self.docs, self.index_dir, self.facets_col, mode="overwrite")
         _write_date_index(self.docs, self.index_dir, self.id_col, gen=0, mode="overwrite")
         return self
 
@@ -418,14 +495,33 @@ class FuguSparkEngine:
     def namespaces(self) -> DataFrame:
         return FC.namespaces(self._fd(), self.facets_col)
 
-    def facet_tree(self, max_depth: int | None = None) -> dict:
+    def facet_tree(self, max_depth: int | None = None, serve: bool = True) -> dict:
+        """A3 facet tree; served from the pre-rolled counts_index ledger
+        (ms, no Spark job) when present, else the docs-scan path."""
+        if serve:
+            try:
+                pdf = self._local_searcher().facet_tree_counts()
+                rows = list(zip(pdf["prefix"], (int(c) for c in pdf["count"])))
+                return FC.assemble_tree(rows, max_depth=max_depth)
+            except ValueError:
+                pass
         rows = [
             (r["prefix"], r["count"])
             for r in FC.facet_tree_counts(self._fd(), self.facets_col).collect()
         ]
         return FC.assemble_tree(rows, max_depth=max_depth)
 
-    def facet_counts(self, root: str) -> DataFrame:
+    def facet_counts(self, root: str, serve: bool = True) -> DataFrame:
+        """A1 facet counts; serve-first from counts_index, docs-scan
+        fallback — value-identical (pinned by tests)."""
+        if serve:
+            try:
+                pdf = self._local_searcher().facet_counts(root)
+                return self.spark.createDataFrame(
+                    pdf if len(pdf) else [], "child string, count long"
+                )
+            except ValueError:
+                pass
         return FC.facet_counts(self._fd(), root, self.facets_col)
 
     def all_filters(self) -> DataFrame:

@@ -389,6 +389,42 @@ class LocalSearcher:
         dls = first["doc_lens"][pos_in_first]
         return docs.astype(np.int64), tfps.astype(np.int64), dls.astype(np.int64)
 
+    # ------------------------------------------------- facet analytics
+
+    def _prefix_counts(self) -> pd.DataFrame:
+        """Sum the pre-rolled counts_index ledger → (prefix, count > 0).
+        O(|distinct facet prefixes|) regardless of corpus size — the
+        serving path for facet_counts / facet_tree at any scale."""
+        import pyarrow.dataset as pads
+
+        path = os.path.join(self.index_dir, "counts_index")
+        if not os.path.isdir(path):
+            raise ValueError(
+                "no counts_index in this index dir — build through "
+                "FuguSparkEngine with a facets column, or use the docs-scan path"
+            )
+        tbl = pads.dataset(path, format="parquet").to_table(columns=["prefix", "delta"])
+        pdf = tbl.to_pandas().groupby("prefix", as_index=False)["delta"].sum()
+        pdf = pdf[pdf["delta"] > 0].rename(columns={"delta": "count"})
+        return pdf.reset_index(drop=True)
+
+    def facet_counts(self, root: str) -> pd.DataFrame:
+        """Immediate-child counts under ``root`` (A1), value-identical to
+        facets.facet_counts over the docs table."""
+        pdf = self._prefix_counts()
+        depth = len([p for p in root.split("/") if p]) + 1
+        sel = pdf[
+            pdf["prefix"].str.startswith(root + "/")
+            & (pdf["prefix"].str.count("/") == depth)
+        ]
+        out = sel.rename(columns={"prefix": "child"}).sort_values("child")
+        return out.reset_index(drop=True)
+
+    def facet_tree_counts(self) -> pd.DataFrame:
+        """All-prefix rollup counts (A3), value-identical to
+        facets.facet_tree_counts over the docs table."""
+        return self._prefix_counts().sort_values("prefix").reset_index(drop=True)
+
     # ------------------------------------------------------------- search
 
     def search(

@@ -63,6 +63,23 @@ def start_stream_ingest(
 
         batch = with_date_fields(batch)
         si = SegmentIndex.load(spark, index_dir)
+        if facets_col and facets_col in batch.columns:
+            # counts ledger: subtract the facets this batch's ids currently
+            # hold (their filter_index rows are about to be masked) BEFORE
+            # the upsert bumps the generation
+            from . import fsio
+            from .engine import (
+                _counts_rows_from_facets,
+                _write_counts_index,
+                live_facet_rows_for_ids,
+            )
+
+            old = live_facet_rows_for_ids(spark, index_dir, batch.select(id_col))
+            if old is not None and fsio.exists(fsio.join(index_dir, "counts_index")):
+                _counts_rows_from_facets(old, sign=-1).write.mode("append").parquet(
+                    fsio.join(index_dir, "counts_index")
+                )
+                _write_counts_index(batch, index_dir, facets_col, mode="append")
         si = upsert_segments(si, batch, id_col=id_col, text_col=text_col, mode=mode)
         if facets_col and facets_col in batch.columns:
             from .engine import _write_filter_index

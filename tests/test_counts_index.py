@@ -1,0 +1,126 @@
+"""Pre-rolled facet-counts ledger (counts_index): ms-latency facet
+analytics that stay value-identical to the docs-scan path through
+build, replacing upserts, deletes, compaction, and streaming ingest."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from fugu_spark import facets as FC
+from fugu_spark.engine import FuguSparkEngine
+from fugu_spark.serve import LocalSearcher
+
+
+def _mkdocs(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    return df.withColumn(
+        "facets", FC.derive_facets(("lang", F.col("lang")), ("source", F.col("source")))
+    )
+
+
+def _scan_counts(eng, root):
+    return {
+        r.child: r["count"]
+        for r in FC.facet_counts(eng.docs, root, eng.facets_col).collect()
+    }
+
+
+def _served_counts(eng, root):
+    return {r.child: r["count"] for r in eng.facet_counts(root).collect()}
+
+
+def _assert_parity(eng):
+    for root in ("/lang", "/source"):
+        assert _served_counts(eng, root) == _scan_counts(eng, root), root
+    tree_scan = {
+        r.prefix: r["count"]
+        for r in FC.facet_tree_counts(eng.docs, eng.facets_col).collect()
+    }
+    pdf = LocalSearcher(eng.index_dir).facet_tree_counts()
+    tree_served = dict(zip(pdf["prefix"], (int(c) for c in pdf["count"])))
+    assert tree_served == tree_scan
+
+
+def test_counts_ledger_lifecycle(spark, tmp_path):
+    docs = _mkdocs(
+        spark,
+        [
+            (1, "alpha text", "en", "web"),
+            (2, "beta text", "en", "code"),
+            (3, "gamma text", "es", "web"),
+            (4, "delta text", "fr", "web"),
+        ],
+    )
+    eng = FuguSparkEngine.build(docs, index_dir=str(tmp_path / "idx"))
+    assert os.path.isdir(str(tmp_path / "idx" / "counts_index"))
+    _assert_parity(eng)
+    assert _served_counts(eng, "/lang") == {"/lang/en": 2, "/lang/es": 1, "/lang/fr": 1}
+
+    # replacing upsert: doc 2 moves en->de, doc 5 arrives
+    batch = _mkdocs(
+        spark,
+        [(2, "beta rewritten", "de", "code"), (5, "epsilon text", "es", "papers")],
+    )
+    eng.ingest(batch)
+    _assert_parity(eng)
+    assert _served_counts(eng, "/lang") == {
+        "/lang/de": 1,
+        "/lang/en": 1,
+        "/lang/es": 2,
+        "/lang/fr": 1,
+    }
+
+    # delete doc 3 (es/web)
+    eng.delete(spark.createDataFrame([(3,)], "doc_id long"))
+    _assert_parity(eng)
+    assert _served_counts(eng, "/lang") == {"/lang/de": 1, "/lang/en": 1, "/lang/es": 1, "/lang/fr": 1}
+
+    # compact rewrites the ledger from live docs
+    eng.compact()
+    _assert_parity(eng)
+
+
+def test_counts_serve_fallback_without_ledger(spark, tmp_path):
+    docs = _mkdocs(spark, [(1, "alpha", "en", "web")])
+    eng = FuguSparkEngine.build(docs, index_dir=str(tmp_path / "idx"), facets_col=None)
+    # no facets column configured: engine's facets_col points at a column
+    # the docs DO have, so the docs-scan fallback still answers
+    eng.facets_col = "facets"
+    assert _scan_counts(eng, "/lang") == {"/lang/en": 1}
+    assert _served_counts(eng, "/lang") == {"/lang/en": 1}  # fallback path
+
+
+def test_counts_ledger_streaming(spark, tmp_path):
+    from fugu_spark.streaming import start_stream_ingest
+
+    docs = _mkdocs(
+        spark,
+        [(1, "alpha text", "en", "web"), (2, "beta text", "es", "web")],
+    )
+    eng = FuguSparkEngine.build(docs, index_dir=str(tmp_path / "idx"))
+
+    drop = str(tmp_path / "drop")
+    os.makedirs(drop)
+    schema = "doc_id long, text string, lang string, source string"
+    spark.createDataFrame(
+        [(1, "alpha rewritten", "de", "code"), (9, "iota text", "en", "web")], schema
+    ).withColumn(
+        "facets", FC.derive_facets(("lang", F.col("lang")), ("source", F.col("source")))
+    ).coalesce(1).write.mode("append").parquet(drop)
+    q = start_stream_ingest(
+        spark,
+        drop,
+        schema + ", facets array<string>",
+        str(tmp_path / "idx"),
+        str(tmp_path / "cp"),
+        id_col="doc_id",
+        text_col="text",
+    )
+    q.awaitTermination(120)
+
+    pdf = LocalSearcher(str(tmp_path / "idx")).facet_counts("/lang")
+    got = dict(zip(pdf["child"], (int(c) for c in pdf["count"])))
+    # doc 1 moved en->de, doc 9 added en; doc 2 unchanged es
+    assert got == {"/lang/de": 1, "/lang/en": 1, "/lang/es": 1}
