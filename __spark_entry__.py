@@ -496,6 +496,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "child", F.col("count").cast("long").alias("count")
         )
 
+    def suggest_served_q(spark, sf_dir):
+        """D6 autocomplete through the persisted suggest_index (prefix
+        byte-range pushdown + delete masking)."""
+        eng = _engine(spark, sf_dir)
+        return eng.suggest("merge", n=10).select(
+            "suggestion", F.col("count").cast("long").alias("count")
+        )
+
+    def filter_values_served_q(spark, sf_dir):
+        """A6 through the counts ledger."""
+        eng = _engine(spark, sf_dir)
+        return eng.filter_values("/lang")
+
     def highlights_q(spark, sf_dir):
         """R6 highlights: top-10 for 'merge' with **-wrapped snippet
         windows. SQL-oracle-able on this corpus because the text is
@@ -636,6 +649,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_filters": c4_filters_q,
         "dedup_against": dedup_against_q,
         "facet_counts_served": facet_counts_served_q,
+        "suggest_served": suggest_served_q,
+        "filter_values_served": filter_values_served_q,
         "highlights": highlights_q,
         "mix_corpus": mix_corpus_q,
         "pack_sequences": pack_sequences_q,
@@ -1383,6 +1398,20 @@ def oracle_sql() -> dict[str, str]:
         "c4_filters": _C4_SQL,
         "dedup_against": _DEDUP_AGAINST_SQL,
         "facet_counts_served": "SELECT '/lang/' || lang AS child, count(*) AS count FROM documents GROUP BY lang",
+        "suggest_served": """
+            WITH toks AS (
+              SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+            ),
+            sug AS (
+              SELECT doc_id, array_to_string(w[1:least(3, len(w))], ' ') AS suggestion
+              FROM toks
+              WHERE len(array_to_string(w[1:least(3, len(w))], ' ')) > 3
+                AND len(array_to_string(w[1:least(3, len(w))], ' ')) < 50
+            )
+            SELECT suggestion, count(*)::BIGINT AS count FROM sug
+            WHERE lower(suggestion) LIKE 'merge%'
+            GROUP BY suggestion ORDER BY count DESC, suggestion ASC LIMIT 10""",
+        "filter_values_served": "SELECT DISTINCT lang AS value FROM documents",
         "highlights": _highlights_sql(),
         "mix_corpus": _MIX_SQL,
         "pack_sequences": _PACK_SQL,

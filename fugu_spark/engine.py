@@ -141,6 +141,30 @@ def _write_counts_index(
     rows.write.mode(mode).parquet(fsio.join(index_dir, "counts_index"))
 
 
+def _write_suggest_index(
+    docs: DataFrame, index_dir: str, id_col: str, text_col: str, gen: int, mode: str
+) -> None:
+    """Persist the suggestion index (D6) — the third of the reference's
+    three per-namespace indexes (records/filters/suggestions,
+    /root/reference/src/db/core.rs:39-79). Rows: (doc_id, suggestion,
+    s_lower, gen); ``s_lower`` exists so the driver-side prefix lookup
+    pushes a byte-range filter into the parquet scan. Same generation
+    delete-masking as the filter_index."""
+    from . import fsio
+    from .dataset import build_query_index
+
+    rows = (
+        build_query_index(docs, id_col, text_col)
+        .select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            "suggestion",
+            F.lower(F.col("suggestion")).alias("s_lower"),
+        )
+        .withColumn("gen", F.lit(gen))
+    )
+    rows.write.mode(mode).parquet(fsio.join(index_dir, "suggest_index"))
+
+
 @dataclass
 class FuguSparkEngine:
     spark: SparkSession
@@ -198,6 +222,7 @@ class FuguSparkEngine:
             _write_filter_index(good, index_dir, id_col, facets_col, gen=0, mode="overwrite")
             _write_counts_index(good, index_dir, facets_col, mode="overwrite")
         _write_date_index(good, index_dir, id_col, gen=0, mode="overwrite")
+        _write_suggest_index(good, index_dir, id_col, text_col, gen=0, mode="overwrite")
         si = build_segments(
             good,
             index_dir,
@@ -392,7 +417,17 @@ class FuguSparkEngine:
     def list_objects(self, n: int = 20) -> DataFrame:
         return self.docs.limit(n)
 
-    def suggest(self, prefix: str, n: int = 10) -> DataFrame:
+    def suggest(self, prefix: str, n: int = 10, serve: bool = True) -> DataFrame:
+        """D6 autocomplete; serve-first from the persisted suggest_index
+        (byte-range pushdown, ms), query_index scan fallback."""
+        if serve:
+            try:
+                pdf = self._local_searcher().suggest(prefix, n=n)
+                return self.spark.createDataFrame(
+                    pdf if len(pdf) else [], "suggestion string, count long"
+                )
+            except ValueError:
+                pass
         return (
             self.ds.query_index.filter(F.lower(F.col("suggestion")).startswith(prefix.lower()))
             .groupBy("suggestion")
@@ -459,6 +494,10 @@ class FuguSparkEngine:
         _write_date_index(
             good, self.index_dir, self.id_col, gen=self.si.max_gen(), mode="append"
         )
+        _write_suggest_index(
+            good, self.index_dir, self.id_col, self.text_col,
+            gen=self.si.max_gen(), mode="append",
+        )
         from .dataset import upsert as ds_upsert
 
         self.docs = ds_upsert(self.docs, good, id_col=self.id_col).cache()
@@ -485,6 +524,9 @@ class FuguSparkEngine:
             )
             _write_counts_index(self.docs, self.index_dir, self.facets_col, mode="overwrite")
         _write_date_index(self.docs, self.index_dir, self.id_col, gen=0, mode="overwrite")
+        _write_suggest_index(
+            self.docs, self.index_dir, self.id_col, self.text_col, gen=0, mode="overwrite"
+        )
         return self
 
     # ---- facet analytics --------------------------------------------
@@ -530,7 +572,16 @@ class FuguSparkEngine:
     def namespace_filters(self, namespace: str) -> DataFrame:
         return FC.namespace_filter_paths(self._fd(), namespace, self.facets_col)
 
-    def filter_values(self, path: str) -> DataFrame:
+    def filter_values(self, path: str, serve: bool = True) -> DataFrame:
+        """A6; serve-first from the counts ledger, docs-scan fallback."""
+        if serve:
+            try:
+                pdf = self._local_searcher().filter_values(path)
+                return self.spark.createDataFrame(
+                    pdf if len(pdf) else [], "value string"
+                )
+            except ValueError:
+                pass
         return FC.filter_values_at_path(self._fd(), path, self.facets_col)
 
     def search_facets(self, prefix: str, text: str | None = None) -> DataFrame:

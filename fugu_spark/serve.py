@@ -425,6 +425,49 @@ class LocalSearcher:
         facets.facet_tree_counts over the docs table."""
         return self._prefix_counts().sort_values("prefix").reset_index(drop=True)
 
+    def filter_values(self, path: str) -> pd.DataFrame:
+        """Immediate child values of a facet path (A6) from the counts
+        ledger — distinct sorted value names, no corpus scan."""
+        pdf = self._prefix_counts()
+        depth = len([p for p in path.split("/") if p]) + 1
+        sel = pdf[
+            pdf["prefix"].str.startswith(path + "/")
+            & (pdf["prefix"].str.count("/") == depth)
+        ]
+        vals = sorted(p.rsplit("/", 1)[-1] for p in sel["prefix"] if p.rsplit("/", 1)[-1])
+        return pd.DataFrame({"value": vals})
+
+    def suggest(self, prefix: str, n: int = 10) -> pd.DataFrame:
+        """Autocomplete from the persisted suggest_index (D6): byte-range
+        prefix pushdown on the lowercase column + exact re-check,
+        generation delete-masking, count-ranked top-n — value-identical
+        to the engine's query_index scan."""
+        import pyarrow.dataset as pads
+
+        path = os.path.join(self.index_dir, "suggest_index")
+        if not os.path.isdir(path):
+            raise ValueError("no suggest_index in this index dir — rebuild (0.4.0+)")
+        low = prefix.lower()
+        expr = pads.field("s_lower") >= low
+        ub = _prefix_upper_bound(low)
+        if ub is not None:
+            expr = expr & (pads.field("s_lower") < ub)
+        tbl = pads.dataset(path, format="parquet").to_table(
+            columns=["doc_id", "suggestion", "s_lower", "gen"], filter=expr
+        )
+        pdf = tbl.to_pandas()
+        pdf = pdf[pdf["s_lower"].str.startswith(low)]
+        if self._deletes is not None and len(pdf):
+            dg = self._deletes.reindex(pdf["doc_id"].to_numpy()).to_numpy(dtype=np.float64)
+            pdf = pdf[np.isnan(dg) | (pdf["gen"].to_numpy() >= dg)]
+        out = (
+            pdf.groupby("suggestion", as_index=False)
+            .agg(count=("doc_id", "size"))
+            .sort_values(["count", "suggestion"], ascending=[False, True])
+            .head(n)
+        )
+        return out.reset_index(drop=True)
+
     # ------------------------------------------------------------- search
 
     def search(

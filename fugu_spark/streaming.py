@@ -87,9 +87,14 @@ def start_stream_ingest(
             _write_filter_index(
                 batch, index_dir, id_col, facets_col, gen=si.max_gen(), mode="append"
             )
-        from .engine import _write_date_index
+        from . import fsio
+        from .engine import _write_date_index, _write_suggest_index
 
         _write_date_index(batch, index_dir, id_col, gen=si.max_gen(), mode="append")
+        if fsio.exists(fsio.join(index_dir, "suggest_index")):
+            _write_suggest_index(
+                batch, index_dir, id_col, text_col, gen=si.max_gen(), mode="append"
+            )
 
     writer = (
         stream.writeStream.foreachBatch(_sink)

@@ -124,3 +124,50 @@ def test_counts_ledger_streaming(spark, tmp_path):
     got = dict(zip(pdf["child"], (int(c) for c in pdf["count"])))
     # doc 1 moved en->de, doc 9 added en; doc 2 unchanged es
     assert got == {"/lang/de": 1, "/lang/en": 1, "/lang/es": 1}
+
+
+# ------------------------------------------------- suggest / values serving
+
+
+def test_suggest_served_parity_and_upsert(spark, tmp_path):
+    docs = _mkdocs(
+        spark,
+        [
+            (1, "merge join basics explained here", "en", "web"),
+            (2, "merge join advanced topics follow", "en", "web"),
+            (3, "hash probe internals overview text", "es", "web"),
+        ],
+    )
+    eng = FuguSparkEngine.build(docs, index_dir=str(tmp_path / "idx"))
+    assert os.path.isdir(str(tmp_path / "idx" / "suggest_index"))
+
+    served = [(r.suggestion, r["count"]) for r in eng.suggest("merge").collect()]
+    scan = [
+        (r.suggestion, r["count"]) for r in eng.suggest("merge", serve=False).collect()
+    ]
+    assert served == scan and served[0] == ("merge join advanced", 1) or served == scan
+    assert {s for s, _ in served} == {"merge join basics", "merge join advanced"}
+
+    # re-upsert doc 1 with different text: old suggestion must disappear
+    eng.ingest(
+        _mkdocs(spark, [(1, "vector scan rewrite entirely new", "en", "web")])
+    )
+    served2 = {r.suggestion for r in eng.suggest("merge").collect()}
+    assert served2 == {"merge join advanced"}
+    assert {r.suggestion for r in eng.suggest("vector").collect()} == {
+        "vector scan rewrite"
+    }
+    # parity with the fallback scan after the upsert
+    scan2 = {r.suggestion for r in eng.suggest("merge", serve=False).collect()}
+    assert served2 == scan2
+
+
+def test_filter_values_served_parity(spark, tmp_path):
+    docs = _mkdocs(
+        spark,
+        [(1, "a b c", "en", "web"), (2, "d e f", "es", "code"), (3, "g h i", "en", "web")],
+    )
+    eng = FuguSparkEngine.build(docs, index_dir=str(tmp_path / "idx"))
+    served = [r.value for r in eng.filter_values("/lang").collect()]
+    scan = [r.value for r in eng.filter_values("/lang", serve=False).collect()]
+    assert served == scan == ["en", "es"]
