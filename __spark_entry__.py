@@ -496,6 +496,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "child", F.col("count").cast("long").alias("count")
         )
 
+    def point_lookup_served_q(spark, sf_dir):
+        """S8 through the doc_store sidecar (pruned row-group read)."""
+        eng = _engine(spark, sf_dir)
+        return eng.get(42).select("doc_id", "lang", "source", "n_chars")
+
     def suggest_served_q(spark, sf_dir):
         """D6 autocomplete through the persisted suggest_index (prefix
         byte-range pushdown + delete masking)."""
@@ -649,6 +654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_filters": c4_filters_q,
         "dedup_against": dedup_against_q,
         "facet_counts_served": facet_counts_served_q,
+        "point_lookup_served": point_lookup_served_q,
         "suggest_served": suggest_served_q,
         "filter_values_served": filter_values_served_q,
         "highlights": highlights_q,
@@ -1398,6 +1404,7 @@ def oracle_sql() -> dict[str, str]:
         "c4_filters": _C4_SQL,
         "dedup_against": _DEDUP_AGAINST_SQL,
         "facet_counts_served": "SELECT '/lang/' || lang AS child, count(*) AS count FROM documents GROUP BY lang",
+        "point_lookup_served": "SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id = 42",
         "suggest_served": """
             WITH toks AS (
               SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents

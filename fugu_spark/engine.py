@@ -165,6 +165,28 @@ def _write_suggest_index(
     rows.write.mode(mode).parquet(fsio.join(index_dir, "suggest_index"))
 
 
+def _write_doc_store(
+    docs: DataFrame, index_dir: str, id_col: str, gen: int, mode: str
+) -> None:
+    """Persist the stored-document sidecar (S8's serving half): full doc
+    rows keyed by doc_id + generation, range-partitioned and sorted on
+    doc_id so point lookups prune to one row group. get() and
+    search_response(include_data=...) hydrate from here driver-side
+    instead of running a Spark job per response."""
+    from . import fsio
+
+    rows = docs.withColumn("_gen", F.lit(gen)).withColumn(
+        "_doc_key", F.col(id_col).cast("long")
+    )
+    n_docs = rows.rdd.getNumPartitions()
+    (
+        rows.repartitionByRange(max(1, min(n_docs, 32)), "_doc_key")
+        .sortWithinPartitions("_doc_key")
+        .write.mode(mode)
+        .parquet(fsio.join(index_dir, "doc_store"))
+    )
+
+
 @dataclass
 class FuguSparkEngine:
     spark: SparkSession
@@ -223,6 +245,7 @@ class FuguSparkEngine:
             _write_counts_index(good, index_dir, facets_col, mode="overwrite")
         _write_date_index(good, index_dir, id_col, gen=0, mode="overwrite")
         _write_suggest_index(good, index_dir, id_col, text_col, gen=0, mode="overwrite")
+        _write_doc_store(good, index_dir, id_col, gen=0, mode="overwrite")
         si = build_segments(
             good,
             index_dir,
@@ -395,10 +418,29 @@ class FuguSparkEngine:
         ]
         if include_data and results:
             ids = [r["doc_id"] for r in results]
-            rows = {
-                row[self.id_col]: row.asDict()
-                for row in self.docs.filter(F.col(self.id_col).isin(ids)).collect()
-            }
+            rows = None
+            try:
+                import numpy as _np
+
+                def _py(v):
+                    if isinstance(v, _np.ndarray):
+                        return v.tolist()
+                    if isinstance(v, _np.generic):
+                        return v.item()
+                    return v
+
+                pdf = self._local_searcher().get_docs([int(i) for i in ids])
+                rows = {
+                    int(rec[self.id_col]): {k: _py(v) for k, v in rec.items()}
+                    for rec in pdf.to_dict(orient="records")
+                }
+            except (ValueError, TypeError):
+                pass
+            if rows is None:
+                rows = {
+                    row[self.id_col]: row.asDict()
+                    for row in self.docs.filter(F.col(self.id_col).isin(ids)).collect()
+                }
             for r in results:
                 data = dict(rows.get(r["doc_id"], {}))
                 if not include_text:
@@ -411,7 +453,17 @@ class FuguSparkEngine:
             "took_ms": int((_time.time() - t0) * 1000),
         }
 
-    def get(self, doc_id) -> DataFrame:
+    def get(self, doc_id, serve: bool = True) -> DataFrame:
+        """S8 point lookup; serve-first from the doc_store sidecar (one
+        pruned row group, no Spark job), docs-table fallback."""
+        if serve:
+            try:
+                pdf = self._local_searcher().get_docs([int(doc_id)])
+                if len(pdf):
+                    return self.spark.createDataFrame(pdf)
+                return self.docs.filter(F.lit(False))
+            except (ValueError, TypeError):
+                pass
         return self.docs.filter(F.col(self.id_col) == doc_id).limit(1)
 
     def list_objects(self, n: int = 20) -> DataFrame:
@@ -498,6 +550,7 @@ class FuguSparkEngine:
             good, self.index_dir, self.id_col, self.text_col,
             gen=self.si.max_gen(), mode="append",
         )
+        _write_doc_store(good, self.index_dir, self.id_col, gen=self.si.max_gen(), mode="append")
         from .dataset import upsert as ds_upsert
 
         self.docs = ds_upsert(self.docs, good, id_col=self.id_col).cache()
@@ -527,6 +580,7 @@ class FuguSparkEngine:
         _write_suggest_index(
             self.docs, self.index_dir, self.id_col, self.text_col, gen=0, mode="overwrite"
         )
+        _write_doc_store(self.docs, self.index_dir, self.id_col, gen=0, mode="overwrite")
         return self
 
     # ---- facet analytics --------------------------------------------

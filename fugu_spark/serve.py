@@ -468,6 +468,31 @@ class LocalSearcher:
         )
         return out.reset_index(drop=True)
 
+    def get_docs(self, ids: list[int]) -> pd.DataFrame:
+        """Stored-doc fetch from the doc_store sidecar: doc_id IN-filter
+        pushes to the range-partitioned parquet (row-group pruning), then
+        per-doc latest LIVE generation wins (upsert + delete masking).
+        The serving half of get() / include_data hydration."""
+        import pyarrow.dataset as pads
+
+        path = os.path.join(self.index_dir, "doc_store")
+        if not os.path.isdir(path):
+            raise ValueError("no doc_store in this index dir — rebuild (0.4.0+)")
+        if not ids:
+            return pd.DataFrame()
+        tbl = pads.dataset(path, format="parquet").to_table(
+            filter=pads.field("_doc_key").isin([int(i) for i in ids])
+        )
+        pdf = tbl.to_pandas()
+        if not len(pdf):
+            return pdf
+        # latest generation per doc
+        pdf = pdf.sort_values("_gen").groupby("_doc_key", as_index=False).last()
+        if self._deletes is not None and len(pdf):
+            dg = self._deletes.reindex(pdf["_doc_key"].to_numpy()).to_numpy(dtype=np.float64)
+            pdf = pdf[np.isnan(dg) | (pdf["_gen"].to_numpy() >= dg)]
+        return pdf.drop(columns=["_gen", "_doc_key"]).reset_index(drop=True)
+
     # ------------------------------------------------------------- search
 
     def search(

@@ -95,6 +95,10 @@ def start_stream_ingest(
             _write_suggest_index(
                 batch, index_dir, id_col, text_col, gen=si.max_gen(), mode="append"
             )
+        if fsio.exists(fsio.join(index_dir, "doc_store")):
+            from .engine import _write_doc_store
+
+            _write_doc_store(batch, index_dir, id_col, gen=si.max_gen(), mode="append")
 
     writer = (
         stream.writeStream.foreachBatch(_sink)

@@ -171,3 +171,36 @@ def test_filter_values_served_parity(spark, tmp_path):
     served = [r.value for r in eng.filter_values("/lang").collect()]
     scan = [r.value for r in eng.filter_values("/lang", serve=False).collect()]
     assert served == scan == ["en", "es"]
+
+
+# --------------------------------------------------- doc store serving
+
+
+def test_doc_store_get_and_hydration(spark, tmp_path):
+    docs = _mkdocs(
+        spark,
+        [(1, "alpha text here now", "en", "web"), (2, "beta text here now", "es", "code")],
+    )
+    eng = FuguSparkEngine.build(docs, index_dir=str(tmp_path / "idx"))
+    assert os.path.isdir(str(tmp_path / "idx" / "doc_store"))
+
+    row = eng.get(1).collect()[0]
+    assert row.text == "alpha text here now" and row.lang == "en"
+    # fallback path agrees
+    assert eng.get(1, serve=False).collect()[0].text == row.text
+
+    # upsert replaces; served get must return the NEW version
+    eng.ingest(_mkdocs(spark, [(1, "alpha rewritten text now", "de", "web")]))
+    assert eng.get(1).collect()[0].text == "alpha rewritten text now"
+    assert eng.get(1).collect()[0].lang == "de"
+
+    # delete: served get returns nothing
+    eng.delete(spark.createDataFrame([(2,)], "doc_id long"))
+    assert eng.get(2).count() == 0
+
+    # include_data hydration through the sidecar, JSON-serializable
+    import json
+
+    resp = eng.search_response("alpha", k=5, include_data=True)
+    assert resp["results"] and resp["results"][0]["data"]["lang"] == "de"
+    json.dumps(resp)  # numpy types would raise here
