@@ -496,6 +496,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "child", F.col("count").cast("long").alias("count")
         )
 
+    def sha256_invariant_q(spark, sf_dir):
+        """X14, the north rule's per-row ingest invariant: sha256 of every
+        document's content, computed by the engine's own expression
+        (sources.check_sha256_invariant) and cross-checked byte-for-byte
+        against DuckDB's sha256."""
+        return _docs(spark, sf_dir).select(
+            "doc_id", F.sha2(F.col("text"), 256).alias("content_sha256")
+        )
+
+    def per_page_clamp_q(spark, sf_dir):
+        """F10: out-of-range k clamps to 20 (reference (0,100] rule)."""
+        eng = _engine(spark, sf_dir)
+        out = eng.search("merge join", k=500)  # > 100 -> clamped to 20
+        return out.select("doc_id", F.round("score", 6).alias("score"))
+
+    def multi_filter_or_q(spark, sf_dir):
+        """F6: multiple facet filters OR together (reference semantics)."""
+        eng = _engine(spark, sf_dir)
+        out = eng.search("merge", k=10, filters=["/lang/es", "/lang/de"])
+        return out.select("doc_id", F.round("score", 6).alias("score"))
+
     def point_lookup_served_q(spark, sf_dir):
         """S8 through the doc_store sidecar (pruned row-group read)."""
         eng = _engine(spark, sf_dir)
@@ -654,6 +675,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_filters": c4_filters_q,
         "dedup_against": dedup_against_q,
         "facet_counts_served": facet_counts_served_q,
+        "sha256_invariant": sha256_invariant_q,
+        "per_page_clamp": per_page_clamp_q,
+        "multi_filter_or": multi_filter_or_q,
         "point_lookup_served": point_lookup_served_q,
         "suggest_served": suggest_served_q,
         "filter_values_served": filter_values_served_q,
@@ -1404,6 +1428,15 @@ def oracle_sql() -> dict[str, str]:
         "c4_filters": _C4_SQL,
         "dedup_against": _DEDUP_AGAINST_SQL,
         "facet_counts_served": "SELECT '/lang/' || lang AS child, count(*) AS count FROM documents GROUP BY lang",
+        "sha256_invariant": "SELECT doc_id, sha256(text) AS content_sha256 FROM documents",
+        "per_page_clamp": f"""WITH {_TOK}, {_SCORED}
+SELECT doc_id, round(sum(sc), 6) AS score FROM scored WHERE term IN ('merge', 'join')
+GROUP BY doc_id ORDER BY sum(sc) DESC, doc_id ASC LIMIT 20""",
+        "multi_filter_or": f"""WITH {_TOK}, {_SCORED}
+SELECT sc.doc_id, round(sum(sc.sc), 6) AS score
+FROM scored sc JOIN documents doc ON sc.doc_id = doc.doc_id AND doc.lang IN ('es', 'de')
+WHERE sc.term = 'merge'
+GROUP BY sc.doc_id ORDER BY sum(sc.sc) DESC, sc.doc_id ASC LIMIT 10""",
         "point_lookup_served": "SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id = 42",
         "suggest_served": """
             WITH toks AS (
