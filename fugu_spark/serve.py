@@ -486,8 +486,10 @@ class LocalSearcher:
         pdf = tbl.to_pandas()
         if not len(pdf):
             return pdf
-        # latest generation per doc
-        pdf = pdf.sort_values("_gen").groupby("_doc_key", as_index=False).last()
+        # latest generation per doc — whole-ROW select (groupby().last()
+        # would take the last NON-NULL per column, mixing generations
+        # when the newer version holds nulls)
+        pdf = pdf.loc[pdf.groupby("_doc_key")["_gen"].idxmax()]
         if self._deletes is not None and len(pdf):
             dg = self._deletes.reindex(pdf["_doc_key"].to_numpy()).to_numpy(dtype=np.float64)
             pdf = pdf[np.isnan(dg) | (pdf["_gen"].to_numpy() >= dg)]

@@ -204,3 +204,15 @@ def test_doc_store_get_and_hydration(spark, tmp_path):
     resp = eng.search_response("alpha", k=5, include_data=True)
     assert resp["results"] and resp["results"][0]["data"]["lang"] == "de"
     json.dumps(resp)  # numpy types would raise here
+
+
+def test_doc_store_null_fields_do_not_leak_across_generations(spark, tmp_path):
+    """A re-upserted doc with a NULL field must serve the NEW row's null,
+    not resurrect the old generation's value for that column."""
+    schema = "doc_id long, text string, lang string"
+    docs = spark.createDataFrame([(1, "first version text here", "en")], schema)
+    eng = FuguSparkEngine.build(docs, index_dir=str(tmp_path / "idx"), facets_col=None)
+    eng.ingest(spark.createDataFrame([(1, "second version text here", None)], schema))
+    row = eng.get(1).collect()[0]
+    assert row.text == "second version text here"
+    assert row.lang is None  # NOT 'en' leaked from gen 0
