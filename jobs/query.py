@@ -20,7 +20,26 @@ import time
 def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--index-dir", required=True)
-    p.add_argument("--query", action="append", required=True)
+    p.add_argument("--query", action="append", default=None)
+    p.add_argument(
+        "--suggest",
+        default=None,
+        metavar="PREFIX",
+        help="autocomplete from the suggest_index sidecar (JVM-free)",
+    )
+    p.add_argument(
+        "--get",
+        type=int,
+        default=None,
+        metavar="DOC_ID",
+        help="stored-object point lookup from the doc_store sidecar (JVM-free)",
+    )
+    p.add_argument(
+        "--facet-counts",
+        default=None,
+        metavar="ROOT",
+        help="immediate-child facet counts from the counts_index ledger (JVM-free)",
+    )
     p.add_argument(
         "--filter",
         action="append",
@@ -54,6 +73,33 @@ def main() -> int:
         "the query is locally servable — ms latency, identical results)",
     )
     args = p.parse_args()
+
+    # sidecar-only commands: no Spark, no JVM — pyarrow reads only
+    if args.suggest is not None or args.get is not None or args.facet_counts is not None:
+        from fugu_spark.serve import LocalSearcher
+
+        ls = LocalSearcher(args.index_dir)
+        if args.suggest is not None:
+            pdf = ls.suggest(args.suggest, n=args.k)
+            print(json.dumps({"suggestions": [
+                {"suggestion": s, "count": int(c)}
+                for s, c in zip(pdf["suggestion"], pdf["count"])
+            ]}))
+        if args.get is not None:
+            pdf = ls.get_docs([args.get])
+            rec = pdf.to_dict(orient="records")[0] if len(pdf) else None
+            if rec is not None:
+                rec = {k: (v.tolist() if hasattr(v, "tolist") else v) for k, v in rec.items()}
+            print(json.dumps({"object": rec}))
+        if args.facet_counts is not None:
+            pdf = ls.facet_counts(args.facet_counts)
+            print(json.dumps({"counts": [
+                {"child": ch, "count": int(c)} for ch, c in zip(pdf["child"], pdf["count"])
+            ]}))
+        if not args.query:
+            return 0
+    if not args.query:
+        p.error("--query required (or one of --suggest/--get/--facet-counts)")
 
     date_ranges = None
     if args.date_range:

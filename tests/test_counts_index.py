@@ -216,3 +216,31 @@ def test_doc_store_null_fields_do_not_leak_across_generations(spark, tmp_path):
     row = eng.get(1).collect()[0]
     assert row.text == "second version text here"
     assert row.lang is None  # NOT 'en' leaked from gen 0
+
+
+def test_cli_sidecar_commands_run_without_jvm(spark, tmp_path):
+    """jobs/query.py --suggest/--get/--facet-counts answer from sidecars
+    in a bare Python subprocess (no SparkSession, no JVM)."""
+    import json
+    import subprocess
+    import sys
+
+    docs = _mkdocs(spark, [(1, "merge join basics here now", "en", "web")])
+    idx = str(tmp_path / "idx")
+    FuguSparkEngine.build(docs, index_dir=idx)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for flags, key in (
+        (["--suggest", "merge"], "suggestions"),
+        (["--get", "1"], "object"),
+        (["--facet-counts", "/lang"], "counts"),
+    ):
+        r = subprocess.run(
+            [sys.executable, os.path.join(repo, "jobs", "query.py"), "--index-dir", idx]
+            + flags,
+            capture_output=True,
+            text=True,
+            timeout=90,
+        )
+        assert r.returncode == 0, r.stderr[-500:]
+        out = json.loads(r.stdout.strip().splitlines()[-1])
+        assert key in out and out[key], (flags, out)
