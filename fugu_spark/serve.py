@@ -88,6 +88,7 @@ class LocalSearcher:
         mode: str = DEFAULT_MODE,
         k1: float = BM25_K1,
         b: float = BM25_B,
+        cache_bytes: int = 256 << 20,
     ) -> None:
         import pyarrow.dataset as pads
 
@@ -101,6 +102,15 @@ class LocalSearcher:
         self.mode = mode
         self.k1 = float(k1)
         self.b = float(b)
+        # decoded-postings LRU (the Lucene/Tantivy block-cache analog):
+        # full per-term posting arrays, keyed (term, with_positions),
+        # byte-budgeted. Safe per searcher instance — the engine replaces
+        # the searcher whenever the index changes generation.
+        from collections import OrderedDict
+
+        self._post_cache: "OrderedDict[tuple[str, bool], dict]" = OrderedDict()
+        self._post_cache_bytes = 0
+        self._post_cache_cap = int(cache_bytes)
         with open(os.path.join(index_dir, "stats.json")) as f:
             st = json.load(f)
         self.n_docs = int(st["n_docs"])
@@ -165,6 +175,59 @@ class LocalSearcher:
         cols = _META_BLOCK_COLS + _ENC_COLS + (_POS_COLS if need_pos else [])
         flt = pads.field("term_bucket").isin(buckets) & pads.field("term").isin(terms)
         return self._segments.to_table(columns=cols, filter=flt).to_pandas()
+
+    # --------------------------------------------------- postings cache
+
+    @staticmethod
+    def _post_nbytes(p: dict) -> int:
+        n = int(p["doc_ids"].nbytes + p["tfs"].nbytes + p["doc_lens"].nbytes)
+        if p.get("positions"):
+            n += sum(int(a.nbytes) for a in p["positions"])
+        return n
+
+    def _cache_get(self, term: str, need_pos: bool) -> dict | None:
+        e = self._post_cache.get((term, need_pos))
+        if e is not None:
+            self._post_cache.move_to_end((term, need_pos))
+        return e
+
+    def _cache_put(self, term: str, need_pos: bool, postings: dict) -> None:
+        if self._post_cache_cap <= 0:
+            return
+        key = (term, need_pos)
+        if key in self._post_cache:
+            return
+        nb = self._post_nbytes(postings)
+        if nb > self._post_cache_cap:
+            return
+        self._post_cache[key] = postings
+        self._post_cache_bytes += nb
+        while self._post_cache_bytes > self._post_cache_cap and self._post_cache:
+            _, old = self._post_cache.popitem(last=False)
+            self._post_cache_bytes -= self._post_nbytes(old)
+
+    def _postings_cached(self, live_terms, meta, need_pos, prune) -> dict:
+        """Decoded postings for the query's terms, through the LRU.
+
+        All-or-nothing and rank-safe by construction: a cache hit serves
+        the FULL posting list (scoring over a superset of the pruned
+        blocks is exact), and only terms whose block set survived
+        ``prune`` untouched are ever cached — a pruned partial decode is
+        never stored."""
+        if self._post_cache_cap > 0:
+            hit = {t: self._cache_get(t, need_pos) for t in live_terms}
+            if all(v is not None for v in hit.values()):
+                return hit
+        rows = self._block_rows(live_terms, meta, need_pos)
+        before = rows["term"].value_counts()
+        pruned = prune(rows)
+        postings = self._decode_rows(pruned, need_pos)
+        if self._post_cache_cap > 0 and len(pruned):
+            after = pruned["term"].value_counts()
+            for t in live_terms:
+                if t in postings and int(before.get(t, 0)) == int(after.get(t, 0)):
+                    self._cache_put(t, need_pos, postings[t])
+        return postings
 
     def _decode_rows(
         self, rows: pd.DataFrame, need_pos: bool
@@ -564,14 +627,13 @@ class LocalSearcher:
             # the unfiltered θ seed, so MaxScore pruning is not rank-safe
             and len({l.terms[0] for l in plan.leaves if l.terms[0] in meta}) > 1
         ):
-            rows = self._block_rows(live_terms, meta, need_pos=False)
+            need_pos = False
             # θ must cover the full requested window: docs ranked in
             # (k, k+offset] live only in blocks a k-seeded θ would prune
-            rows = self._prune_blocks_maxscore(rows, plan, meta, k + offset)
+            prune = lambda rows: self._prune_blocks_maxscore(rows, plan, meta, k + offset)
         else:
-            rows = self._block_rows(live_terms, meta, need_pos)
-            rows = self._prune_blocks_conjunctive(rows, plan, meta)
-        postings = self._decode_rows(rows, need_pos)
+            prune = lambda rows: self._prune_blocks_conjunctive(rows, plan, meta)
+        postings = self._postings_cached(live_terms, meta, need_pos, prune)
         parts = self._leaf_parts(plan, meta, postings)
         if not parts:
             return empty
@@ -642,9 +704,12 @@ class LocalSearcher:
                               "score": pd.Series([], dtype="float64")})
         if not live_terms:
             return empty
-        rows = self._block_rows(live_terms, meta, need_pos)
-        rows = self._prune_blocks_conjunctive(rows, plan, meta)
-        postings = self._decode_rows(rows, need_pos)
+        postings = self._postings_cached(
+            live_terms,
+            meta,
+            need_pos,
+            lambda rows: self._prune_blocks_conjunctive(rows, plan, meta),
+        )
         base = self._eval_node(plan.root, meta, postings)
         if base is None or not len(base):
             return empty

@@ -120,3 +120,32 @@ def test_allquery_and_notonly_over_bare_index(setup):
     merge_docs = {d for d, _ in oracle.search("merge", k=10_000)}
     notq = {r.doc_id for r in search_segments(si, "NOT merge", k=10_000).collect()}
     assert notq == {r.doc_id for r in allq} - merge_docs
+
+
+def test_postings_cache_identity_and_eviction(spark, tmp_path):
+    """The decoded-postings LRU must be rank/score-invisible and respect
+    its byte budget."""
+    from fugu_spark.segments import build_segments
+    from fugu_spark.serve import LocalSearcher
+
+    docs = spark.createDataFrame(
+        [(i, f"merge join alpha beta w{i % 7} w{i % 11} gamma") for i in range(200)],
+        "doc_id long, text string",
+    )
+    d = str(tmp_path / "idx")
+    build_segments(docs, d, text_col="text", n_buckets=2)
+
+    on = LocalSearcher(d)
+    off = LocalSearcher(d, cache_bytes=0)
+    for q in ("merge join", "merge AND join", '"merge join"', "alpha^2 beta", "merge NOT w3"):
+        first = on.search(q, k=15)
+        second = on.search(q, k=15)  # served from cache
+        base = off.search(q, k=15)
+        assert first.equals(base) and second.equals(base), q
+    assert on._post_cache_bytes > 0
+
+    # tiny budget: entries must be evicted, never exceeded
+    tiny = LocalSearcher(d, cache_bytes=4096)
+    for q in ("merge", "join", "alpha", "beta", "gamma"):
+        tiny.search(q, k=5)
+        assert tiny._post_cache_bytes <= 4096
