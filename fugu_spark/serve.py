@@ -145,7 +145,21 @@ class LocalSearcher:
     # ------------------------------------------------------------- lookups
 
     def term_meta(self, terms: list[str]) -> dict[str, dict]:
-        """Dictionary rows for the query terms (row-group pruned read)."""
+        """Dictionary rows for the query terms (row-group pruned read,
+        memoized per searcher — the dictionary is immutable for this
+        index generation). Absent terms are memoized too, so repeated
+        misses skip the parquet read."""
+        cache = getattr(self, "_term_meta_cache", None)
+        if cache is None:
+            cache = self._term_meta_cache = {}
+        missing = [t for t in terms if t not in cache]
+        if missing:
+            fetched = self._term_meta_read(missing)
+            for t in missing:
+                cache[t] = fetched.get(t)
+        return {t: cache[t] for t in terms if cache.get(t) is not None}
+
+    def _term_meta_read(self, terms: list[str]) -> dict[str, dict]:
         import pyarrow.dataset as pads
 
         if not terms:
