@@ -306,13 +306,17 @@ def main() -> None:
     from fugu_spark.serve import LocalSearcher
 
     ls = LocalSearcher(idx_dir)
-    ls.search("merge", k=10)  # warm
+    ls.search("merge", k=10)  # JIT/arrow warm-up
     stimes: dict[str, float] = {}
+    stimes_warm: dict[str, float] = {}
     for name, q in QUERY_SET.items():
         k = 100 if name.endswith("k100") else 10
         t0 = time.time()
         ls.search(q, k=k)
-        stimes[name] = round(time.time() - t0, 4)
+        stimes[name] = round(time.time() - t0, 4)  # cold: decode + cache fill
+        t0 = time.time()
+        ls.search(q, k=k)
+        stimes_warm[name] = round(time.time() - t0, 4)  # warm: postings LRU hit
 
     # date-filtered serving (X5 fast path): derive a deterministic date
     # per doc, persist the date_index sidecar next to the bench index,
@@ -334,13 +338,47 @@ def main() -> None:
     ls.search("merge join", k=10, date_ranges=dr)
     date_serve_sec = round(time.time() - t0, 4)
 
+    # analytics/object serving from the persisted sidecars (counts ledger,
+    # suggest index, doc store): the reference's non-search read API,
+    # answered without a Spark job
+    from fugu_spark.engine import (
+        _write_counts_index,
+        _write_doc_store,
+        _write_filter_index,
+        _write_suggest_index,
+    )
+    from fugu_spark.facets import derive_facets
+
+    fdocs = docs.withColumn(
+        "facets", derive_facets(("lang", F.col("lang")), ("source", F.col("source")))
+    )
+    _write_filter_index(fdocs, idx_dir, "doc_id", "facets", gen=0, mode="overwrite")
+    _write_counts_index(fdocs, idx_dir, "facets", mode="overwrite")
+    _write_suggest_index(fdocs, idx_dir, "doc_id", "text", gen=0, mode="overwrite")
+    _write_doc_store(fdocs, idx_dir, "doc_id", gen=0, mode="overwrite")
+    ls = LocalSearcher(idx_dir)
+    serving_analytics: dict[str, float] = {}
+    for name, fn in (
+        ("facet_counts", lambda: ls.facet_counts("/lang")),
+        ("facet_tree", lambda: ls.facet_tree_counts()),
+        ("suggest", lambda: ls.suggest("merge", n=10)),
+        ("get_doc", lambda: ls.get_docs([42])),
+    ):
+        fn()  # warm (dataset open)
+        t0 = time.time()
+        fn()
+        serving_analytics[f"{name}_sec"] = round(time.time() - t0, 4)
+
     p50 = statistics.median(stimes.values())
     result = {
         "metric": "bm25_top10_p50_sec",
         "value": round(p50, 4),
         "unit": "sec",
         "queries": stimes,
+        "queries_warm": stimes_warm,
+        "p50_warm": round(statistics.median(stimes_warm.values()), 4),
         "date_filtered_serving_sec": date_serve_sec,
+        "serving_analytics": serving_analytics,
         "queries_spark_job": qtimes,
         "p50_spark_job": round(statistics.median(qtimes.values()), 4),
         "sf": _sf_from_dir(sf_dir),
@@ -371,7 +409,8 @@ def _write_bench_md(r: dict) -> None:
         f"{r['build']['bytes_encoded']} bytes encoded",
         f"- BM25 top-k p50 latency, serving path (LocalSearcher over the "
         f"same segment files, the analog of the reference's mmap read "
-        f"path): **{r['value']}s**",
+        f"path): **{r['value']}s** cold / "
+        f"**{r.get('p50_warm', '—')}s** warm (postings LRU)",
         f"- BM25 top-k p50 latency, distributed Spark path: "
         f"**{r.get('p50_spark_job', '—')}s** (per-query Spark job floor; "
         "used when queries need the docs table or cluster-sized posting lists)",
@@ -379,13 +418,22 @@ def _write_bench_md(r: dict) -> None:
         f"pyarrow min/max pushdown, no Spark job): "
         f"**{r.get('date_filtered_serving_sec', '—')}s**",
         "",
-        "| query | serving s | spark job s |",
-        "|---|---|---|",
+        "| query | serving cold s | serving warm s | spark job s |",
+        "|---|---|---|---|",
     ]
     lines += [
-        f"| {k} | {v} | {r.get('queries_spark_job', {}).get(k, '—')} |"
+        f"| {k} | {v} | {r.get('queries_warm', {}).get(k, '—')} | "
+        f"{r.get('queries_spark_job', {}).get(k, '—')} |"
         for k, v in r["queries"].items()
     ]
+    if "serving_analytics" in r:
+        sa = r["serving_analytics"]
+        lines += [
+            "",
+            "Sidecar-served analytics (counts ledger / suggest index / doc "
+            "store — the non-search read API with no Spark job): "
+            + ", ".join(f"{k} {v}s" for k, v in sa.items()),
+        ]
     if "scaling" in r:
         s = r["scaling"]
         lines += [
