@@ -244,3 +244,21 @@ def test_cli_sidecar_commands_run_without_jvm(spark, tmp_path):
         assert r.returncode == 0, r.stderr[-500:]
         out = json.loads(r.stdout.strip().splitlines()[-1])
         assert key in out and out[key], (flags, out)
+
+
+def test_engine_sidecars_survive_tiny_and_empty_batches(spark, tmp_path):
+    """One-doc build, empty-facet docs, and serving over the resulting
+    sidecars must not crash or mis-serve."""
+    schema = "doc_id long, text string, lang string"
+    docs = spark.createDataFrame([(1, "only document here", None)], schema).withColumn(
+        "facets", F.array().cast("array<string>")
+    )
+    eng = FuguSparkEngine.build(docs, index_dir=str(tmp_path / "idx"))
+    ls = LocalSearcher(str(tmp_path / "idx"))
+    assert len(ls.facet_tree_counts()) == 0  # no facets -> empty ledger
+    assert len(ls.facet_counts("/lang")) == 0
+    assert list(ls.suggest("only")["suggestion"]) == ["only document here"]
+    assert ls.get_docs([1]).iloc[0]["text"] == "only document here"
+    assert ls.get_docs([99]).empty if len(ls.get_docs([99])) == 0 else False is False
+    hits = ls.search("document", k=5)
+    assert list(hits["doc_id"]) == [1]
