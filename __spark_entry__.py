@@ -1269,7 +1269,7 @@ def _lsh_probe_oracle_sql(
 
     pl = _planes(dim, n_planes, seed)
     vals = ", ".join(
-        f"({i},{j},{pl[i, j]!r})" for i in range(n_planes) for j in range(dim)
+        f"({i},{j},{float(pl[i, j])!r})" for i in range(n_planes) for j in range(dim)
     )
     return f"""WITH planes(i, j, v) AS (VALUES {vals}),
 dots AS (

@@ -305,18 +305,25 @@ def main() -> None:
     # mmap'd Tantivy segments; this is the comparable query-latency number)
     from fugu_spark.serve import LocalSearcher
 
-    ls = LocalSearcher(idx_dir)
-    ls.search("merge", k=10)  # JIT/arrow warm-up
+    LocalSearcher(idx_dir).search("merge", k=10)  # one-off JIT/arrow warm-up
     stimes: dict[str, float] = {}
     stimes_warm: dict[str, float] = {}
+    warm_ls = LocalSearcher(idx_dir)
     for name, q in QUERY_SET.items():
         k = 100 if name.endswith("k100") else 10
+        # cold: a FRESH searcher per query (empty postings LRU), dataset
+        # handles opened by a query on an absent term so the number is
+        # decode cost, not file-open cost
+        cold_ls = LocalSearcher(idx_dir)
+        cold_ls.search("zz_absent_term_zz", k=1)
         t0 = time.time()
-        ls.search(q, k=k)
-        stimes[name] = round(time.time() - t0, 4)  # cold: decode + cache fill
+        cold_ls.search(q, k=k)
+        stimes[name] = round(time.time() - t0, 4)
+        # warm: persistent searcher, postings LRU hit after first touch
+        warm_ls.search(q, k=k)
         t0 = time.time()
-        ls.search(q, k=k)
-        stimes_warm[name] = round(time.time() - t0, 4)  # warm: postings LRU hit
+        warm_ls.search(q, k=k)
+        stimes_warm[name] = round(time.time() - t0, 4)
 
     # date-filtered serving (X5 fast path): derive a deterministic date
     # per doc, persist the date_index sidecar next to the bench index,

@@ -362,7 +362,13 @@ class FuguSparkEngine:
         if cached is None or cached[0] != key:
             cached = (
                 key,
-                LocalSearcher(self.index_dir, mode=self.mode, k1=self.k1, b=self.b),
+                LocalSearcher(
+                    self.index_dir,
+                    mode=self.mode,
+                    k1=self.k1,
+                    b=self.b,
+                    session_tz=self.spark.conf.get("spark.sql.session.timeZone", None),
+                ),
             )
             self._ls_cache = cached
         return cached[1]

@@ -51,16 +51,23 @@ def _tf_norm(tf: np.ndarray, dl: np.ndarray, avgdl: float, k1: float, b: float) 
     return tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl.astype(np.float64) / avgdl))
 
 
-def _rfc3339_us(s: str) -> int:
+def _rfc3339_us(s: str, tz: str | None = None) -> int:
     """RFC3339 bound string → epoch microseconds, matching Spark's
-    cast-to-timestamp semantics under the default session timezone:
-    offset/'Z' strings are absolute instants; naive strings are local
-    time (Spark's session tz defaults to the JVM/system zone)."""
+    cast-to-timestamp semantics: offset/'Z' strings are absolute
+    instants; naive strings resolve in ``tz`` (the engine passes
+    spark.sql.session.timeZone so serve and Spark paths agree even when
+    the session tz differs from the host's), else the system zone
+    (Spark's own session-tz default)."""
     from datetime import datetime, timedelta, timezone
 
     dt = datetime.fromisoformat(s.replace("Z", "+00:00"))
     if dt.tzinfo is None:
-        dt = dt.astimezone()
+        if tz:
+            from zoneinfo import ZoneInfo
+
+            dt = dt.replace(tzinfo=ZoneInfo(tz))
+        else:
+            dt = dt.astimezone()
     return (dt - datetime(1970, 1, 1, tzinfo=timezone.utc)) // timedelta(microseconds=1)
 
 
@@ -89,6 +96,7 @@ class LocalSearcher:
         k1: float = BM25_K1,
         b: float = BM25_B,
         cache_bytes: int = 256 << 20,
+        session_tz: str | None = None,
     ) -> None:
         import pyarrow.dataset as pads
 
@@ -102,6 +110,7 @@ class LocalSearcher:
         self.mode = mode
         self.k1 = float(k1)
         self.b = float(b)
+        self.session_tz = session_tz  # naive date-bound resolution zone
         # decoded-postings LRU (the Lucene/Tantivy block-cache analog):
         # full per-term posting arrays, keyed (term, with_positions),
         # byte-budgeted. Safe per searcher instance — the engine replaces
@@ -113,6 +122,15 @@ class LocalSearcher:
         self._post_cache_cap = int(cache_bytes)
         with open(os.path.join(index_dir, "stats.json")) as f:
             st = json.load(f)
+        fmt = int(st.get("format", 1))
+        if fmt != 2:
+            # same guard as SegmentIndex.load: an untagged (format-1)
+            # stream would be MIS-decoded, not rejected, by stream_decode
+            raise ValueError(
+                f"segment format {fmt} at {index_dir!r} is not readable by this "
+                "version (expects format 2, codec-tagged streams since 0.4.0) "
+                "— rebuild the index"
+            )
         self.n_docs = int(st["n_docs"])
         self.avgdl = float(st["avgdl"])
         self._terms = pads.dataset(os.path.join(index_dir, "terms"), format="parquet")
@@ -221,27 +239,41 @@ class LocalSearcher:
             self._post_cache_bytes -= self._post_nbytes(old)
 
     def _postings_cached(self, live_terms, meta, need_pos, prune) -> dict:
-        """Decoded postings for the query's terms, through the LRU.
+        """Decoded postings for the query's terms, through the LRU —
+        rank-safe by construction: a cache hit serves the FULL posting
+        list (scoring over a superset of any pruned block set is exact),
+        and a pruned partial decode is never stored.
 
-        All-or-nothing and rank-safe by construction: a cache hit serves
-        the FULL posting list (scoring over a superset of the pruned
-        blocks is exact), and only terms whose block set survived
-        ``prune`` untouched are ever cached — a pruned partial decode is
-        never stored."""
-        if self._post_cache_cap > 0:
-            hit = {t: self._cache_get(t, need_pos) for t in live_terms}
-            if all(v is not None for v in hit.values()):
-                return hit
-        rows = self._block_rows(live_terms, meta, need_pos)
-        before = rows["term"].value_counts()
-        pruned = prune(rows)
-        postings = self._decode_rows(pruned, need_pos)
-        if self._post_cache_cap > 0 and len(pruned):
-            after = pruned["term"].value_counts()
-            for t in live_terms:
-                if t in postings and int(before.get(t, 0)) == int(after.get(t, 0)):
-                    self._cache_put(t, need_pos, postings[t])
-        return postings
+        Cold query (no hits): fetch + prune across the full term set
+        (cross-term pruning bounds are valid there), caching the terms
+        pruning left whole. Partial hit: fetch ONLY the missing terms,
+        un-pruned (query-level bounds would be wrong without the cached
+        terms' contributions), cache them, merge with the hits."""
+        if self._post_cache_cap <= 0:
+            rows = self._block_rows(live_terms, meta, need_pos)
+            return self._decode_rows(prune(rows), need_pos)
+        hit = {t: self._cache_get(t, need_pos) for t in live_terms}
+        missing = [t for t in live_terms if hit[t] is None]
+        if not missing:
+            return hit
+        if len(missing) == len(live_terms):
+            rows = self._block_rows(live_terms, meta, need_pos)
+            before = rows["term"].value_counts()
+            pruned = prune(rows)
+            postings = self._decode_rows(pruned, need_pos)
+            if len(pruned):
+                after = pruned["term"].value_counts()
+                for t in live_terms:
+                    if t in postings and int(before.get(t, 0)) == int(after.get(t, 0)):
+                        self._cache_put(t, need_pos, postings[t])
+            return postings
+        rows = self._block_rows(missing, meta, need_pos)
+        fresh = self._decode_rows(rows, need_pos)
+        for t, p in fresh.items():
+            self._cache_put(t, need_pos, p)
+        out = {t: v for t, v in hit.items() if v is not None}
+        out.update(fresh)
+        return out
 
     def _decode_rows(
         self, rows: pd.DataFrame, need_pos: bool
@@ -371,9 +403,9 @@ class LocalSearcher:
                 )
             e = pads.field(cu).is_valid()
             if start is not None:
-                e = e & (pads.field(cu) >= _rfc3339_us(start))
+                e = e & (pads.field(cu) >= _rfc3339_us(start, self.session_tz))
             if end is not None:
-                e = e & (pads.field(cu) < _rfc3339_us(end))
+                e = e & (pads.field(cu) < _rfc3339_us(end, self.session_tz))
             expr = e if expr is None else (expr & e)
         if expr is None:
             raise ValueError("empty date_ranges")
@@ -469,9 +501,14 @@ class LocalSearcher:
     # ------------------------------------------------- facet analytics
 
     def _prefix_counts(self) -> pd.DataFrame:
-        """Sum the pre-rolled counts_index ledger → (prefix, count > 0).
-        O(|distinct facet prefixes|) regardless of corpus size — the
-        serving path for facet_counts / facet_tree at any scale."""
+        """Sum the pre-rolled counts_index ledger → (prefix, count > 0),
+        memoized per searcher (the ledger only grows via ingest, which
+        swaps the searcher). The memo keeps serving O(|distinct
+        prefixes|) even after many ingest batches have appended delta
+        rows; compact() consolidates the ledger itself."""
+        memo = getattr(self, "_prefix_counts_memo", None)
+        if memo is not None:
+            return memo
         import pyarrow.dataset as pads
 
         path = os.path.join(self.index_dir, "counts_index")
@@ -483,7 +520,8 @@ class LocalSearcher:
         tbl = pads.dataset(path, format="parquet").to_table(columns=["prefix", "delta"])
         pdf = tbl.to_pandas().groupby("prefix", as_index=False)["delta"].sum()
         pdf = pdf[pdf["delta"] > 0].rename(columns={"delta": "count"})
-        return pdf.reset_index(drop=True)
+        self._prefix_counts_memo = pdf.reset_index(drop=True)
+        return self._prefix_counts_memo
 
     def facet_counts(self, root: str) -> pd.DataFrame:
         """Immediate-child counts under ``root`` (A1), value-identical to

@@ -81,16 +81,26 @@ def start_stream_ingest(
                 )
                 _write_counts_index(batch, index_dir, facets_col, mode="append")
         si = upsert_segments(si, batch, id_col=id_col, text_col=text_col, mode=mode)
-        if facets_col and facets_col in batch.columns:
+        from . import fsio
+
+        # sidecar appends are gated on the sidecar EXISTING: appending to
+        # an index that never had one would create a silently-partial
+        # sidecar holding only streamed docs, and filtered queries would
+        # then return only those instead of falling back to the docs table
+        if (
+            facets_col
+            and facets_col in batch.columns
+            and fsio.exists(fsio.join(index_dir, "filter_index"))
+        ):
             from .engine import _write_filter_index
 
             _write_filter_index(
                 batch, index_dir, id_col, facets_col, gen=si.max_gen(), mode="append"
             )
-        from . import fsio
         from .engine import _write_date_index, _write_suggest_index
 
-        _write_date_index(batch, index_dir, id_col, gen=si.max_gen(), mode="append")
+        if fsio.exists(fsio.join(index_dir, "date_index")):
+            _write_date_index(batch, index_dir, id_col, gen=si.max_gen(), mode="append")
         if fsio.exists(fsio.join(index_dir, "suggest_index")):
             _write_suggest_index(
                 batch, index_dir, id_col, text_col, gen=si.max_gen(), mode="append"

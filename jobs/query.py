@@ -90,7 +90,9 @@ def main() -> int:
             rec = pdf.to_dict(orient="records")[0] if len(pdf) else None
             if rec is not None:
                 rec = {k: (v.tolist() if hasattr(v, "tolist") else v) for k, v in rec.items()}
-            print(json.dumps({"object": rec}))
+            # default=str: timestamp columns (pd.Timestamp/NaT) have no
+            # native JSON encoding
+            print(json.dumps({"object": rec}, default=str))
         if args.facet_counts is not None:
             pdf = ls.facet_counts(args.facet_counts)
             print(json.dumps({"counts": [
