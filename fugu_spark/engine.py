@@ -271,6 +271,75 @@ class FuguSparkEngine:
             b=cfg.b,
         )
 
+    @classmethod
+    def load(
+        cls,
+        spark: SparkSession,
+        index_dir: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        facets_col: str | None = "facets",
+        mode: str | None = None,
+        config: "EngineConfig | None" = None,
+    ) -> "FuguSparkEngine":
+        """Reopen an existing index WITHOUT rebuilding — the restart path
+        a long-lived service needs. Segments/dictionary come from
+        SegmentIndex.load; the docs table is reconstructed from the
+        doc_store sidecar (latest live generation per doc, delete-masked
+        — the same row-selection the served get() applies), so every
+        fallback path (AllQuery, arbitrary predicates, highlights,
+        suggest rebuild) works identically to a freshly-built engine."""
+        from pyspark.sql import Window
+
+        from . import fsio
+        from .config import EngineConfig
+
+        cfg = config or EngineConfig()
+        mode = mode or cfg.mode
+        si = SegmentIndex.load(spark, index_dir)
+        store = fsio.join(index_dir, "doc_store")
+        if not fsio.exists(store):
+            raise ValueError(
+                f"no doc_store at {index_dir!r} — this index predates 0.4.0 "
+                "or was built with build_segments directly; rebuild through "
+                "FuguSparkEngine.build"
+            )
+        raw = spark.read.parquet(store)
+        w = Window.partitionBy("_doc_key")
+        docs = (
+            raw.withColumn("_mx", F.max("_gen").over(w))
+            .filter(F.col("_gen") == F.col("_mx"))
+        )
+        mask = si.deletes_df()
+        if mask is not None:
+            docs = (
+                docs.join(
+                    F.broadcast(mask),
+                    docs["_doc_key"] == mask["doc_id"],
+                    "left",
+                )
+                .filter(F.col("del_gen").isNull() | (F.col("_gen") >= F.col("del_gen")))
+                .drop(mask["doc_id"])
+                .drop("del_gen")
+            )
+        docs = docs.drop("_gen", "_mx", "_doc_key").cache()
+        fc = facets_col if facets_col and facets_col in docs.columns else None
+        ds = build_dataset(docs, id_col=id_col, text_col=text_col, facets_col=fc)
+        return cls(
+            spark=spark,
+            index_dir=index_dir,
+            docs=docs,
+            si=si,
+            ds=ds,
+            id_col=id_col,
+            text_col=text_col,
+            facets_col=facets_col or "facets",
+            mode=mode,
+            serve_max_postings=cfg.serve_max_postings,
+            k1=cfg.k1,
+            b=cfg.b,
+        )
+
     def health(self) -> dict:
         return {
             "status": "ok",

@@ -262,3 +262,49 @@ def test_engine_sidecars_survive_tiny_and_empty_batches(spark, tmp_path):
     assert ls.get_docs([99]).empty if len(ls.get_docs([99])) == 0 else False is False
     hits = ls.search("document", k=5)
     assert list(hits["doc_id"]) == [1]
+
+
+# ----------------------------------------------------------- engine.load
+
+
+def test_engine_load_reopens_index(spark, tmp_path):
+    """Restart path: load() must reproduce a built+mutated engine's full
+    behavior — search, facet filters, get, suggest — without rebuilding."""
+    docs = _mkdocs(
+        spark,
+        [
+            (1, "merge join basics here today", "en", "web"),
+            (2, "hash probe internals overview", "es", "code"),
+            (3, "merge sort window functions", "en", "web"),
+        ],
+    )
+    idx = str(tmp_path / "idx")
+    eng = FuguSparkEngine.build(docs, index_dir=idx)
+    eng.ingest(_mkdocs(spark, [(2, "merge join rewritten doc", "de", "code")]))
+    eng.delete(spark.createDataFrame([(3,)], "doc_id long"))
+
+    re = FuguSparkEngine.load(spark, idx)
+    assert {r.doc_id for r in re.docs.select("doc_id").collect()} == {1, 2}
+    want = [(r.doc_id, round(r.score, 6)) for r in eng.search("merge", k=10).collect()]
+    got = [(r.doc_id, round(r.score, 6)) for r in re.search("merge", k=10).collect()]
+    assert got == want and {d for d, _ in got} == {1, 2}
+    assert [r.doc_id for r in re.search("merge", k=10, filters=["/lang/de"]).collect()] == [2]
+    assert re.get(2).collect()[0].lang == "de"
+    assert {r.suggestion for r in re.suggest("merge").collect()} == {
+        "merge join basics",
+        "merge join rewritten",
+    }
+    # mutations keep working on the reopened engine
+    re.ingest(_mkdocs(spark, [(9, "merge late arrival text", "fr", "web")]))
+    assert {r.doc_id for r in re.search("merge", k=10).collect()} == {1, 2, 9}
+
+
+def test_engine_load_requires_doc_store(spark, tmp_path):
+    from fugu_spark.segments import build_segments
+
+    d = spark.createDataFrame([(1, "bare segments only")], "doc_id long, text string")
+    build_segments(d, str(tmp_path / "idx"), text_col="text")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="doc_store"):
+        FuguSparkEngine.load(spark, str(tmp_path / "idx"))
