@@ -613,59 +613,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return namespaces(d)
 
+    # ORDERING POLICY (the driver executes the FIRST 50 entries in dict
+    # insertion order — VERDICT r3 What's-wrong #2): never-verified and
+    # newest entries come FIRST so the independent correctness gate always
+    # covers the least-proven code; a regression core fills the remaining
+    # slots; previously-green entries rotate in the tail (still
+    # pytest-covered every session).
     out = {
-        "postings_tf": postings_tf,
-        "doc_len": doc_len,
-        "term_dict": term_dict,
-        "corpus_stats": corpus_stats,
-        "bm25_top10_single": _search_q("merge", 10),
-        "bm25_top10_or": _search_q("merge join", 10),
-        "bm25_top10_and": _search_q("merge AND join", 10),
-        "bm25_top10_not": _search_q("merge NOT window", 10),
-        "bm25_phrase": _search_q('"merge join"', 10),
-        "bm25_boost": _search_q("merge^2 join", 10),
-        "bm25_or_k100": _search_q("merge join", 100),
-        "bm25_filtered_lang": _search_q("merge", 10, lang="es"),
-        "bm25_segments_or": _seg_search_q("merge join", 10),
-        "bm25_segments_wand": _seg_search_q("merge join", 10, force_wand=True),
-        "bm25_segments_and": _seg_search_q("merge AND join", 10),
-        "bm25_segments_phrase": _seg_search_q('"merge join"', 10),
-        "bm25_serving_path": _serving_q("merge join", 10),
-        "multifield_or": _multifield_q("merge src1", 10),
-        "allquery": allquery,
-        "point_lookup": point_lookup,
-        "facet_counts_lang": facet_counts_lang,
-        "facet_tree": facet_tree,
-        "filter_values_lang": filter_values_lang,
-        "all_filter_paths": all_filter_paths_q,
-        "search_facets_src1": search_facets_src1,
-        "exact_dedup": exact_dedup_q,
-        "token_stats": token_stats,
-        "bpe_token_count": bpe_tokens,
-        "emb_dup_exact": emb_dup_exact,
-        "quality": quality,
-        "lang_id": lang_id_q,
-        "fingerprint": fingerprint,
-        "date_range_filter": date_range,
-        "ngram_jaccard": ngram_jaccard,
-        "dup_groups": dup_groups_q,
-        "ann_cosine_all": ann_cosine_all,
-        "suggestions": suggestions_q,
-        "winnow_fps": lambda spark, sf_dir: textstats.winnow_fingerprints(_docs(spark, sf_dir)),
-        "minhash_pairs": lambda spark, sf_dir: dedup.minhash_dedup_pairs(
-            _docs(spark, sf_dir), threshold=0.5
-        ).select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")),
-        "simhash_sigs": lambda spark, sf_dir: dedup.simhash_signatures(_docs(spark, sf_dir)),
-        "ann_lsh_top10": _ann_lsh_top10,
-        "ann_lsh_probe2": _ann_lsh_probe2,
-        "ann_ivf_top10": _ann_ivf_top10,
-        "bm25_prefix_filter": _eng_search_q("merge", 10, filters=["lang/e/*"]),
-        "bm25_contains_filter": _contains_filter_q,
-        "bm25_wildcard_filter": _eng_search_q("merge", 10, filters=["*rc1*"]),
-        "bm25_min_score": _eng_search_q("merge join", 100, min_score=0.35),
-        "bm25_page2": _eng_search_q("merge join", 10, offset=10),
-        "facet_boost": facet_boost_q,
-        "filter_boost": filter_boost_q,
+        # --- block 1: the 21 entries the r3 driver cap never ran ---
         "namespaces": namespaces_q,
         "split_assign": split_assign_q,
         "stratified_sample": stratified_sample_q,
@@ -687,6 +642,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segments_compact": segments_compact_q,
         "metadata_facets": metadata_facets_q,
         "namespace_filter_paths": ns_filter_paths_q,
+        # --- block 2: regression core (always-run, fills to the 50 cap) ---
+        "postings_tf": postings_tf,
+        "doc_len": doc_len,
+        "term_dict": term_dict,
+        "corpus_stats": corpus_stats,
+        "bm25_top10_single": _search_q("merge", 10),
+        "bm25_top10_or": _search_q("merge join", 10),
+        "bm25_top10_and": _search_q("merge AND join", 10),
+        "bm25_top10_not": _search_q("merge NOT window", 10),
+        "bm25_phrase": _search_q('"merge join"', 10),
+        "bm25_boost": _search_q("merge^2 join", 10),
+        "bm25_or_k100": _search_q("merge join", 100),
+        "bm25_filtered_lang": _search_q("merge", 10, lang="es"),
+        "bm25_segments_or": _seg_search_q("merge join", 10),
+        "bm25_segments_wand": _seg_search_q("merge join", 10, force_wand=True),
+        "bm25_segments_phrase": _seg_search_q('"merge join"', 10),
+        "bm25_serving_path": _serving_q("merge join", 10),
+        "multifield_or": _multifield_q("merge src1", 10),
+        "allquery": allquery,
+        "point_lookup": point_lookup,
+        "facet_counts_lang": facet_counts_lang,
+        "facet_tree": facet_tree,
+        "all_filter_paths": all_filter_paths_q,
+        "exact_dedup": exact_dedup_q,
+        "minhash_pairs": lambda spark, sf_dir: dedup.minhash_dedup_pairs(
+            _docs(spark, sf_dir), threshold=0.5
+        ).select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")),
+        "simhash_sigs": lambda spark, sf_dir: dedup.simhash_signatures(_docs(spark, sf_dir)),
+        "ann_lsh_top10": _ann_lsh_top10,
+        "ann_lsh_probe2": _ann_lsh_probe2,
+        "ann_ivf_top10": _ann_ivf_top10,
+        "bm25_min_score": _eng_search_q("merge join", 100, min_score=0.35),
+        # --- block 3: rotating tail (green in CORRECTNESS_r03; pytest-covered) ---
+        "bm25_segments_and": _seg_search_q("merge AND join", 10),
+        "filter_values_lang": filter_values_lang,
+        "search_facets_src1": search_facets_src1,
+        "token_stats": token_stats,
+        "bpe_token_count": bpe_tokens,
+        "emb_dup_exact": emb_dup_exact,
+        "quality": quality,
+        "lang_id": lang_id_q,
+        "fingerprint": fingerprint,
+        "date_range_filter": date_range,
+        "ngram_jaccard": ngram_jaccard,
+        "dup_groups": dup_groups_q,
+        "ann_cosine_all": ann_cosine_all,
+        "suggestions": suggestions_q,
+        "winnow_fps": lambda spark, sf_dir: textstats.winnow_fingerprints(_docs(spark, sf_dir)),
+        "bm25_prefix_filter": _eng_search_q("merge", 10, filters=["lang/e/*"]),
+        "bm25_contains_filter": _contains_filter_q,
+        "bm25_wildcard_filter": _eng_search_q("merge", 10, filters=["*rc1*"]),
+        "bm25_page2": _eng_search_q("merge join", 10, offset=10),
+        "facet_boost": facet_boost_q,
+        "filter_boost": filter_boost_q,
     }
     return out
 

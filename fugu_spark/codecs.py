@@ -201,6 +201,136 @@ def pfor_decode(buf: bytes, n: int) -> np.ndarray:
     return out
 
 
+# Cost tables for the vectorized group-level width search (encode_doc_streams):
+# _HB[w, l] = varint bytes for the high bits (bitlen l - w) of an exception with
+# bit length l under packing width w (0 when l <= w, i.e. not an exception).
+_WIDTHS = np.arange(65, dtype=np.int64)
+_HB = np.zeros((65, 65), dtype=np.int64)
+for _w in range(65):
+    for _l in range(_w + 1, 65):
+        _HB[_w, _l] = (_l - _w + 6) // 7
+_TAGV = bytes([CODEC_VARINT])
+
+
+def encode_doc_streams(
+    deltas: np.ndarray,
+    block_starts: np.ndarray,
+    block_ends: np.ndarray,
+    varint_stream: bytes,
+    varint_off: np.ndarray,
+) -> list[bytes]:
+    """Tagged doc-id stream for EVERY block of a posting group at once:
+    PFOR when it packs smaller than the (pre-sliced) tagged-varint
+    stream, else varint.
+
+    Byte-identical to calling ``pfor_encode`` per block and keeping the
+    smaller stream (exact for blocks ≤ 128 docs, where exception-position
+    varints are always 1 byte), but the width search runs ONCE per group
+    — a per-block bit-length histogram, a reverse cumsum for exception
+    counts, and one (blocks × 65) @ (65 × 65) matmul for exception high
+    bytes — instead of a per-candidate-width numpy loop per 128-doc
+    block. Bitpacking is batched by (width, block length), so numpy call
+    count per group is O(distinct widths), not O(widths × blocks). This
+    removes the round-3 stage-2 encode regression (per-block fixed
+    overhead at ~174k blocks).
+
+    ``varint_off`` is the per-value byte-offset array from
+    ``varint_encode_lens`` (length n+1 after the caller's cumsum).
+    """
+    v = np.ascontiguousarray(deltas, dtype=np.uint64)
+    block_starts = np.asarray(block_starts, dtype=np.int64)
+    block_ends = np.asarray(block_ends, dtype=np.int64)
+    n_blocks = len(block_starts)
+    nk = block_ends - block_starts
+    lens = _bitlen(v)
+    block_idx = np.repeat(np.arange(n_blocks, dtype=np.int64), nk)
+    hist = np.zeros((n_blocks, 65), dtype=np.int64)
+    np.add.at(hist, (block_idx, lens), 1)
+    revc = np.cumsum(hist[:, ::-1], axis=1)[:, ::-1]  # revc[:, w] = #values with bitlen >= w
+    n_exc = np.zeros((n_blocks, 65), dtype=np.int64)
+    n_exc[:, :-1] = revc[:, 1:]  # #values with bitlen > w
+    highbytes = hist @ _HB.T  # [k, w] = total high-bit varint bytes at width w
+    packed_b = (nk[:, None] * _WIDTHS + 7) >> 3
+    cost = packed_b + np.where(n_exc > 0, n_exc + highbytes, 0)
+    # candidate widths = bit lengths present in the block (matches pfor_encode);
+    # ties resolve to the lowest width, as in the sequential loop
+    cost = np.where(hist > 0, cost, np.iinfo(np.int64).max)
+    best_w = np.argmin(cost, axis=1).astype(np.int64)
+    ar = np.arange(n_blocks)
+    pfor_size = 4 + cost[ar, best_w]
+    varint_size = 1 + (varint_off[block_ends] - varint_off[block_starts])
+    use_pfor = pfor_size < varint_size
+
+    streams: list[bytes] = [b""] * n_blocks
+    for k in np.flatnonzero(~use_pfor):
+        s, e = block_starts[k], block_ends[k]
+        streams[int(k)] = _TAGV + varint_stream[varint_off[s] : varint_off[e]]
+    pblocks = np.flatnonzero(use_pfor)
+    if not pblocks.size:
+        return streams
+
+    # exceptions across ALL pfor blocks in one pass: positions are
+    # delta-encoded per block (reset at block firsts), high bits varint
+    w_of_val = best_w[block_idx]
+    exc_mask = (lens > w_of_val) & use_pfor[block_idx]
+    exc_idx = np.flatnonzero(exc_mask)
+    exc_block = block_idx[exc_idx]
+    exc_counts = np.bincount(exc_block, minlength=n_blocks).astype(np.int64)
+    exc_off = np.concatenate([[0], np.cumsum(exc_counts)]).astype(np.int64)
+    if exc_idx.size:
+        pos_in_block = (exc_idx - block_starts[exc_block]).astype(np.uint64)
+        d = pos_in_block.copy()
+        d[1:] = pos_in_block[1:] - pos_in_block[:-1]
+        firsts = np.flatnonzero(np.concatenate([[True], exc_block[1:] != exc_block[:-1]]))
+        d[firsts] = pos_in_block[firsts]
+        pos_b, pos_nb = varint_encode_lens(d)
+        high_b, high_nb = varint_encode_lens(v[exc_idx] >> w_of_val[exc_idx].astype(np.uint64))
+        pos_cum = np.concatenate([[0], np.cumsum(pos_nb)]).astype(np.int64)
+        high_cum = np.concatenate([[0], np.cumsum(high_nb)]).astype(np.int64)
+    else:
+        pos_b = high_b = b""
+        pos_cum = high_cum = np.zeros(1, dtype=np.int64)
+
+    # bitpack low bits, batched by (width, block length): equal-length
+    # blocks of one width concatenate into a single packbits call, sliced
+    # at per-block byte boundaries (128·w bits is always byte-aligned)
+    packed_bytes: dict[int, bytes] = {}
+    for w in np.unique(best_w[pblocks]):
+        w = int(w)
+        sel = pblocks[best_w[pblocks] == w]
+        if w == 0:
+            for k in sel:
+                packed_bytes[int(k)] = b""
+            continue
+        mask = np.uint64(0xFFFFFFFFFFFFFFFF) if w >= 64 else np.uint64((1 << w) - 1)
+        for cnt in np.unique(nk[sel]):
+            grp = sel[nk[sel] == cnt]
+            idx = (block_starts[grp][:, None] + np.arange(int(cnt), dtype=np.int64)).ravel()
+            vals = v[idx] & mask
+            bits = ((vals[:, None] >> np.arange(w, dtype=np.uint64)) & np.uint64(1)).astype(np.uint8)
+            nbits = int(cnt) * w
+            if nbits % 8 == 0:
+                packed = np.packbits(bits.ravel(), bitorder="little").tobytes()
+                per = nbits >> 3
+                for j, k in enumerate(grp):
+                    packed_bytes[int(k)] = packed[j * per : (j + 1) * per]
+            else:
+                bm = bits.reshape(len(grp), nbits)
+                for j, k in enumerate(grp):
+                    packed_bytes[int(k)] = np.packbits(bm[j], bitorder="little").tobytes()
+
+    for k in pblocks:
+        k = int(k)
+        w = int(best_w[k])
+        ne = int(exc_counts[k])
+        body = packed_bytes[k]
+        if ne:
+            a, b = exc_off[k], exc_off[k + 1]
+            body += pos_b[pos_cum[a] : pos_cum[b]] + high_b[high_cum[a] : high_cum[b]]
+        streams[k] = bytes([CODEC_PFOR, w]) + ne.to_bytes(2, "little") + body
+    return streams
+
+
 def tagged_varint_encode(values: np.ndarray) -> bytes:
     """Varint stream with the codec tag byte (coexists with PFOR)."""
     return bytes([CODEC_VARINT]) + varint_encode(values)

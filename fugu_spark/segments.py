@@ -136,19 +136,6 @@ def _append_manifest(spark: SparkSession, index_dir: str, rows: list[tuple]) -> 
 _TAG_VARINT = bytes([0])  # codecs.CODEC_VARINT
 
 
-def _best_doc_stream(block_deltas: np.ndarray, varint_slice: bytes) -> bytes:
-    """Doc-id stream for one block: PFOR when it packs smaller than the
-    (pre-sliced) varint stream, else tagged varint. PFOR wins on dense
-    posting lists (narrow gap frames + the absolute base as a patched
-    exception) — typically 15-35% smaller AND faster to decode than
-    varint; sparse lists with byte-sized gaps keep varint."""
-    from .codecs import pfor_encode
-
-    pf = pfor_encode(np.ascontiguousarray(block_deltas))
-    tv = _TAG_VARINT + varint_slice
-    return pf if len(pf) < len(tv) else tv
-
-
 def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
     """applyInPandas kernel: one (term, salt) posting sub-list →
     delta-encoded 128-doc block rows with skip metadata; streams are
@@ -158,8 +145,11 @@ def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
     The varint side is encoded ONCE for the whole group (delta reset at
     block starts / doc starts), then sliced per block at value
     boundaries — bit-identical to per-block encoding with 4 numpy calls
-    per group instead of 4 per block."""
-    from .codecs import varint_encode_lens
+    per group instead of 4 per block. The doc-id PFOR-vs-varint choice
+    is likewise group-level (codecs.encode_doc_streams): one histogram +
+    matmul width search for all blocks, batched bitpacking — this is
+    what fixed the round-3 stage-2 encode regression."""
+    from .codecs import encode_doc_streams, varint_encode_lens
 
     pdf = pdf.sort_values("doc_id", kind="mergesort")
     term = pdf["term"].iloc[0]
@@ -214,6 +204,8 @@ def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
     dl_off = np.concatenate([[0], np.cumsum(dl_nb)]).astype(np.int64)
     pc_off = np.concatenate([[0], np.cumsum(pc_nb)]).astype(np.int64)
 
+    doc_streams = encode_doc_streams(deltas, block_starts, block_ends, doc_b, doc_off)
+
     max_tf = np.maximum.reduceat(tfs, block_starts).astype(np.int64)
     min_dl = np.minimum.reduceat(dls, block_starts).astype(np.int64)
     sum_tf = np.add.reduceat(tfs, block_starts).astype(np.int64)
@@ -229,7 +221,7 @@ def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
             int(doc_i64[e - 1]),
             int(max_tf[k]),
             int(min_dl[k]),
-            _best_doc_stream(deltas[s:e], doc_b[doc_off[s] : doc_off[e]]),
+            doc_streams[k],
             _TAG_VARINT + tf_b[tf_off[s] : tf_off[e]],
             _TAG_VARINT + dl_b[dl_off[s] : dl_off[e]],
             _TAG_VARINT + pc_b[pc_off[s] : pc_off[e]],

@@ -153,3 +153,41 @@ def test_pfor_roundtrip_hypothesis(vals):
 
     v = np.array(vals, dtype=np.uint64)
     assert np.array_equal(pfor_decode(pfor_encode(v), len(v)), v)
+
+
+def test_encode_doc_streams_matches_per_block_pfor():
+    """The group-level vectorized encoder (round-4 stage-2 fix) must be
+    byte-identical to the sequential per-block PFOR-vs-varint choice."""
+    import numpy as np
+
+    from fugu_spark.codecs import (
+        encode_doc_streams,
+        pfor_encode,
+        stream_decode,
+        varint_encode_lens,
+    )
+
+    rng = np.random.default_rng(42)
+    for _ in range(10):
+        n = int(rng.integers(1, 1500))
+        gaps = rng.choice(
+            [1, 2, 3, 100, 5000, 2**20, 2**40],
+            size=n,
+            p=[0.4, 0.2, 0.2, 0.1, 0.05, 0.04, 0.01],
+        )
+        doc = np.cumsum(gaps.astype(np.uint64))
+        bs = np.arange(0, n, 128, dtype=np.int64)
+        be = np.minimum(bs + 128, n)
+        deltas = np.empty_like(doc)
+        deltas[0] = doc[0]
+        np.subtract(doc[1:], doc[:-1], out=deltas[1:])
+        deltas[bs] = doc[bs]
+        b, nb = varint_encode_lens(deltas)
+        off = np.concatenate([[0], np.cumsum(nb)]).astype(np.int64)
+        new = encode_doc_streams(deltas, bs, be, b, off)
+        for k, (s, e) in enumerate(zip(bs, be)):
+            pf = pfor_encode(np.ascontiguousarray(deltas[s:e]))
+            tv = bytes([0]) + b[off[s] : off[e]]
+            old = pf if len(pf) < len(tv) else tv
+            assert new[k] == old
+            assert np.array_equal(stream_decode(new[k], int(e - s)), deltas[s:e])
