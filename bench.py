@@ -402,7 +402,46 @@ def main() -> None:
         result["scaling"] = run_scaling(rows)
 
     _write_bench_md(result)
-    print(json.dumps(result))
+    # Full detail (stage walls, calibration, per-level scaling) goes to
+    # BENCH_detail.json + BENCH.md; stdout gets ONE COMPACT line — the
+    # r2/r3 full line exceeded the driver's capture window and recorded
+    # as parsed:null (VERDICT r3 What's-wrong #5).
+    with open(os.path.join(REPO, "BENCH_detail.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    summary = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": "sec",
+        "queries": result["queries"],
+        "p50_warm": result["p50_warm"],
+        "p50_spark_job": result["p50_spark_job"],
+        "sf": result["sf"],
+        "build": {
+            "n_postings": result["build"]["n_postings"],
+            "wall_sec": result["build"]["wall_sec"],
+            "postings_per_sec": result["build"]["postings_per_sec"],
+        },
+    }
+    if "scaling" in result:
+        sc = result["scaling"]
+        summary["scaling"] = {
+            k: {
+                "cpus": v["cpus"],
+                "wall_sec": round(v["wall_sec"], 2),
+                "postings_per_sec": round(v["postings_per_sec"], 1),
+            }
+            for k, v in sc.items()
+            if isinstance(v, dict) and "cpus" in v
+        }
+        for k in (
+            "efficiency_2_to_8",
+            "efficiency_2_to_8_host_normalized",
+            "efficiency_8_to_32",
+            "efficiency_8_to_32_host_normalized",
+        ):
+            if k in sc:
+                summary["scaling"][k] = sc[k]
+    print(json.dumps(summary, separators=(",", ":")))
 
 
 def _write_bench_md(r: dict) -> None:

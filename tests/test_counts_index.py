@@ -308,3 +308,34 @@ def test_engine_load_requires_doc_store(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="doc_store"):
         FuguSparkEngine.load(spark, str(tmp_path / "idx"))
+
+
+def test_doc_store_partitions_scale_with_size(spark, tmp_path, monkeypatch):
+    """Partition count must grow with input size (one range partition per
+    FUGU_SPARK_DOC_STORE_PART_BYTES), not cap at 32 — and point lookups
+    must still prune to a single file via non-overlapping range stats."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    monkeypatch.setenv("FUGU_SPARK_DOC_STORE_PART_BYTES", "1024")
+    rows = [(i, f"document number {i} with some text payload", "en", "web") for i in range(400)]
+    docs = _mkdocs(spark, rows)
+    eng = FuguSparkEngine.build(docs, index_dir=str(tmp_path / "idx"))
+    files = sorted(glob.glob(str(tmp_path / "idx" / "doc_store" / "part-*.parquet")))
+    assert len(files) > 32, f"expected >32 range partitions, got {len(files)}"
+
+    # non-overlapping ranges: exactly one file's [min,max] covers doc 137
+    covering = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        if md.num_rows == 0:
+            continue
+        idx = md.schema.to_arrow_schema().get_field_index("_doc_key")
+        lo = min(md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups))
+        hi = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
+        if lo <= 137 <= hi:
+            covering += 1
+    assert covering == 1
+
+    assert eng.get(137).collect()[0].doc_id == 137

@@ -151,3 +151,26 @@ def test_ingest_delete_compact_cycle(engine, spark):
     engine.compact()
     assert engine.health()["generations"] == 1
     assert 5 in {r.doc_id for r in engine.search("vector", k=10).collect()}
+
+
+def test_min_score_served_matches_spark_path(engine):
+    """min_score now runs on the serving fast path (VERDICT r3 Next #7):
+    slice-then-threshold over the served frame must equal the Spark
+    path's threshold-then-slice (scores are non-increasing)."""
+    from fugu_spark.segment_search import search_segments
+
+    base = search_segments(
+        engine.si, "merge join", k=10, docs=engine.docs, mode=engine.mode
+    ).collect()
+    assert base, "fixture should match docs"
+    thr = (base[0].score + base[-1].score) / 2  # cuts the list mid-way
+    expected = [(r.doc_id, round(r.score, 9)) for r in base if r.score >= thr]
+    got = [
+        (r.doc_id, round(r.score, 9))
+        for r in engine.search("merge join", k=10, min_score=thr).collect()
+    ]
+    assert got == expected and 0 < len(got) < len(base)
+
+    # offset + min_score: threshold applies to the post-offset slice
+    got2 = [r.doc_id for r in engine.search("merge join", k=10, offset=1, min_score=thr).collect()]
+    assert got2 == [d for d, _ in expected][1:]
