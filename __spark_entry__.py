@@ -642,6 +642,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segments_compact": segments_compact_q,
         "metadata_facets": metadata_facets_q,
         "namespace_filter_paths": ns_filter_paths_q,
+        # --- new this round (never verified → ahead of the core) ---
+        "bm25_phrase_slop": _search_q('"merge join"~2', 10),
+        "bm25_segments_phrase_slop": _seg_search_q('"merge join"~2', 10),
+        "multifield_qualified": _multifield_q("source:src1 merge", 10),
         # --- block 2: regression core (always-run, fills to the 50 cap) ---
         "postings_tf": postings_tf,
         "doc_len": doc_len,
@@ -663,18 +667,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "allquery": allquery,
         "point_lookup": point_lookup,
         "facet_counts_lang": facet_counts_lang,
-        "facet_tree": facet_tree,
-        "all_filter_paths": all_filter_paths_q,
         "exact_dedup": exact_dedup_q,
         "minhash_pairs": lambda spark, sf_dir: dedup.minhash_dedup_pairs(
             _docs(spark, sf_dir), threshold=0.5
         ).select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")),
         "simhash_sigs": lambda spark, sf_dir: dedup.simhash_signatures(_docs(spark, sf_dir)),
         "ann_lsh_top10": _ann_lsh_top10,
-        "ann_lsh_probe2": _ann_lsh_probe2,
-        "ann_ivf_top10": _ann_ivf_top10,
         "bm25_min_score": _eng_search_q("merge join", 100, min_score=0.35),
         # --- block 3: rotating tail (green in CORRECTNESS_r03; pytest-covered) ---
+        "facet_tree": facet_tree,
+        "all_filter_paths": all_filter_paths_q,
+        "ann_lsh_probe2": _ann_lsh_probe2,
+        "ann_ivf_top10": _ann_ivf_top10,
         "bm25_segments_and": _seg_search_q("merge AND join", 10),
         "filter_values_lang": filter_values_lang,
         "search_facets_src1": search_facets_src1,
@@ -801,6 +805,26 @@ SELECT p.doc_id,
 FROM phr p JOIN dl d USING (doc_id), stats s, idfs i
 ORDER BY 2 DESC, doc_id ASC LIMIT 10"""
 
+# Sloppy phrase '"merge join"~2' (ordered, total-window semantics —
+# queryparse.Leaf docstring): tf = distinct end positions of the second
+# term having SOME first-term occurrence before them within the window.
+_PHRASE_SLOP_SQL = f"""WITH {_TOK},
+phr AS (
+  SELECT b.doc_id, count(DISTINCT b.pos) AS tfp
+  FROM tok a JOIN tok b
+    ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos - a.pos - 1 <= 2
+  WHERE a.term = 'merge' AND b.term = 'join'
+  GROUP BY 1
+),
+idfs AS (
+  SELECT sum(ln(1 + (s.n - t.df + 0.5) / (t.df + 0.5))) AS idf_sum
+  FROM tstat t, stats s WHERE t.term IN ('merge', 'join')
+)
+SELECT p.doc_id,
+       round(i.idf_sum * p.tfp * 2.2 / (p.tfp + 1.2 * (0.25 + 0.75 * d.doc_len / s.avgdl)), 6) AS score
+FROM phr p JOIN dl d USING (doc_id), stats s, idfs i
+ORDER BY 2 DESC, doc_id ASC LIMIT 10"""
+
 _BOOST_SQL = f"""WITH {_TOK}, {_SCORED}
 SELECT doc_id, round(sum(CASE WHEN term = 'merge' THEN 2.0 * sc ELSE sc END), 6) AS score
 FROM scored WHERE term IN ('merge', 'join')
@@ -889,6 +913,25 @@ _RATIOS = ", ".join(
 _MULTIFIELD_SQL = f"""WITH {_TOK}, {_SCORED},
 txt AS (
   SELECT doc_id, sum(sc) AS s FROM scored WHERE term IN ('merge', 'src1') GROUP BY doc_id
+),
+sstat AS (SELECT source, count(*) AS df FROM documents GROUP BY source),
+src AS (
+  SELECT d.doc_id, ln(1 + (s.n - st.df + 0.5) / (st.df + 0.5)) AS s
+  FROM documents d JOIN sstat st ON d.source = st.source, stats s
+  WHERE d.source IN ('merge', 'src1')
+)
+SELECT COALESCE(txt.doc_id, src.doc_id) AS doc_id,
+       round(COALESCE(txt.s, 0) + COALESCE(src.s, 0), 6) AS score
+FROM txt FULL OUTER JOIN src ON txt.doc_id = src.doc_id
+ORDER BY COALESCE(txt.s, 0) + COALESCE(src.s, 0) DESC, 1 ASC LIMIT 10"""
+
+# 'source:src1 merge': the qualified leaf scores ONLY in the source
+# field; the bare 'merge' still scores in both (text + source). The
+# source index has one single-token doc per row (tf=1, doc_len=1,
+# avgdl=1 → tf_norm=1), so its leaf score is the bare idf.
+_MULTIFIELD_QUALIFIED_SQL = f"""WITH {_TOK}, {_SCORED},
+txt AS (
+  SELECT doc_id, sum(sc) AS s FROM scored WHERE term = 'merge' GROUP BY doc_id
 ),
 sstat AS (SELECT source, count(*) AS df FROM documents GROUP BY source),
 src AS (
@@ -1322,6 +1365,8 @@ def oracle_sql() -> dict[str, str]:
             "term = 'merge' AND doc_id NOT IN (SELECT doc_id FROM post WHERE term = 'window')"
         ),
         "bm25_phrase": _PHRASE_SQL,
+        "bm25_phrase_slop": _PHRASE_SLOP_SQL,
+        "bm25_segments_phrase_slop": _PHRASE_SLOP_SQL,
         "bm25_boost": _BOOST_SQL,
         "bm25_or_k100": _topk_sql("term IN ('merge','join')", k=100),
         "bm25_filtered_lang": _FILTERED_SQL,
@@ -1333,6 +1378,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_segments_phrase": _PHRASE_SQL,
         "bm25_serving_path": _topk_sql("term IN ('merge','join')"),
         "multifield_or": _MULTIFIELD_SQL,
+        "multifield_qualified": _MULTIFIELD_QUALIFIED_SQL,
         "allquery": "SELECT doc_id, 1.0::DOUBLE AS score FROM documents",
         "point_lookup": "SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id = 42",
         "facet_counts_lang": "SELECT '/lang/' || lang AS child, count(*) AS count FROM documents GROUP BY lang",

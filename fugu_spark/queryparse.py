@@ -32,7 +32,7 @@ ESCAPE_CHARS = set('()[]{}":+-!~*?\\^')
 
 _TOKEN_RE = re.compile(
     r"""
-      "(?P<phrase>[^"]*)"(?:\^(?P<pboost>\d+(?:\.\d+)?))?
+      (?:(?P<pfield>[A-Za-z_][\w.]*):)?"(?P<phrase>[^"]*)"(?:~(?P<slop>\d+))?(?:\^(?P<pboost>\d+(?:\.\d+)?))?
     | (?P<lparen>\()
     | (?P<rparen>\))(?:\^(?P<gboost>\d+(?:\.\d+)?))?
     | (?P<word>[^\s()]+)
@@ -40,14 +40,36 @@ _TOKEN_RE = re.compile(
     re.VERBOSE,
 )
 
+_FIELD_WORD_RE = re.compile(r"^([A-Za-z_][\w.]*):(.+)$")
+
 
 @dataclass(frozen=True)
 class Leaf:
-    """One scoring leaf: a term or a phrase (terms in order), with boost."""
+    """One scoring leaf: a term or a phrase (terms in order), with boost.
+
+    ``slop`` (phrases only): ``"a b"~N`` — Tantivy's QueryParser accepts
+    the slop suffix, so it is reachable through the reference's search
+    route (src/db/search.rs:112-118 passes the raw string through).
+    Pinned semantics (documented divergence from Lucene's transposition
+    counting): an ORDERED sloppy match — strictly ascending positions
+    p_1 < … < p_n with total window slack p_n − p_1 − (n−1) ≤ slop;
+    tf = number of distinct end positions with such a chain. slop=0
+    reduces exactly to the adjacency phrase."""
 
     terms: tuple[str, ...]
     boost: float = 1.0
     occur: str = "should"  # 'must' | 'should' | 'must_not'
+    slop: int = 0
+    # Field-qualified clause ('name:foo', 'name:"a b"') — Tantivy's
+    # QueryParser resolves the prefix against the index schema (the
+    # reference's docs schema indexes id/text/namespace/name/… —
+    # src/db/schemas.rs:9-17), so qualified terms are reachable through
+    # its search route. None = score in every default field. An UNKNOWN
+    # field is a parse error, which the reference answers by stripping
+    # specials and retrying (src/db/search.rs:118-126) — ':' is in the
+    # escape set, so 'lang:es' with no 'lang' field becomes the single
+    # term 'langes', exactly like Tantivy+fugu.
+    fld: str | None = None
 
     @property
     def is_phrase(self) -> bool:
@@ -127,11 +149,23 @@ def _boosted(node: "Leaf | BoolNode", factor: float) -> "Leaf | BoolNode":
     if factor == 1.0:
         return node
     if isinstance(node, Leaf):
-        return Leaf(node.terms, node.boost * factor, node.occur)
+        return Leaf(node.terms, node.boost * factor, node.occur, node.slop, node.fld)
     return BoolNode(tuple((occ, _boosted(c, factor)) for occ, c in node.children))
 
 
-def _parse_group(tokens: list, pos: int, mode: str, depth: int):
+def _resolve_field(name: str | None, fields: frozenset | None) -> str | None:
+    """Validate a 'field:' prefix. Unknown field → parse error (Tantivy's
+    FieldDoesNotExist), which parse_query answers with the reference's
+    escape-and-retry. When the caller supplied no field set (single-index
+    search APIs), every prefix is unknown."""
+    if name is None:
+        return None
+    if fields is None or name not in fields:
+        raise QueryParseError(f"unknown field: {name}")
+    return name
+
+
+def _parse_group(tokens: list, pos: int, mode: str, depth: int, fields: frozenset | None):
     """Recursive descent over one boolean level → ([(occur, node)], pos).
 
     Within a level the pinned flat-parser semantics apply: AND upgrades
@@ -151,7 +185,7 @@ def _parse_group(tokens: list, pos: int, mode: str, depth: int):
                 raise QueryParseError("unbalanced parens")
             return children, pos  # caller consumes the ')'
         if kind == "lparen":
-            sub, pos = _parse_group(tokens, pos + 1, mode, depth + 1)
+            sub, pos = _parse_group(tokens, pos + 1, mode, depth + 1, fields)
             if pos >= len(tokens) or tokens[pos][0] != "rparen":
                 raise QueryParseError("unbalanced parens")
             gboost = tokens[pos][1] or 1.0
@@ -166,10 +200,21 @@ def _parse_group(tokens: list, pos: int, mode: str, depth: int):
             pos += 1
             continue
         if kind == "phrase":
-            raw, boost = val
+            raw, boost, slop, pfield = val
+            fld = _resolve_field(pfield, fields)
             terms = tuple(t for t, _ in tokenize_py(raw, mode))
             if terms:
-                children.append((pending or "should", Leaf(terms=terms, boost=boost)))
+                children.append(
+                    (
+                        pending or "should",
+                        Leaf(
+                            terms=terms,
+                            boost=boost,
+                            slop=slop if len(terms) > 1 else 0,
+                            fld=fld,
+                        ),
+                    )
+                )
             pending = None
             pos += 1
             continue
@@ -194,10 +239,17 @@ def _parse_group(tokens: list, pos: int, mode: str, depth: int):
         elif word.startswith("+") and len(word) > 1:
             word = word[1:]
             pending = "must"
+        fld = None
+        fm = _FIELD_WORD_RE.match(word)
+        if fm:
+            fld = _resolve_field(fm.group(1), fields)
+            word = fm.group(2)
         text, boost = _split_boost(word)
         terms = tuple(t for t, _ in tokenize_py(text, mode))
         if terms:
-            children.append((pending or "should", Leaf(terms=terms, boost=boost)))
+            # a qualified word analyzing to 2+ tokens becomes a phrase in
+            # that field (Tantivy parser behaviour, same as unqualified)
+            children.append((pending or "should", Leaf(terms=terms, boost=boost, fld=fld)))
         pending = None
         pos += 1
     if depth != 0:
@@ -205,7 +257,7 @@ def _parse_group(tokens: list, pos: int, mode: str, depth: int):
     return children, pos
 
 
-def _parse_once(query: str, mode: str) -> QueryPlan:
+def _parse_once(query: str, mode: str, fields: frozenset | None = None) -> QueryPlan:
     if query.count('"') % 2 == 1:
         raise QueryParseError("unbalanced quotes")
     tokens: list[tuple[str, object]] = []
@@ -215,10 +267,20 @@ def _parse_once(query: str, mode: str) -> QueryPlan:
         elif m.group("rparen") is not None:
             tokens.append(("rparen", float(m.group("gboost")) if m.group("gboost") else None))
         elif m.group("phrase") is not None:
-            tokens.append(("phrase", (m.group("phrase"), float(m.group("pboost") or 1.0))))
+            tokens.append(
+                (
+                    "phrase",
+                    (
+                        m.group("phrase"),
+                        float(m.group("pboost") or 1.0),
+                        int(m.group("slop") or 0),
+                        m.group("pfield"),
+                    ),
+                )
+            )
         else:
             tokens.append(("word", m.group("word")))
-    children, _ = _parse_group(tokens, 0, mode, 0)
+    children, _ = _parse_group(tokens, 0, mode, 0, fields)
 
     plan = QueryPlan()
     if any(isinstance(node, BoolNode) for _, node in children):
@@ -228,7 +290,8 @@ def _parse_once(query: str, mode: str) -> QueryPlan:
             plan.leaves.extend(_flatten(node))
     else:
         plan.leaves = [
-            Leaf(terms=n.terms, boost=n.boost, occur=occ) for occ, n in children
+            Leaf(terms=n.terms, boost=n.boost, occur=occ, slop=n.slop, fld=n.fld)
+            for occ, n in children
         ]
     if not plan.leaves:
         plan.is_all = True
@@ -236,14 +299,22 @@ def _parse_once(query: str, mode: str) -> QueryPlan:
     return plan
 
 
-def parse_query(query: str | None, mode: str = DEFAULT_MODE) -> QueryPlan:
-    """Parse with the reference's escape-and-retry fallback."""
+def parse_query(
+    query: str | None, mode: str = DEFAULT_MODE, fields: frozenset | set | None = None
+) -> QueryPlan:
+    """Parse with the reference's escape-and-retry fallback.
+
+    ``fields``: valid names for ``field:`` prefixes (multi-field search
+    passes its index names). An unknown prefix — or ANY prefix when the
+    caller has no field set — is a parse error; the retry strips the
+    specials (':' included), matching the reference's fallback."""
     if query is None or not query.strip():
         return QueryPlan(is_all=True)
+    fs = frozenset(fields) if fields is not None else None
     try:
-        return _parse_once(query, mode)
+        return _parse_once(query, mode, fs)
     except QueryParseError:
         cleaned = "".join(c for c in query if c not in ESCAPE_CHARS)
         if not cleaned.strip():
             return QueryPlan(is_all=True)
-        return _parse_once(cleaned, mode)
+        return _parse_once(cleaned, mode, fs)

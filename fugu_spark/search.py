@@ -53,12 +53,69 @@ def _tf_norm(tf_col: Column, doc_len_col: Column, avgdl: float, k1: float, b: fl
     return tf * F.lit(k1 + 1.0) / (tf + norm)
 
 
+def _sloppy_phrase_frame(
+    cand: DataFrame, leaf: Leaf, df_map: dict[str, int], stats, k1: float, b: float
+) -> DataFrame:
+    """Scored frame for ``"a b"~N`` (Leaf.slop > 0): ordered sloppy
+    phrase, total-window semantics (queryparse.Leaf docstring). The
+    greedy latest-start chain — for each candidate end position of term
+    i, the latest possible chain start over predecessors p < q — is
+    exact (maximizing the start minimizes the window), and runs entirely
+    in JVM higher-order array expressions: no Python in the row path."""
+    out = (
+        cand.filter(F.col("term") == leaf.terms[0])
+        .select("doc_id", F.col("positions").alias("pp"), "doc_len")
+        .withColumn("ss", F.col("pp"))
+    )
+    for nxt in leaf.terms[1:]:
+        nxt_df = cand.filter(F.col("term") == nxt).select(
+            F.col("doc_id").alias("doc_id_r"), F.col("positions").alias("pos_r")
+        )
+        out = (
+            out.join(nxt_df, out["doc_id"] == nxt_df["doc_id_r"], "inner")
+            .drop("doc_id_r")
+            .withColumn(
+                "ss_new",
+                F.expr(
+                    "transform(pos_r, q -> aggregate(arrays_zip(pp, ss), -1, "
+                    "(acc, x) -> CASE WHEN x.pp < q THEN greatest(acc, x.ss) ELSE acc END))"
+                ),
+            )
+            .withColumn(
+                "z", F.expr("filter(arrays_zip(pos_r, ss_new), x -> x.ss_new >= 0)")
+            )
+            .select(
+                "doc_id",
+                F.expr("transform(z, x -> x.pos_r)").alias("pp"),
+                F.expr("transform(z, x -> x.ss_new)").alias("ss"),
+                "doc_len",
+            )
+            .filter(F.size("pp") > 0)
+        )
+    max_span = leaf.slop + len(leaf.terms) - 1
+    out = out.withColumn(
+        "tfp", F.expr(f"size(filter(arrays_zip(pp, ss), x -> x.pp - x.ss <= {max_span}))")
+    ).filter(F.col("tfp") > 0)
+    idf_sum = sum(idf_py(df_map[t], stats.n_docs) for t in leaf.terms)
+    return out.select(
+        "doc_id",
+        (
+            F.lit(idf_sum)
+            * _tf_norm(F.col("tfp"), F.col("doc_len"), stats.avgdl, k1, b)
+            * F.lit(leaf.boost)
+        ).alias("score"),
+    )
+
+
 def _phrase_frame(
     cand: DataFrame, leaf: Leaf, df_map: dict[str, int], stats, k1: float, b: float
 ) -> DataFrame | None:
-    """(doc_id, tf_phrase, doc_len) for adjacent-position phrase matches."""
+    """(doc_id, tf_phrase, doc_len) for adjacent-position phrase matches
+    (slop=0), or the sloppy-chain frame when the leaf carries a slop."""
     if any(t not in df_map for t in leaf.terms):
         return None
+    if leaf.slop:
+        return _sloppy_phrase_frame(cand, leaf, df_map, stats, k1, b)
     first = cand.filter(F.col("term") == leaf.terms[0]).select(
         "doc_id", F.col("positions").alias("pos"), "doc_len"
     )
@@ -367,6 +424,10 @@ def execute_plan_fields(
     phrase_leaves = [(i, l) for i, l in enumerate(plan.leaves) if l.is_phrase]
 
     def live_in_any_field(leaf: Leaf) -> bool:
+        # a field-qualified leaf ('name:foo') lives only in its field
+        if leaf.fld is not None:
+            dm = df_maps.get(leaf.fld)
+            return dm is not None and all(t in dm for t in leaf.terms)
         return any(all(t in dm for t in leaf.terms) for dm in df_maps.values())
 
     for i, leaf in enumerate(plan.leaves):
@@ -376,12 +437,19 @@ def execute_plan_fields(
     frames: list[DataFrame] = []
     for f, idx in indexes.items():
         fused = _term_leaves_frame(
-            idx, term_leaves, df_maps[f], k1, b, extra_mult=boosts.get(f, 1.0)
+            idx,
+            [(i, l) for i, l in term_leaves if l.fld in (None, f)],
+            df_maps[f],
+            k1,
+            b,
+            extra_mult=boosts.get(f, 1.0),
         )
         if fused is not None:
             frames.append(fused)
         cand = idx.postings.filter(F.col("term").isin(all_terms))
         for i, leaf in phrase_leaves:
+            if leaf.fld not in (None, f):
+                continue
             pf = _phrase_frame(cand, leaf, df_maps[f], idx.stats, k1, b)
             if pf is not None:
                 mult = boosts.get(f, 1.0)
@@ -401,6 +469,8 @@ def execute_plan_fields(
             cand = idx.postings.filter(F.col("term").isin(all_terms))
             for i in must_nots:
                 leaf = plan.leaves[i]
+                if leaf.fld not in (None, f):
+                    continue
                 if not all(t in df_maps[f] for t in leaf.terms):
                     continue
                 excl = (
@@ -457,8 +527,9 @@ def search_fields(
     b: float = BM25_B,
     field_boosts: dict[str, float] | None = None,
 ) -> DataFrame:
-    """Multi-field search entry point (fugu queries [text, name])."""
-    plan = parse_query(query_text, mode=mode)
+    """Multi-field search entry point (fugu queries [text, name]);
+    ``field:`` prefixes resolve against the index names supplied here."""
+    plan = parse_query(query_text, mode=mode, fields=frozenset(indexes))
     scored = execute_plan_fields(
         indexes, plan, docs=docs, id_col=id_col, k1=k1, b=b, field_boosts=field_boosts
     )

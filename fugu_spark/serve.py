@@ -431,7 +431,7 @@ class LocalSearcher:
             if any(t not in meta for t in leaf.terms):
                 continue
             if leaf.is_phrase:
-                docs, tfp, dls = self._phrase_freq(leaf.terms, postings)
+                docs, tfp, dls = self._phrase_freq(leaf.terms, postings, slop=leaf.slop)
                 if len(docs) == 0:
                     continue
                 idf_sum = sum(meta[t]["idf"] for t in leaf.terms)
@@ -452,13 +452,20 @@ class LocalSearcher:
                 parts.append((p["doc_ids"], i, score))
         return parts
 
-    def _phrase_freq(self, terms: list[str], postings: dict):
+    def _phrase_freq(self, terms: list[str], postings: dict, slop: int = 0):
         """Adjacency-chain phrase tf per doc (pre-filter ordinals).
 
         Fully vectorized: (doc, pos) pairs are packed into uint64 keys
         (dense doc rank << 32 | pos) so the whole adjacency chain is a
         sequence of sorted-array intersections — no per-doc Python loop
-        (the loop dominated phrase serving latency)."""
+        (the loop dominated phrase serving latency).
+
+        ``slop`` > 0 switches to the ordered sloppy chain (same pinned
+        semantics as search._sloppy_phrase_frame): over the packed keys,
+        a searchsorted + running-max pass per term carries the latest
+        possible chain start to each candidate end; the final span check
+        also requires same-doc rank, so cross-doc carries (which the
+        packing makes strictly smaller) can never produce a match."""
         empty = (np.empty(0, np.int64),) * 3
         # dense rank domain over docs present for EVERY phrase term
         common = postings[terms[0]]["doc_ids"]
@@ -481,12 +488,34 @@ class LocalSearcher:
             flat_pos = np.concatenate(pos_arrays) if pos_arrays else np.empty(0, np.uint64)
             return (np.repeat(ranks, lens) << np.uint64(32)) | flat_pos
 
-        keys = np.sort(packed_keys(terms[0]))
-        for t in terms[1:]:
-            # pos+1 within the same doc: low 32 bits hold pos (< 2^32)
-            keys = np.intersect1d(keys + np.uint64(1), np.sort(packed_keys(t)))
+        if slop:
+            keys = np.sort(packed_keys(terms[0]))
+            starts = keys.copy()  # latest chain start per candidate end
+            for t in terms[1:]:
+                q = np.sort(packed_keys(t))
+                if len(keys) == 0 or len(q) == 0:
+                    return empty
+                idx = np.searchsorted(keys, q, side="left")  # #predecessors < q
+                runmax = np.maximum.accumulate(starts)
+                valid = idx > 0
+                keys = q[valid]
+                starts = runmax[idx[valid] - 1]
             if len(keys) == 0:
                 return empty
+            max_span = np.uint64(slop + len(terms) - 1)
+            ok = ((keys >> np.uint64(32)) == (starts >> np.uint64(32))) & (
+                keys - starts <= max_span
+            )
+            keys = keys[ok]
+            if len(keys) == 0:
+                return empty
+        else:
+            keys = np.sort(packed_keys(terms[0]))
+            for t in terms[1:]:
+                # pos+1 within the same doc: low 32 bits hold pos (< 2^32)
+                keys = np.intersect1d(keys + np.uint64(1), np.sort(packed_keys(t)))
+                if len(keys) == 0:
+                    return empty
         ranks = (keys >> np.uint64(32)).astype(np.int64)
         hit_ranks, tfps = np.unique(ranks, return_counts=True)
         docs = common[hit_ranks]
@@ -786,7 +815,7 @@ class LocalSearcher:
             if any(t not in meta for t in node.terms):
                 return None
             if node.is_phrase:
-                docs, tfp, dls = self._phrase_freq(node.terms, postings)
+                docs, tfp, dls = self._phrase_freq(node.terms, postings, slop=node.slop)
                 idf_sum = sum(meta[t]["idf"] for t in node.terms)
                 s = idf_sum * _tf_norm(tfp, dls, avgdl, k1, b) * node.boost
                 return pd.Series(s, index=docs, dtype="float64")

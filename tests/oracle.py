@@ -40,7 +40,25 @@ class PyIndex:
             )
         return out
 
-    def phrase_scores(self, terms, boost: float = 1.0, k1=1.2, b=0.75) -> dict[int, float]:
+    @staticmethod
+    def _slop_tf(pos_lists: list[list[int]], slop: int) -> int:
+        """Brute-force sloppy-phrase tf (independent of the engine's
+        greedy chain): count distinct end positions admitting an ordered
+        chain p_1 < … < p_n with p_n − p_1 − (n−1) ≤ slop."""
+        import itertools
+
+        n = len(pos_lists)
+        ends = set()
+        for combo in itertools.product(*pos_lists):
+            if all(combo[i] < combo[i + 1] for i in range(n - 1)) and combo[-1] - combo[
+                0
+            ] - (n - 1) <= slop:
+                ends.add(combo[-1])
+        return len(ends)
+
+    def phrase_scores(
+        self, terms, boost: float = 1.0, k1=1.2, b=0.75, slop: int = 0
+    ) -> dict[int, float]:
         if any(self.df(t) == 0 for t in terms):
             return {}
         idf_sum = sum(idf_py(self.df(t), self.n_docs) for t in terms)
@@ -49,10 +67,13 @@ class PyIndex:
         for t in terms[1:]:
             docs &= set(self.postings[t])
         for doc_id in docs:
-            cur = set(self.postings[terms[0]][doc_id])
-            for t in terms[1:]:
-                cur = {p + 1 for p in cur} & set(self.postings[t][doc_id])
-            tfp = len(cur)
+            if slop:
+                tfp = self._slop_tf([self.postings[t][doc_id] for t in terms], slop)
+            else:
+                cur = set(self.postings[terms[0]][doc_id])
+                for t in terms[1:]:
+                    cur = {p + 1 for p in cur} & set(self.postings[t][doc_id])
+                tfp = len(cur)
             if tfp == 0:
                 continue
             dl = self.doc_len[doc_id]
@@ -67,7 +88,7 @@ class PyIndex:
 
         if isinstance(node, Leaf):
             if node.is_phrase:
-                return self.phrase_scores(node.terms, node.boost, k1, b)
+                return self.phrase_scores(node.terms, node.boost, k1, b, node.slop)
             return self.term_scores(node.terms[0], node.boost, k1, b)
         musts, shoulds, nots = [], [], []
         for occ, child in node.children:
@@ -115,7 +136,9 @@ class PyIndex:
         leaf_maps = []
         for leaf in plan.leaves:
             if leaf.is_phrase:
-                leaf_maps.append(self.phrase_scores(leaf.terms, leaf.boost, k1, b))
+                leaf_maps.append(
+                    self.phrase_scores(leaf.terms, leaf.boost, k1, b, leaf.slop)
+                )
             else:
                 leaf_maps.append(self.term_scores(leaf.terms[0], leaf.boost, k1, b))
         musts, must_nots = set(plan.musts), set(plan.must_nots)

@@ -73,3 +73,83 @@ def test_field_boost(indexes):
     # doc 1 matches only via name → exactly 3x; doc 2 only via content → unchanged
     assert boosted[1] == pytest.approx(3.0 * plain[1], abs=1e-9)
     assert boosted[2] == pytest.approx(plain[2], abs=1e-9)
+
+
+# ------------------------------------------------ field-qualified queries
+
+
+def _field_oracle(query_leaves):
+    """leaves: [(terms, fld_or_None, boost, occur)] → {doc: score} summed
+    across the fields each leaf applies to (independent reference)."""
+    content = PyIndex({d: c for d, c, _ in DOCS})
+    name = PyIndex({d: n for d, _, n in DOCS})
+    by = {"content": content, "name": name}
+    out: dict[int, float] = {}
+    for terms, fld, boost, _occ in query_leaves:
+        for fname, pidx in by.items():
+            if fld not in (None, fname):
+                continue
+            m = (
+                pidx.phrase_scores(terms, boost)
+                if len(terms) > 1
+                else pidx.term_scores(terms[0], boost)
+            )
+            for d, s in m.items():
+                out[d] = out.get(d, 0.0) + s
+    return out
+
+
+def test_qualified_term_scores_one_field_only(indexes):
+    idxs, df = indexes
+    # 'name:merge' → only doc 1 (merge in name); content matches excluded
+    got = {r.doc_id: r.score for r in search_fields(idxs, "name:merge", k=10, docs=df).collect()}
+    exp = _field_oracle([(("merge",), "name", 1.0, "should")])
+    assert set(got) == set(exp) == {1}
+    assert got[1] == pytest.approx(exp[1], abs=1e-9)
+
+
+def test_qualified_mixed_with_bare(indexes):
+    idxs, df = indexes
+    got = {
+        r.doc_id: r.score
+        for r in search_fields(idxs, "name:join merge", k=10, docs=df).collect()
+    }
+    exp = _field_oracle(
+        [(("join",), "name", 1.0, "should"), (("merge",), None, 1.0, "should")]
+    )
+    assert set(got) == set(exp)
+    for d in got:
+        assert got[d] == pytest.approx(exp[d], abs=1e-9)
+
+
+def test_qualified_phrase_and_boost(indexes):
+    idxs, df = indexes
+    got = {
+        r.doc_id: r.score
+        for r in search_fields(idxs, 'name:"core engine"^2', k=10, docs=df).collect()
+    }
+    exp = _field_oracle([(("core", "engine"), "name", 2.0, "should")])
+    assert set(got) == set(exp) == {0}
+    assert got[0] == pytest.approx(exp[0], abs=1e-9)
+
+
+def test_qualified_must_not(indexes):
+    idxs, df = indexes
+    # 'merge NOT name:join' excludes only docs whose NAME has join (doc 2),
+    # not doc 0 (join only in content)
+    got = {r.doc_id for r in search_fields(idxs, "merge NOT name:join", k=10, docs=df).collect()}
+    assert got == {0, 1}
+
+
+def test_qualified_must_dead_field_term(indexes):
+    idxs, df = indexes
+    # 'name:hash' — hash exists in content only → qualified must is dead
+    got = search_fields(idxs, "merge AND name:hash", k=10, docs=df).collect()
+    assert got == []
+
+
+def test_unknown_field_falls_back_like_reference(indexes):
+    idxs, df = indexes
+    # 'lang:merge' with no 'lang' index → parse error → escape-retry
+    # strips ':' → single term 'langmerge' (reference semantics) → no hits
+    assert search_fields(idxs, "lang:merge", k=10, docs=df).collect() == []
