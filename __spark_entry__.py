@@ -332,6 +332,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def split_assign_q(spark, sf_dir):
         return curation.split_assign(_docs(spark, sf_dir)).select("doc_id", "split")
 
+    def paragraph_dedup_q(spark, sf_dir):
+        # the synthetic corpus has no blank-line paragraphs; split on a
+        # frequent token so segments are multi-word and collide across docs
+        return curation.paragraph_dedup(
+            _docs(spark, sf_dir), delim_re=" table ", joiner=" table "
+        )
+
     def stratified_sample_q(spark, sf_dir):
         return curation.stratified_sample(
             _docs(spark, sf_dir), 0.2, strata_col="lang"
@@ -646,6 +653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_phrase_slop": _search_q('"merge join"~2', 10),
         "bm25_segments_phrase_slop": _seg_search_q('"merge join"~2', 10),
         "multifield_qualified": _multifield_q("source:src1 merge", 10),
+        "paragraph_dedup": paragraph_dedup_q,
         # --- block 2: regression core (always-run, fills to the 50 cap) ---
         "postings_tf": postings_tf,
         "doc_len": doc_len,
@@ -952,6 +960,32 @@ ORDER BY COALESCE(txt.s, 0) + COALESCE(src.s, 0) DESC, 1 ASC LIMIT 10"""
 def _hash60_sql(arg: str) -> str:
     return f"('0x' || substr(md5({arg}), 1, 15))::BIGINT"
 
+
+# Paragraph-level dedup (curation.paragraph_dedup, ' table ' delimiter):
+# keep-first by (doc_id, par_idx) per 60-bit paragraph hash, reassemble.
+_PARDEDUP_SQL = f"""
+WITH pars AS (
+  SELECT doc_id, i - 1 AS par_idx, trim(l[i]) AS par
+  FROM (SELECT doc_id, regexp_split_to_array(text, ' table ') AS l FROM documents),
+       unnest(generate_series(1, len(l))) AS t(i)
+  WHERE trim(l[i]) <> ''
+),
+h AS (SELECT *, ('0x' || substr(md5(par), 1, 15))::BIGINT AS ph FROM pars),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY ph ORDER BY doc_id, par_idx) AS rn FROM h
+),
+kept AS (SELECT * FROM ranked WHERE rn = 1),
+alln AS (SELECT doc_id, count(*) AS n_pars FROM pars GROUP BY 1),
+keptagg AS (
+  SELECT doc_id, string_agg(par, ' table ' ORDER BY par_idx) AS text_dedup,
+         count(*) AS n_pars_kept
+  FROM kept GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(k.text_dedup, '') AS text_dedup,
+       coalesce(a.n_pars, 0) AS n_pars,
+       coalesce(k.n_pars_kept, 0) AS n_pars_kept
+FROM documents d LEFT JOIN alln a USING (doc_id) LEFT JOIN keptagg k USING (doc_id)"""
 
 _SPLIT_SQL = f"""
 SELECT doc_id,
@@ -1476,6 +1510,7 @@ def oracle_sql() -> dict[str, str]:
         "filter_boost": _FILTER_BOOST_SQL,
         "namespaces": _NAMESPACES_SQL,
         "split_assign": _SPLIT_SQL,
+        "paragraph_dedup": _PARDEDUP_SQL,
         "stratified_sample": _STRAT_SAMPLE_SQL,
         "pii_scan": _pii_sql(),
         "repetition_stats": _REPETITION_SQL,

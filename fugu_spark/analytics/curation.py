@@ -428,3 +428,67 @@ def dedup_against(
     new_fp = new_docs.withColumn("_fp", fingerprint_md5(F.col(text_col)))
     corpus_fp = corpus.select(fp).distinct()
     return new_fp.join(corpus_fp, "_fp", "left_anti").drop("_fp")
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delim_re: str = r"\n{2,}",
+    joiner: str = "\n\n",
+) -> DataFrame:
+    """Cross-document paragraph-level exact dedup (the MassiveText /
+    Gopher recipe removes duplicate paragraphs corpus-wide, not just
+    duplicate documents). A paragraph = non-empty trimmed segment after
+    splitting ``text_col`` on ``delim_re``; each distinct paragraph
+    (by 60-bit md5 hash) survives ONLY in its first occurrence — ordered
+    by (doc_id, paragraph index) — and per-doc text is reassembled from
+    the survivors with ``joiner``.
+
+    100-TB shape: winner selection is a groupBy(paragraph_hash) min of a
+    (doc_id, par_idx) struct — map-side partial aggregation, so a
+    corpus-wide boilerplate paragraph (license header, nav chrome)
+    collapses to one row per input partition before the shuffle instead
+    of hot-keying a window partition. Returns
+    (id, text_dedup, n_pars, n_pars_kept) for EVERY input doc; a doc
+    whose every paragraph lost comes back with empty text.
+    """
+    pars = (
+        docs.select(
+            F.col(id_col).cast("long").alias("_did"),
+            F.posexplode(F.split(F.col(text_col), delim_re)).alias("par_idx", "par"),
+        )
+        .withColumn("par", F.trim("par"))
+        .filter(F.col("par") != "")
+        .withColumn("ph", gram_hash60(F.col("par")))
+    )
+    winners = pars.groupBy("ph").agg(F.min(F.struct("_did", "par_idx")).alias("w"))
+    kept = (
+        pars.join(winners, "ph")
+        .filter(
+            (F.col("_did") == F.col("w._did")) & (F.col("par_idx") == F.col("w.par_idx"))
+        )
+        .drop("w")
+    )
+    per_doc_all = pars.groupBy("_did").agg(F.count(F.lit(1)).alias("n_pars"))
+    per_doc_kept = kept.groupBy("_did").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("par_idx", "par"))),
+                lambda x: x["par"],
+            ),
+            joiner,
+        ).alias("text_dedup"),
+        F.count(F.lit(1)).alias("n_pars_kept"),
+    )
+    return (
+        docs.select(F.col(id_col).cast("long").alias(id_col))
+        .join(per_doc_all.withColumnRenamed("_did", id_col), id_col, "left")
+        .join(per_doc_kept.withColumnRenamed("_did", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+            F.coalesce("n_pars", F.lit(0)).alias("n_pars"),
+            F.coalesce("n_pars_kept", F.lit(0)).alias("n_pars_kept"),
+        )
+    )

@@ -669,6 +669,30 @@ class FuguSparkEngine:
         self.docs = self.docs.join(ids, self.id_col, "left_anti").cache()
         return self
 
+    def maybe_compact(
+        self, max_generations: int = 8, max_delete_ratio: float = 0.25
+    ) -> bool:
+        """Merge-policy trigger (the Lucene/Tantivy background-merge
+        analog for this generational layout): run :meth:`compact` when
+        the generation count exceeds ``max_generations`` — every extra
+        generation adds a segment family to each query's read set — or
+        when delete-masked docs exceed ``max_delete_ratio`` of the
+        corpus (wasted decode + df/cf drift, the documented divergence
+        of B5). Both tests are metadata-only (directory listing + a
+        count over the tiny deletes sidecar); the compaction itself is
+        the expensive full rewrite, which is why it is gated here rather
+        than run after every ingest. Returns True iff a compaction ran."""
+        trigger = (self.si.max_gen() + 1) > max_generations
+        if not trigger and max_delete_ratio is not None:
+            dd = self.si.deletes_df()
+            if dd is not None:
+                n_docs = max(int(self.si.stats.n_docs), 1)
+                trigger = dd.count() / n_docs > max_delete_ratio
+        if not trigger:
+            return False
+        self.compact()
+        return True
+
     def compact(self) -> "FuguSparkEngine":
         self.si = compact(self.si)
         # segments reset to gen 0 and the delete masks are gone: the

@@ -351,6 +351,25 @@ def execute_plan(
         if i in musts and any(t not in df_map for t in leaf.terms):
             return spark.createDataFrame([], "doc_id long, score double")
 
+    if len(plan.leaves) == 1 and not plan.leaves[0].is_phrase and not must_nots:
+        # single-term fast path: one posting row per doc, nothing to
+        # combine — skip the leaf-explode + groupBy(doc_id) shuffle
+        # entirely (score-identical: the fold over one element is the
+        # element). Saves a whole stage on the most common query shape.
+        leaf = plan.leaves[0]
+        t = leaf.terms[0]
+        if t not in df_map:
+            return spark.createDataFrame([], "doc_id long, score double")
+        idf = idf_py(df_map[t], index.stats.n_docs)
+        return cand.filter(F.col("term") == t).select(
+            "doc_id",
+            (
+                F.lit(idf)
+                * _tf_norm(F.col("tf"), F.col("doc_len"), index.stats.avgdl, k1, b)
+                * F.lit(leaf.boost)
+            ).alias("score"),
+        )
+
     frames: list[DataFrame] = []
     fused = _term_leaves_frame(index, term_leaves, df_map, k1, b)
     if fused is not None:

@@ -261,3 +261,44 @@ def test_pack_sequences_oversize_doc_gets_own_pack(spark):
         ids_by_pack.setdefault(r.pack_id, set()).add(r.doc_id)
     pack_of_1 = packed[1].pack_id
     assert ids_by_pack[pack_of_1] == {1}
+
+
+# ------------------------------------------------- paragraph-level dedup
+
+
+def test_paragraph_dedup_keep_first(spark):
+    from fugu_spark.analytics.curation import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "intro text\n\nshared license header\n\nbody one"),
+            (2, "shared license header\n\nbody two"),
+            (3, "shared license header\n\nintro text"),
+            (4, "body one\n\nbody one"),  # within-doc repeat (and cross-doc)
+            (5, "   \n\n  "),  # only empty paragraphs
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in paragraph_dedup(docs).collect()}
+    # doc 1 is first for all three of its paragraphs
+    assert out[1].text_dedup == "intro text\n\nshared license header\n\nbody one"
+    assert (out[1].n_pars, out[1].n_pars_kept) == (3, 3)
+    # docs 2/3 lose the shared header (and doc 3 loses intro text too)
+    assert out[2].text_dedup == "body two"
+    assert out[3].text_dedup == ""
+    assert (out[3].n_pars, out[3].n_pars_kept) == (2, 0)
+    # doc 4: 'body one' already won in doc 1; both instances drop
+    assert out[4].text_dedup == "" and out[4].n_pars == 2
+    # doc 5: no non-empty paragraphs, still present
+    assert (out[5].n_pars, out[5].n_pars_kept, out[5].text_dedup) == (0, 0, "")
+
+
+def test_paragraph_dedup_within_doc_repeat_keeps_first_instance(spark):
+    from fugu_spark.analytics.curation import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [(7, "dup par\n\nother\n\ndup par")], "doc_id long, text string"
+    )
+    r = paragraph_dedup(docs).collect()[0]
+    assert r.text_dedup == "dup par\n\nother"
+    assert (r.n_pars, r.n_pars_kept) == (3, 2)

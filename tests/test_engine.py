@@ -174,3 +174,32 @@ def test_min_score_served_matches_spark_path(engine):
     # offset + min_score: threshold applies to the post-offset slice
     got2 = [r.doc_id for r in engine.search("merge join", k=10, offset=1, min_score=thr).collect()]
     assert got2 == [d for d, _ in expected][1:]
+
+
+def test_maybe_compact_triggers(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(i, f"text number {i} merge", "en", "ns1") for i in range(6)],
+        "doc_id long, text string, lang string, ns string",
+    ).withColumn("facets", F.array(F.concat(F.lit("/lang/"), F.col("lang"))))
+    eng = FuguSparkEngine.build(docs, str(tmp_path / "idx"))
+    assert eng.maybe_compact() is False  # fresh index: 1 generation
+
+    # pile up generations past the threshold
+    for i in range(3):
+        eng.ingest(
+            spark.createDataFrame(
+                [(100 + i, f"new doc {i} merge", "en", "ns1")],
+                "doc_id long, text string, lang string, ns string",
+            ).withColumn("facets", F.array(F.concat(F.lit("/lang/"), F.col("lang"))))
+        )
+    assert eng.si.max_gen() == 3
+    assert eng.maybe_compact(max_generations=3) is True
+    assert eng.si.max_gen() == 0  # compacted back to a single generation
+    assert eng.maybe_compact(max_generations=3) is False
+
+    # delete-ratio trigger: delete >25% of docs
+    ids = spark.createDataFrame([(0,), (1,), (2,)], "doc_id long")
+    eng.delete(ids)
+    assert eng.maybe_compact(max_generations=99, max_delete_ratio=0.25) is True
+    got = [r.doc_id for r in eng.search("merge", k=20).collect()]
+    assert 0 not in got and 100 in got
