@@ -296,16 +296,56 @@ def merge_dictionary_incremental(
     spark.catalog.refreshByPath(terms_path)
 
 
+def sketch_hot_terms(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    mode: str,
+    hot_df_threshold: int,
+    fraction: float = 0.05,
+    seed: int = 7,
+) -> DataFrame:
+    """Sampled hot-term sketch for salting (term, n_salts): tokenize a
+    ``fraction`` of docs, scale the observed df by 1/fraction, and salt
+    terms whose ESTIMATE exceeds the threshold. Used by the fused build
+    (checkpoint_postings=False) so the full corpus is tokenized exactly
+    ONCE — the exact df-sketch would re-tokenize everything a second
+    time when stage 1 isn't materialized. Salting is a performance
+    decision only (placement, never semantics), so a sketch miss near
+    the threshold costs skew headroom, not correctness; Zipf head terms
+    — the ones that matter — are present in any few-percent sample."""
+    from .postings import build_postings
+
+    sample = docs if fraction >= 1.0 else docs.sample(fraction=fraction, seed=seed)
+    p = build_postings(
+        sample, id_col=id_col, text_col=text_col, mode=mode, encode_positions=False
+    )
+    est = p.groupBy("term").agg((F.count(F.lit(1)) / fraction).alias("df_est"))
+    return est.filter(F.col("df_est") > hot_df_threshold).select(
+        "term",
+        F.ceil(F.col("df_est") / hot_df_threshold).cast("int").alias("n_salts"),
+    )
+
+
 def encode_postings_df(
-    raw: DataFrame, seg_path: str, hot_df_threshold: int, gen: int, append: bool
+    raw: DataFrame,
+    seg_path: str,
+    hot_df_threshold: int,
+    gen: int,
+    append: bool,
+    hot: DataFrame | None = None,
 ) -> None:
     """Stage-2 kernel: salted repartition-by-term → sorted, delta+varint
-    128-doc blocks, written under segments/gen=N/term_bucket=B/."""
-    dfreq = raw.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    hot = dfreq.filter(F.col("df") > hot_df_threshold).select(
-        "term",
-        F.ceil(F.col("df") / hot_df_threshold).cast("int").alias("n_salts"),
-    )
+    128-doc blocks, written under segments/gen=N/term_bucket=B/.
+
+    ``hot`` (term, n_salts) overrides the exact df-sketch — the fused
+    build passes a sampled sketch so ``raw`` is consumed exactly once."""
+    if hot is None:
+        dfreq = raw.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        hot = dfreq.filter(F.col("df") > hot_df_threshold).select(
+            "term",
+            F.ceil(F.col("df") / hot_df_threshold).cast("int").alias("n_salts"),
+        )
     salted = (
         raw.join(F.broadcast(hot), "term", "left")
         .withColumn(
@@ -394,7 +434,18 @@ def build_segments(
     hot_df_threshold: int = 250_000,
     build_id: str | None = None,
     resume: bool = True,
+    checkpoint_postings: bool = True,
+    sketch_fraction: float = 0.05,
 ) -> SegmentIndex:
+    """``checkpoint_postings=True`` (default) materializes stage-1
+    postings to parquet — an extra resume point, at the cost of a full
+    write+read of the posting stream between stages. ``False`` fuses
+    tokenize→shuffle→encode into ONE job (the Tantivy/Lucene
+    straight-through indexer shape: commits happen at segment
+    granularity, tokenization is never persisted): hot-term salting then
+    comes from a ``sketch_fraction`` sampled df-sketch so the corpus is
+    tokenized exactly once. Resume granularity in fused mode is the
+    segments stage itself."""
     spark = docs.sparkSession
     build_id = build_id or uuid.uuid4().hex[:12]
     fsio.makedirs(index_dir)
@@ -404,35 +455,54 @@ def build_segments(
 
     manifest_rows: list[tuple] = []
 
-    # ---- stage 1: postings (tokenize + per-doc aggregate, no shuffle) ----
-    if not (resume and _stage_done(index_dir, "postings_raw")):
-        t0 = time.time()
+    def _widened() -> DataFrame:
         # Small inputs bin-pack into fewer read splits than cores; widen so
         # tokenization saturates the executors. (At real scale the source
         # has >> defaultParallelism splits and this is a no-op.)
         target = spark.sparkContext.defaultParallelism
-        src = docs.repartition(target) if docs.rdd.getNumPartitions() < target else docs
-        postings = build_postings(
+        return docs.repartition(target) if docs.rdd.getNumPartitions() < target else docs
+
+    if checkpoint_postings:
+        # ---- stage 1: postings (tokenize + per-doc aggregate, no shuffle) ----
+        if not (resume and _stage_done(index_dir, "postings_raw")):
+            t0 = time.time()
+            src = _widened()
+            postings = build_postings(
+                src, id_col=id_col, text_col=text_col, mode=mode, encode_positions=True
+            )
+            postings = postings.withColumn(
+                "term_bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
+            )
+            postings.write.mode("overwrite").parquet(raw_path)
+            wall = time.time() - t0
+            _write_marker(index_dir, "postings_raw", {"wall_sec": wall, "build_id": build_id})
+            manifest_rows.append(
+                (build_id, "postings_raw", "all", "complete", 0, 0, 0, wall, time.time())
+            )
+
+        raw = spark.read.schema(RAW_READ_SCHEMA).parquet(raw_path)
+        hot = None
+    else:
+        src = _widened()
+        raw = build_postings(
             src, id_col=id_col, text_col=text_col, mode=mode, encode_positions=True
-        )
-        postings = postings.withColumn(
+        ).withColumn(
             "term_bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
         )
-        postings.write.mode("overwrite").parquet(raw_path)
-        wall = time.time() - t0
-        _write_marker(index_dir, "postings_raw", {"wall_sec": wall, "build_id": build_id})
-        manifest_rows.append(
-            (build_id, "postings_raw", "all", "complete", 0, 0, 0, wall, time.time())
+        hot = sketch_hot_terms(
+            src, id_col, text_col, mode, hot_df_threshold, fraction=sketch_fraction
         )
-
-    raw = spark.read.schema(RAW_READ_SCHEMA).parquet(raw_path)
 
     # ---- stage 2: salted repartition-by-term → encoded segment blocks ----
     if not (resume and _stage_done(index_dir, "segments")):
         t0 = time.time()
-        encode_postings_df(raw, seg_path, hot_df_threshold, gen=0, append=False)
+        encode_postings_df(raw, seg_path, hot_df_threshold, gen=0, append=False, hot=hot)
         wall = time.time() - t0
-        _write_marker(index_dir, "segments", {"wall_sec": wall, "build_id": build_id})
+        _write_marker(
+            index_dir,
+            "segments",
+            {"wall_sec": wall, "build_id": build_id, "fused": not checkpoint_postings},
+        )
         manifest_rows.append(
             (build_id, "segments", "all", "complete", 0, 0, 0, wall, time.time())
         )

@@ -259,3 +259,48 @@ def test_negative_doc_ids_roundtrip(spark, tmp_path_factory):
         ("beta", -(2**62) - 5, 1),
         ("beta", 9, 2),
     ]
+
+
+def test_fused_build_matches_staged(spark, tmp_path):
+    """checkpoint_postings=False (fused tokenize→shuffle→encode, sampled
+    hot sketch) must produce result-identical indexes; sketch_fraction=1
+    makes the sketch exact so salting decisions match too."""
+    import json
+
+    from fugu_spark.corpus import generate_corpus
+    from fugu_spark.segment_search import search_segments
+
+    docs = (
+        generate_corpus(spark, 120)
+        .withColumn("doc_id", F.xxhash64("repo", "path", "commit"))
+        .cache()
+    )
+    a = build_segments(docs, str(tmp_path / "staged"), id_col="doc_id", text_col="content")
+    b = build_segments(
+        docs,
+        str(tmp_path / "fused"),
+        id_col="doc_id",
+        text_col="content",
+        checkpoint_postings=False,
+        sketch_fraction=1.0,
+    )
+    sa = json.load(open(str(tmp_path / "staged" / "stats.json")))
+    sb = json.load(open(str(tmp_path / "fused" / "stats.json")))
+    for k in ("n_docs", "total_tokens", "n_postings", "bytes_encoded"):
+        assert sa[k] == sb[k], k
+    for q in ("merge join", '"merge join"', "merge NOT sort"):
+        ra = [(r.doc_id, round(r.score, 9)) for r in search_segments(a, q, k=10, docs=docs).collect()]
+        rb = [(r.doc_id, round(r.score, 9)) for r in search_segments(b, q, k=10, docs=docs).collect()]
+        assert ra == rb, q
+    # fused mode has no postings_raw checkpoint, but the segments marker
+    # still makes re-builds resume-free
+    import os
+    import time
+
+    assert not os.path.exists(str(tmp_path / "fused" / "postings_raw"))
+    t0 = time.time()
+    build_segments(
+        docs, str(tmp_path / "fused"), id_col="doc_id", text_col="content",
+        checkpoint_postings=False, resume=True,
+    )
+    assert time.time() - t0 < 5.0
