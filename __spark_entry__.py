@@ -654,6 +654,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_segments_phrase_slop": _seg_search_q('"merge join"~2', 10),
         "multifield_qualified": _multifield_q("source:src1 merge", 10),
         "paragraph_dedup": paragraph_dedup_q,
+        "bm25_range_syntax": _eng_search_q(
+            "merge date_created:[2024-03-01T00:00:00Z TO 2024-06-01T00:00:00Z}", 100
+        ),
         # --- block 2: regression core (always-run, fills to the 50 cap) ---
         "postings_tf": postings_tf,
         "doc_len": doc_len,
@@ -674,7 +677,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multifield_or": _multifield_q("merge src1", 10),
         "allquery": allquery,
         "point_lookup": point_lookup,
-        "facet_counts_lang": facet_counts_lang,
         "exact_dedup": exact_dedup_q,
         "minhash_pairs": lambda spark, sf_dir: dedup.minhash_dedup_pairs(
             _docs(spark, sf_dir), threshold=0.5
@@ -683,6 +685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_top10": _ann_lsh_top10,
         "bm25_min_score": _eng_search_q("merge join", 100, min_score=0.35),
         # --- block 3: rotating tail (green in CORRECTNESS_r03; pytest-covered) ---
+        "facet_counts_lang": facet_counts_lang,
         "facet_tree": facet_tree,
         "all_filter_paths": all_filter_paths_q,
         "ann_lsh_probe2": _ann_lsh_probe2,
@@ -748,6 +751,12 @@ def _facet_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return docs.withColumn(
         "facets", derive_facets(("lang", F.col("lang")), ("source", F.col("source")))
+    ).withColumn(
+        # deterministic per-doc date (epoch 2024-01-01 + doc_id%365 days) so
+        # the engine builds a date_index sidecar and range-syntax queries
+        # have an exact SQL oracle
+        "date_created",
+        F.timestamp_seconds(F.lit(1704067200) + (F.col("doc_id") % 365) * 86400),
     )
 
 
@@ -1401,6 +1410,16 @@ def oracle_sql() -> dict[str, str]:
         "bm25_phrase": _PHRASE_SQL,
         "bm25_phrase_slop": _PHRASE_SLOP_SQL,
         "bm25_segments_phrase_slop": _PHRASE_SLOP_SQL,
+        # range clauses filter (no score contribution — dates.extract_date_ranges
+        # pin); derived date = epoch 2024-01-01 + doc_id%365 days, so the
+        # [2024-03-01, 2024-06-01) window is a pure doc_id predicate
+        "bm25_range_syntax": f"""WITH {_TOK}, {_SCORED}
+SELECT sc.doc_id, round(sum(sc.sc), 6) AS score
+FROM scored sc
+WHERE sc.term = 'merge'
+  AND (1704067200 + (sc.doc_id % 365) * 86400) >= 1709251200
+  AND (1704067200 + (sc.doc_id % 365) * 86400) <  1717200000
+GROUP BY sc.doc_id ORDER BY sum(sc.sc) DESC, sc.doc_id ASC LIMIT 100""",
         "bm25_boost": _BOOST_SQL,
         "bm25_or_k100": _topk_sql("term IN ('merge','join')", k=100),
         "bm25_filtered_lang": _FILTERED_SQL,

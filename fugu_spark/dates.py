@@ -16,10 +16,71 @@ on a parsed column reaches the parquet scan as a min/max predicate).
 
 from __future__ import annotations
 
+import re
+from datetime import datetime, timedelta, timezone
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 DATE_FIELDS = ("date_created", "date_updated", "date_published")
+
+# Tantivy range syntax 'field:[lo TO hi]' / 'field:{lo TO hi}' — the
+# reference's QueryParser accepts it over its three INDEXED date fields
+# (src/db/schemas.rs:26-28), so it is reachable through the raw query
+# string the search route passes straight through.
+_RANGE_RE = re.compile(
+    r"(?P<field>[A-Za-z_][\w.]*):"
+    r"(?P<lo_b>[\[\{])(?P<lo>[^\s\]\}]+)\s+TO\s+(?P<hi>[^\s\]\}]+)(?P<hi_b>[\]\}])"
+)
+
+
+def _bump_us(value: str, us: int) -> str:
+    """value + us microseconds, as RFC3339 (maps Tantivy's inclusive /
+    exclusive bounds onto the engine's half-open [start, end) at parquet
+    timestamp precision). Unparseable values pass through unchanged —
+    the downstream try_cast turns them into a match-nothing NULL, the
+    reference's skip semantics."""
+    try:
+        dt = datetime.fromisoformat(value.replace("Z", "+00:00"))
+    except ValueError:
+        return value
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    dt = (dt + timedelta(microseconds=us)).astimezone(timezone.utc)
+    return dt.strftime("%Y-%m-%dT%H:%M:%S.%fZ")
+
+
+def extract_date_ranges(
+    query: str | None, date_cols: tuple[str, ...] | list[str]
+) -> tuple[str | None, dict[str, tuple[str | None, str | None]]]:
+    """Pull 'field:[lo TO hi]' range clauses over DATE fields out of a
+    query string before text parsing → (remaining_query, {col: (start,
+    end)}) in the engine's half-open convention:
+
+    - ``[lo`` inclusive start → start = lo; ``{lo`` exclusive → lo + 1 µs
+    - ``hi]`` inclusive end → end = hi + 1 µs; ``hi}`` exclusive → hi
+    - ``*`` on either side → that side open
+
+    A clause naming a non-date field stays in the string (it parse-errors
+    into the reference's escape-and-retry like any unknown field).
+    Pinned divergence: range clauses FILTER — they contribute no score —
+    where Tantivy's RangeQuery scores matches at a constant; the facet
+    filter path has the same pinned shape (F2-F6)."""
+    if not query:
+        return query, {}
+    ranges: dict[str, tuple[str | None, str | None]] = {}
+
+    def repl(m: re.Match) -> str:
+        f = m.group("field")
+        if f not in date_cols:
+            return m.group(0)
+        lo, hi = m.group("lo"), m.group("hi")
+        start = None if lo == "*" else (lo if m.group("lo_b") == "[" else _bump_us(lo, 1))
+        end = None if hi == "*" else (_bump_us(hi, 1) if m.group("hi_b") == "]" else hi)
+        ranges[f] = (start, end)
+        return " "
+
+    return _RANGE_RE.sub(repl, query), ranges
 
 
 def parse_rfc3339(col: Column) -> Column:

@@ -387,9 +387,20 @@ class FuguSparkEngine:
         reference ((0,100] → 20, src/server/handlers/search.rs:370-374).
 
         ``date_ranges`` maps a date column (e.g. ``date_created``) to an
-        RFC3339 ``(start, end)`` half-open range (X5)."""
+        RFC3339 ``(start, end)`` half-open range (X5). The query string
+        may also carry Tantivy-style range clauses over the date fields
+        (``date_created:[2024-01-01T00:00:00Z TO *]``) — they are pulled
+        out here and merged into ``date_ranges`` (dates.extract_date_ranges
+        documents the pinned bound mapping)."""
         if k <= 0 or k > 100:
             k = 20
+        from .dates import DATE_FIELDS, extract_date_ranges
+
+        date_cols = tuple(c for c in DATE_FIELDS if c in self.docs.columns)
+        if query and date_cols:
+            query, extracted = extract_date_ranges(query, date_cols)
+            if extracted:
+                date_ranges = {**(date_ranges or {}), **extracted}
         # facet filters resolve against the persisted filter_index (no
         # docs-table scan); only date ranges need a docs predicate
         doc_filter = None

@@ -147,3 +147,70 @@ def test_date_serving_after_ingest_and_fallback(spark, tmp_path):
     eng2 = FuguSparkEngine.build(nd, str(tmp_path / "idx2"), facets_col=None)
     with _pytest.raises(ValueError, match="date_index"):
         eng2._local_searcher().search("merge", date_ranges=dr)
+
+
+# -------------------------------------- Tantivy range syntax in the query
+
+
+def test_extract_date_ranges_unit():
+    from fugu_spark.dates import extract_date_ranges
+
+    q, r = extract_date_ranges(
+        "merge date_created:[2024-01-01T00:00:00Z TO 2024-02-01T00:00:00Z] join",
+        ("date_created",),
+    )
+    assert q.split() == ["merge", "join"]
+    assert r["date_created"][0] == "2024-01-01T00:00:00Z"
+    # inclusive end maps to half-open end + 1µs
+    assert r["date_created"][1] == "2024-02-01T00:00:00.000001Z"
+    # exclusive bounds
+    _, r2 = extract_date_ranges(
+        "date_created:{2024-01-01T00:00:00Z TO 2024-02-01T00:00:00Z}", ("date_created",)
+    )
+    assert r2["date_created"] == ("2024-01-01T00:00:00.000001Z", "2024-02-01T00:00:00Z")
+    # open sides
+    _, r3 = extract_date_ranges("date_created:[* TO 2024-02-01T00:00:00Z}", ("date_created",))
+    assert r3["date_created"] == (None, "2024-02-01T00:00:00Z")
+    # non-date field: clause left intact for the normal parse/escape path
+    q4, r4 = extract_date_ranges("price:[1 TO 2] merge", ("date_created",))
+    assert r4 == {} and "price:[1 TO 2]" in q4
+
+
+def test_query_string_range_matches_param_api(spark, tmp_path):
+    from fugu_spark.engine import FuguSparkEngine
+
+    rows = [
+        (i, "merge join text", f"2024-01-{d:02d}T12:00:00Z")
+        for i, d in enumerate([2, 8, 14, 20], start=1)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, date_created string")
+    eng = FuguSparkEngine.build(docs, str(tmp_path / "idx"), facets_col=None)
+    via_param = {
+        r.doc_id
+        for r in eng.search(
+            "merge",
+            k=20,
+            date_ranges={"date_created": ("2024-01-05T00:00:00Z", "2024-01-15T00:00:00Z")},
+        ).collect()
+    }
+    via_query = {
+        r.doc_id
+        for r in eng.search(
+            "merge date_created:[2024-01-05T00:00:00Z TO 2024-01-15T00:00:00Z}", k=20
+        ).collect()
+    }
+    assert via_query == via_param == {2, 3}
+    # inclusive end picks up the boundary doc
+    incl = {
+        r.doc_id
+        for r in eng.search(
+            "merge date_created:[2024-01-05T00:00:00Z TO 2024-01-14T12:00:00Z]", k=20
+        ).collect()
+    }
+    assert incl == {2, 3}
+    # open-ended
+    tail = {
+        r.doc_id
+        for r in eng.search("merge date_created:[2024-01-15T00:00:00Z TO *]", k=20).collect()
+    }
+    assert tail == {4}
