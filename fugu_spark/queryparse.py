@@ -153,6 +153,17 @@ def _boosted(node: "Leaf | BoolNode", factor: float) -> "Leaf | BoolNode":
     return BoolNode(tuple((occ, _boosted(c, factor)) for occ, c in node.children))
 
 
+def _fielded(node: "Leaf | BoolNode", fld: str) -> "Leaf | BoolNode":
+    """'field:(a b)' group scope: the prefix distributes onto every leaf
+    (leaves already carrying their own field keep it — Tantivy resolves
+    inner prefixes first)."""
+    if isinstance(node, Leaf):
+        if node.fld is not None:
+            return node
+        return Leaf(node.terms, node.boost, node.occur, node.slop, fld)
+    return BoolNode(tuple((occ, _fielded(c, fld)) for occ, c in node.children))
+
+
 def _resolve_field(name: str | None, fields: frozenset | None) -> str | None:
     """Validate a 'field:' prefix. Unknown field → parse error (Tantivy's
     FieldDoesNotExist), which parse_query answers with the reference's
@@ -173,6 +184,7 @@ def _parse_group(tokens: list, pos: int, mode: str, depth: int, fields: frozense
     clauses default to Should, OR resets."""
     children: list[tuple[str, Leaf | BoolNode]] = []
     pending: str | None = None
+    pending_field: str | None = None  # 'field:' immediately before '('
 
     def upgrade_prev():
         if children and children[-1][0] == "should":
@@ -191,12 +203,17 @@ def _parse_group(tokens: list, pos: int, mode: str, depth: int, fields: frozense
             gboost = tokens[pos][1] or 1.0
             if len(sub) == 1 and isinstance(sub[0][1], Leaf):
                 # '(x)' ≡ 'x' — keep single-leaf groups flat
-                children.append((pending or sub[0][0], _boosted(sub[0][1], gboost)))
+                node = _boosted(sub[0][1], gboost)
+                if pending_field:
+                    node = _fielded(node, pending_field)
+                children.append((pending or sub[0][0], node))
             elif sub:
-                children.append(
-                    (pending or "should", _boosted(BoolNode(tuple(sub)), gboost))
-                )
+                node = _boosted(BoolNode(tuple(sub)), gboost)
+                if pending_field:
+                    node = _fielded(node, pending_field)
+                children.append((pending or "should", node))
             pending = None
+            pending_field = None
             pos += 1
             continue
         if kind == "phrase":
@@ -239,6 +256,13 @@ def _parse_group(tokens: list, pos: int, mode: str, depth: int, fields: frozense
         elif word.startswith("+") and len(word) > 1:
             word = word[1:]
             pending = "must"
+        # 'field:(' — bare prefix word directly before a group: scope the
+        # whole group to that field (Tantivy's field-scoped group syntax)
+        gm = re.match(r"^([A-Za-z_][\w.]*):$", word)
+        if gm and pos + 1 < len(tokens) and tokens[pos + 1][0] == "lparen":
+            pending_field = _resolve_field(gm.group(1), fields)
+            pos += 1
+            continue
         fld = None
         fm = _FIELD_WORD_RE.match(word)
         if fm:

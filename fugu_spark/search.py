@@ -402,6 +402,138 @@ def execute_plan(
     return _combine_frames(frames, musts, must_nots)
 
 
+def _leaf_frame_fields(
+    leaf: Leaf,
+    indexes: dict[str, InvertedIndex],
+    df_maps: dict[str, dict[str, int]],
+    cands: dict[str, DataFrame],
+    k1: float,
+    b: float,
+    boosts: dict[str, float],
+) -> DataFrame | None:
+    """One leaf scored across its applicable fields (its own field when
+    qualified, every field otherwise); per-field scores sum in field
+    order (deterministic f64 fold). None = dead in every field."""
+    frames: list[DataFrame] = []
+    for fi, (f, idx) in enumerate(indexes.items()):
+        if leaf.fld not in (None, f):
+            continue
+        dm = df_maps[f]
+        if any(t not in dm for t in leaf.terms):
+            continue
+        mult = boosts.get(f, 1.0)
+        if leaf.is_phrase:
+            pf = _phrase_frame(cands[f], leaf, dm, idx.stats, k1, b)
+            if pf is None:
+                continue
+            frames.append(
+                pf.select(
+                    "doc_id",
+                    (F.col("score") * F.lit(mult)).alias("score"),
+                    F.lit(fi).alias("_ci"),
+                )
+            )
+        else:
+            t = leaf.terms[0]
+            idf = idf_py(dm[t], idx.stats.n_docs)
+            frames.append(
+                cands[f]
+                .filter(F.col("term") == t)
+                .select(
+                    "doc_id",
+                    (
+                        F.lit(idf)
+                        * _tf_norm(F.col("tf"), F.col("doc_len"), idx.stats.avgdl, k1, b)
+                        * F.lit(leaf.boost * mult)
+                    ).alias("score"),
+                    F.lit(fi).alias("_ci"),
+                )
+            )
+    if not frames:
+        return None
+    if len(frames) == 1:
+        return frames[0].drop("_ci")
+    return (
+        reduce(DataFrame.unionByName, frames)
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("_ci", "score"))).alias("parts"))
+        .select(
+            "doc_id",
+            F.aggregate("parts", F.lit(0.0), lambda acc, p: acc + p["score"]).alias(
+                "score"
+            ),
+        )
+    )
+
+
+def _execute_node_fields(
+    node: "Leaf | BoolNode",
+    indexes: dict[str, InvertedIndex],
+    df_maps: dict[str, dict[str, int]],
+    cands: dict[str, DataFrame],
+    all_docs,
+    k1: float,
+    b: float,
+    boosts: dict[str, float],
+) -> DataFrame | None:
+    """Nested boolean execution over multiple fields — the multi-field
+    mirror of _execute_node (a leaf matches in ANY applicable field,
+    scores sum across fields; boolean combine per level is identical)."""
+    spark = next(iter(indexes.values())).postings.sparkSession
+    if isinstance(node, Leaf):
+        return _leaf_frame_fields(node, indexes, df_maps, cands, k1, b, boosts)
+
+    musts, shoulds, nots = [], [], []
+    for ci, (occ, child) in enumerate(node.children):
+        f = _execute_node_fields(child, indexes, df_maps, cands, all_docs, k1, b, boosts)
+        if occ == "must":
+            if f is None:
+                return spark.createDataFrame([], "doc_id long, score double")
+            musts.append(f)
+        elif occ == "must_not":
+            if f is not None:
+                nots.append(f)
+        else:
+            if f is not None:
+                shoulds.append(f.select("doc_id", "score", F.lit(ci).alias("_ci")))
+
+    def _sum_shoulds(frames: list[DataFrame]) -> DataFrame:
+        return (
+            reduce(DataFrame.unionByName, frames)
+            .groupBy("doc_id")
+            .agg(F.array_sort(F.collect_list(F.struct("_ci", "score"))).alias("parts"))
+            .select(
+                "doc_id",
+                F.aggregate("parts", F.lit(0.0), lambda acc, p: acc + p["score"]).alias(
+                    "score"
+                ),
+            )
+        )
+
+    if musts:
+        base = musts[0]
+        for i, f in enumerate(musts[1:], 1):
+            nxt = f.select(F.col("doc_id"), F.col("score").alias(f"_s{i}"))
+            base = base.join(nxt, "doc_id", "inner").select(
+                "doc_id", (F.col("score") + F.col(f"_s{i}")).alias("score")
+            )
+        if shoulds:
+            opt = _sum_shoulds(shoulds).withColumnRenamed("score", "_opt")
+            base = base.join(opt, "doc_id", "left").select(
+                "doc_id",
+                (F.col("score") + F.coalesce(F.col("_opt"), F.lit(0.0))).alias("score"),
+            )
+    elif shoulds:
+        base = _sum_shoulds(shoulds)
+    elif nots:
+        base = all_docs()
+    else:
+        return None
+    for f in nots:
+        base = base.join(f.select("doc_id"), "doc_id", "left_anti")
+    return base
+
+
 def execute_plan_fields(
     indexes: dict[str, InvertedIndex],
     plan: QueryPlan,
@@ -439,6 +571,20 @@ def execute_plan_fields(
 
     all_terms = plan.all_terms()
     df_maps = {f: _df_map(idx, all_terms) for f, idx in indexes.items()}
+
+    if plan.root is not None:
+        # nested boolean grouping across fields ('name:(a OR b) AND c')
+        cands = {
+            f: idx.postings.filter(F.col("term").isin(all_terms))
+            for f, idx in indexes.items()
+        }
+        out = _execute_node_fields(
+            plan.root, indexes, df_maps, cands, all_docs, k1, b, boosts
+        )
+        if out is None:
+            return spark.createDataFrame([], "doc_id long, score double")
+        return out
+
     term_leaves = [(i, l) for i, l in enumerate(plan.leaves) if not l.is_phrase]
     phrase_leaves = [(i, l) for i, l in enumerate(plan.leaves) if l.is_phrase]
 

@@ -153,3 +153,44 @@ def test_unknown_field_falls_back_like_reference(indexes):
     # 'lang:merge' with no 'lang' index → parse error → escape-retry
     # strips ':' → single term 'langmerge' (reference semantics) → no hits
     assert search_fields(idxs, "lang:merge", k=10, docs=df).collect() == []
+
+
+def test_field_scoped_group(indexes):
+    idxs, df = indexes
+    # name:(merge OR join) → docs with merge or join IN NAME: 1 (merge
+    # utils) and 2 (join helpers); doc 0 has both only in content
+    got = {r.doc_id for r in search_fields(idxs, "name:(merge join)", k=10, docs=df).collect()}
+    assert got == {1, 2}
+    # scores equal the per-leaf field-restricted sum
+    scores = {
+        r.doc_id: r.score
+        for r in search_fields(idxs, "name:(merge join)", k=10, docs=df).collect()
+    }
+    exp = _field_oracle(
+        [(("merge",), "name", 1.0, "should"), (("join",), "name", 1.0, "should")]
+    )
+    for d in scores:
+        assert scores[d] == pytest.approx(exp[d], abs=1e-9)
+
+
+def test_nested_bool_across_fields(indexes):
+    idxs, df = indexes
+    # (merge AND sort): doc1 only (merge in name, sort in content —
+    # cross-field AND); OR hash: adds doc 0 (hash in content)
+    got = {
+        r.doc_id
+        for r in search_fields(idxs, "(merge AND sort) OR hash", k=10, docs=df).collect()
+    }
+    assert got == {0, 1}
+    # name:(merge join) AND sort → name-match AND sort anywhere → doc 1
+    got2 = {
+        r.doc_id
+        for r in search_fields(idxs, "name:(merge join) AND sort", k=10, docs=df).collect()
+    }
+    assert got2 == {1}
+    # NOT over a field-scoped group
+    got3 = {
+        r.doc_id
+        for r in search_fields(idxs, "merge NOT name:(join helpers)", k=10, docs=df).collect()
+    }
+    assert got3 == {0, 1}
