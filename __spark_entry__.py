@@ -83,6 +83,21 @@ def _seg_search_q(query: str, k: int = 10, force_wand: bool = False):
     return run
 
 
+_BATCH_QUERIES = {0: "merge join", 1: "merge AND sort", 2: "table NOT window", 3: "merge^2 join"}
+
+
+def _batch_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch retrieval: 4 queries in ONE Spark job (fugu_spark.batch),
+    rank/score identical per query to the segment engine."""
+    from fugu_spark.batch import batch_search_segments
+
+    si = _seg_index(spark, sf_dir)
+    out = batch_search_segments(si, _BATCH_QUERIES, k=5)
+    return out.select(
+        "query_id", "doc_id", F.round("score", 6).alias("score"), F.col("rank").cast("long").alias("rank")
+    )
+
+
 def _serving_q(query: str, k: int = 10):
     """Driver-side serving engine over the same segment files (serve.py);
     wrapped back into a Spark DataFrame for the oracle comparison."""
@@ -657,6 +672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_range_syntax": _eng_search_q(
             "merge date_created:[2024-03-01T00:00:00Z TO 2024-06-01T00:00:00Z}", 100
         ),
+        "batch_search": _batch_search_q,
         # --- block 2: regression core (always-run, fills to the 50 cap) ---
         "postings_tf": postings_tf,
         "doc_len": doc_len,
@@ -682,9 +698,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf_dir), threshold=0.5
         ).select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")),
         "simhash_sigs": lambda spark, sf_dir: dedup.simhash_signatures(_docs(spark, sf_dir)),
-        "ann_lsh_top10": _ann_lsh_top10,
         "bm25_min_score": _eng_search_q("merge join", 100, min_score=0.35),
         # --- block 3: rotating tail (green in CORRECTNESS_r03; pytest-covered) ---
+        "ann_lsh_top10": _ann_lsh_top10,
         "facet_counts_lang": facet_counts_lang,
         "facet_tree": facet_tree,
         "all_filter_paths": all_filter_paths_q,
@@ -1530,6 +1546,38 @@ GROUP BY sc.doc_id ORDER BY sum(sc.sc) DESC, sc.doc_id ASC LIMIT 100""",
         "namespaces": _NAMESPACES_SQL,
         "split_assign": _SPLIT_SQL,
         "paragraph_dedup": _PARDEDUP_SQL,
+        # batch retrieval: the per-(query, doc) combine over a leaf VALUES
+        # table — mirrors fugu_spark.batch exactly (must count, must_not
+        # exclusion, boost multipliers, (score DESC, doc_id ASC) ranking)
+        "batch_search": f"""WITH {_TOK}, {_SCORED},
+leaves(qid, leaf_id, term, boost, is_must, is_not) AS (
+  VALUES (0,0,'merge',1.0,0,0),(0,1,'join',1.0,0,0),
+         (1,0,'merge',1.0,1,0),(1,1,'sort',1.0,1,0),
+         (2,0,'table',1.0,0,0),(2,1,'window',1.0,0,1),
+         (3,0,'merge',2.0,0,0),(3,1,'join',1.0,0,0)
+),
+nm AS (
+  SELECT qid, count(DISTINCT CASE WHEN is_must = 1 THEN leaf_id END) AS n_musts
+  FROM leaves GROUP BY 1
+),
+contrib AS (
+  SELECT l.qid, l.leaf_id, s.doc_id, l.boost * s.sc AS sc, l.is_must, l.is_not
+  FROM scored s JOIN leaves l ON s.term = l.term
+),
+agg AS (
+  SELECT qid, doc_id,
+         sum(CASE WHEN is_not = 0 THEN sc ELSE 0 END) AS score,
+         count(DISTINCT CASE WHEN is_must = 1 THEN leaf_id END) AS must_cnt,
+         max(is_not) AS excl
+  FROM contrib GROUP BY 1, 2
+),
+ranked AS (
+  SELECT a.qid AS query_id, a.doc_id, round(a.score, 6) AS score,
+         row_number() OVER (PARTITION BY a.qid ORDER BY a.score DESC, a.doc_id ASC) AS rank
+  FROM agg a JOIN nm ON a.qid = nm.qid
+  WHERE a.must_cnt = nm.n_musts AND a.excl = 0
+)
+SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= 5""",
         "stratified_sample": _STRAT_SAMPLE_SQL,
         "pii_scan": _pii_sql(),
         "repetition_stats": _REPETITION_SQL,

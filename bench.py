@@ -165,6 +165,27 @@ def scale_worker(cpus: int, corpus_dir: str, out_dir: str) -> None:
     wall = time.time() - t0
     with open(f"{si.index_dir}/stats.json") as f:
         stats = json.load(f)
+
+    # query-side throughput at this parallelism: one batch retrieval job
+    # over the just-built index (fugu_spark.batch — decode once, leaf
+    # table broadcast, per-query top-k window). The per-query interactive
+    # path is constant-dominated; batch mode is where query throughput
+    # actually scales with cores.
+    from fugu_spark.batch import batch_search_segments
+
+    vocab = ["merge", "join", "sort", "window", "hash", "table", "scan", "filter"]
+    qset: dict[int, str] = {}
+    for a in vocab:
+        for bword in vocab:
+            if a < bword:
+                qset[len(qset)] = f"{a} {bword}"
+    for a, bword in zip(vocab, vocab[1:]):
+        qset[len(qset)] = f"{a} AND {bword}"
+        qset[len(qset)] = f"{a} NOT {bword}"
+    batch_search_segments(si, {0: qset[0]}, k=10).count()  # warm
+    t0 = time.time()
+    n_hits = batch_search_segments(si, qset, k=10).count()
+    qbatch_wall = time.time() - t0
     stage_walls = {}
     for st in ("postings_raw", "segments", "terms"):
         try:
@@ -186,6 +207,12 @@ def scale_worker(cpus: int, corpus_dir: str, out_dir: str) -> None:
                 "postings_per_sec": stats["n_postings"] / wall,
                 "host_calib_iters_per_sec": calib,
                 "host_pool_wall_sec": round(pool_wall, 2) if pool_wall else None,
+                "query_batch": {
+                    "n_queries": len(qset),
+                    "n_hits": n_hits,
+                    "wall_sec": round(qbatch_wall, 2),
+                    "queries_per_sec": round(len(qset) / qbatch_wall, 1),
+                },
             }
         )
     )
@@ -230,7 +257,17 @@ def run_scaling(rows: int) -> dict:
             res = json.loads(line)
             key = f"local[{cpus}]"
             if key not in out or res["wall_sec"] < out[key]["wall_sec"]:
+                prev_qb = out.get(key, {}).get("query_batch")
                 out[key] = res
+                # best query-batch wall tracked independently of the build
+                if prev_qb and prev_qb["wall_sec"] < res.get("query_batch", {}).get(
+                    "wall_sec", 9e9
+                ):
+                    out[key]["query_batch"] = prev_qb
+            elif res.get("query_batch", {}).get("wall_sec", 9e9) < out[key].get(
+                "query_batch", {}
+            ).get("wall_sec", 9e9):
+                out[key]["query_batch"] = res["query_batch"]
     def _eff(lo: str, hi: str, factor: float) -> tuple[float, float, float | None]:
         raw = out[hi]["postings_per_sec"] / (factor * out[lo]["postings_per_sec"])
         host_ratio = (
@@ -262,6 +299,20 @@ def run_scaling(rows: int) -> dict:
             out["efficiency_8_to_32_host_normalized"],
             out["efficiency_8_to_32_workload_normalized"],
         ) = _eff("local[8]", "local[32]", 4.0)
+    def _qeff(lo: str, hi: str) -> float | None:
+        try:
+            return round(
+                out[hi]["query_batch"]["queries_per_sec"]
+                / (4.0 * out[lo]["query_batch"]["queries_per_sec"]),
+                4,
+            )
+        except (KeyError, TypeError, ZeroDivisionError):
+            return None
+
+    if "local[2]" in out and "local[8]" in out:
+        out["query_efficiency_2_to_8"] = _qeff("local[2]", "local[8]")
+    if "local[8]" in out and "local[32]" in out:
+        out["query_efficiency_8_to_32"] = _qeff("local[8]", "local[32]")
     out["repeats"] = repeats
     return out
 
@@ -433,6 +484,11 @@ def main() -> None:
                 "cpus": v["cpus"],
                 "wall_sec": round(v["wall_sec"], 2),
                 "postings_per_sec": round(v["postings_per_sec"], 1),
+                **(
+                    {"batch_queries_per_sec": v["query_batch"]["queries_per_sec"]}
+                    if v.get("query_batch")
+                    else {}
+                ),
             }
             for k, v in sc.items()
             if isinstance(v, dict) and "cpus" in v
@@ -442,6 +498,8 @@ def main() -> None:
             "efficiency_2_to_8_host_normalized",
             "efficiency_8_to_32",
             "efficiency_8_to_32_host_normalized",
+            "query_efficiency_2_to_8",
+            "query_efficiency_8_to_32",
         ):
             if k in sc:
                 summary["scaling"][k] = sc[k]
@@ -491,16 +549,31 @@ def _write_bench_md(r: dict) -> None:
             "## Scaling (N → 4N cores, same deterministic corpus, best of "
             f"{s.get('repeats', 1)} alternating runs)",
             "",
-            "| config | rows | postings | wall s | postings/sec |",
-            "|---|---|---|---|---|",
+            "| config | rows | postings | wall s | postings/sec | batch queries/sec |",
+            "|---|---|---|---|---|---|",
         ]
         for key in ("local[2]", "local[8]", "local[32]"):
             if key not in s:
                 continue
             w = s[key]
+            qb = w.get("query_batch") or {}
+            qps = f"{qb['queries_per_sec']:.1f}" if qb else "—"
             lines.append(
-                f"| {key} | {w['rows']} | {w['n_postings']} | {w['wall_sec']:.1f} | {w['postings_per_sec']:.0f} |"
+                f"| {key} | {w['rows']} | {w['n_postings']} | {w['wall_sec']:.1f} | {w['postings_per_sec']:.0f} | {qps} |"
             )
+        if s.get("query_efficiency_2_to_8") is not None:
+            lines += [
+                "",
+                f"Query-side batch retrieval ({s['local[2]']['query_batch']['n_queries']} "
+                "queries, one Spark job — fugu_spark.batch): efficiency 2→8 "
+                f"{s['query_efficiency_2_to_8']}"
+                + (
+                    f", 8→32 {s['query_efficiency_8_to_32']}"
+                    if s.get("query_efficiency_8_to_32") is not None
+                    else ""
+                )
+                + ".",
+            ]
         if "efficiency_2_to_8" in s:
             lines += [
                 "",
