@@ -113,3 +113,65 @@ def test_spark_submit_py_files_build_and_query(tmp_path):
     payload = json.loads(query.stdout.strip().splitlines()[-1])
     hits = payload["hits"]
     assert len(hits) == 5 and all("doc_id" in h and "score" in h for h in hits), payload
+
+
+@pytest.mark.slow
+def test_spark_submit_batch_query(tmp_path):
+    """jobs/batch_query.py under spark-submit --py-files: a TSV of
+    queries in, parquet (query_id, doc_id, score, rank) out."""
+    submit = _spark_submit()
+    if submit is None:
+        pytest.skip("spark-submit not available")
+
+    zip_path = str(tmp_path / "fugu_spark.zip")
+    with zipfile.ZipFile(zip_path, "w") as z:
+        for root, _dirs, files in os.walk(os.path.join(REPO, "fugu_spark")):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, REPO))
+    jobs_dir = tmp_path / "jobs"
+    jobs_dir.mkdir()
+    for j in ("build_index.py", "batch_query.py"):
+        shutil.copy(os.path.join(REPO, "jobs", j), jobs_dir / j)
+
+    env = os.environ.copy()
+    env["PYSPARK_PYTHON"] = sys.executable
+    env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+    env.pop("PYTHONPATH", None)
+
+    idx_dir = str(tmp_path / "idx")
+    common = [submit, "--master", "local[2]", "--py-files", zip_path]
+    build = subprocess.run(
+        common
+        + [
+            str(jobs_dir / "build_index.py"),
+            "--source", "/root/testdata/sf0.001/documents.parquet",
+            "--index-dir", idx_dir, "--text-col", "text", "--n-buckets", "2",
+        ],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True, timeout=420,
+    )
+    assert build.returncode == 0, build.stderr[-2000:]
+
+    qfile = tmp_path / "queries.tsv"
+    qfile.write_text("0\tmerge join\n1\tmerge AND sort\n2\ttable NOT window\n")
+    out_dir = str(tmp_path / "hits")
+    run = subprocess.run(
+        common
+        + [
+            str(jobs_dir / "batch_query.py"),
+            "--index-dir", idx_dir,
+            "--queries-file", str(qfile),
+            "--out", out_dir, "-k", "5",
+        ],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True, timeout=420,
+    )
+    assert run.returncode == 0, f"{run.stdout[-2000:]}\n{run.stderr[-2000:]}"
+    payload = json.loads(run.stdout.strip().splitlines()[-1])
+    assert payload["n_queries"] == 3 and payload["n_hits"] > 0
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(out_dir)
+    assert set(tbl.column_names) == {"query_id", "doc_id", "score", "rank"}
+    assert len({r for r in tbl.column("query_id").to_pylist()}) >= 2
