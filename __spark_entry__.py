@@ -9,6 +9,13 @@ Engine code lives in fugu_spark/; this file adapts it to the driver's
 ``documents(doc_id, text, lang, source, n_chars)`` / ``embeddings``
 tables. Computed columns are aliased identically on both sides; scores
 are rounded to 6 decimals on both sides (f64 throughout).
+
+The driver executes the FIRST 50 entries; the registry holds more, in a
+documented rotation (never-verified/new entries first, regression core,
+rotating tail — see the ordering comment in ``queries()``). Full
+coverage of EVERY registered pair is evidenced per-round by
+``CORRECTNESS_LOCAL_r{N}.json`` at the repo root — the same
+rows/schema/value-hash comparison, run locally over all entries.
 """
 
 from __future__ import annotations
