@@ -468,6 +468,14 @@ def main() -> None:
         result["scaling"] = run_scaling(rows)
 
     _write_bench_md(result)
+    # durable analysis sections (A/B tables, profiles, variance notes)
+    # live in BENCH_NOTES.md and are re-appended on every rewrite
+    notes = os.path.join(REPO, "BENCH_NOTES.md")
+    if os.path.exists(notes):
+        with open(os.path.join(REPO, "BENCH.md"), "a") as f:
+            f.write("\n")
+            with open(notes) as n:
+                f.write(n.read())
     # Full detail (stage walls, calibration, per-level scaling) goes to
     # BENCH_detail.json + BENCH.md; stdout gets ONE COMPACT line — the
     # r2/r3 full line exceeded the driver's capture window and recorded
