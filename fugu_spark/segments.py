@@ -252,14 +252,26 @@ def _dict_agg(seg: DataFrame) -> DataFrame:
     )
 
 
+def _write_terms(agg: DataFrame, terms_path: str, mode: str = "overwrite") -> None:
+    """Dictionary writer: range-partitioned + sorted BY TERM so the
+    driver-side pyarrow lookup (_term_meta) prunes to one file + one row
+    group per query term. A hash-partitioned unsorted write makes every
+    row group span ~the full term range — min/max stats prune nothing,
+    and at source-code vocab scale (10^9+ distinct identifiers) a per-
+    query dictionary read degenerates into a dictionary scan."""
+    agg.repartitionByRange("term").sortWithinPartitions("term").write.mode(
+        mode
+    ).parquet(terms_path)
+
+
 def merge_dictionary(spark: SparkSession, seg_path: str, terms_path: str) -> None:
     """Stage-3 kernel (B7): distributed merge of per-partition sub-lists
     across salts and generations into the final term dictionary. Like
     Lucene/Tantivy, df/cf count masked-deleted postings until compaction
     (documented divergence from live counts)."""
-    _dict_agg(spark.read.schema(SEG_READ_SCHEMA).parquet(seg_path)).write.mode(
-        "overwrite"
-    ).parquet(terms_path)
+    _write_terms(
+        _dict_agg(spark.read.schema(SEG_READ_SCHEMA).parquet(seg_path)), terms_path
+    )
 
 
 def merge_dictionary_incremental(
@@ -289,7 +301,7 @@ def merge_dictionary_incremental(
         F.sum("bytes_encoded").alias("bytes_encoded"),
     )
     tmp = terms_path + "_next"
-    merged.write.mode("overwrite").parquet(tmp)
+    _write_terms(merged, tmp)
     fsio.rmtree(terms_path)
     fsio.rename(tmp, terms_path)
     # drop Spark's cached file listing for the swapped path

@@ -304,3 +304,36 @@ def test_fused_build_matches_staged(spark, tmp_path):
         checkpoint_postings=False, resume=True,
     )
     assert time.time() - t0 < 5.0
+
+
+def test_term_dictionary_sorted_for_pruning(spark, tmp_path):
+    """The dictionary must be range-partitioned + sorted by term so the
+    driver-side pyarrow lookup prunes by row-group min/max: files cover
+    disjoint term ranges, and rows inside each file are sorted."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from fugu_spark.corpus import generate_corpus
+
+    docs = (
+        generate_corpus(spark, 100)
+        .withColumn("doc_id", F.xxhash64("repo", "path", "commit"))
+        .cache()
+    )
+    build_segments(docs, str(tmp_path / "idx"), id_col="doc_id", text_col="content")
+    files = sorted(glob.glob(str(tmp_path / "idx" / "terms" / "part-*.parquet")))
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        if md.num_rows == 0:
+            continue
+        i = md.schema.to_arrow_schema().get_field_index("term")
+        lo = min(md.row_group(g).column(i).statistics.min for g in range(md.num_row_groups))
+        hi = max(md.row_group(g).column(i).statistics.max for g in range(md.num_row_groups))
+        ranges.append((lo, hi))
+        col = pq.read_table(f, columns=["term"]).column("term").to_pylist()
+        assert col == sorted(col), f"{f} not sorted"
+    ranges.sort()
+    for (_, hi_a), (lo_b, _) in zip(ranges, ranges[1:]):
+        assert hi_a <= lo_b, "term ranges overlap across files"
