@@ -55,7 +55,14 @@ def _write_filter_index(
         .select(F.col(id_col).cast("long").alias("doc_id"), "facet")
         .withColumn("gen", F.lit(gen))
     )
-    rows.write.mode(mode).parquet(fsio.join(index_dir, "filter_index"))
+    # clustered on the lookup key: Equals/Prefix facet predicates prune
+    # to the row groups whose [min, max] facet range matches
+    (
+        rows.repartitionByRange("facet")
+        .sortWithinPartitions("facet")
+        .write.mode(mode)
+        .parquet(fsio.join(index_dir, "filter_index"))
+    )
 
 
 def _write_date_index(
@@ -76,7 +83,16 @@ def _write_date_index(
         F.col(id_col).cast("long").alias("doc_id"),
         *[F.unix_micros(F.col(c)).alias(f"{c}_us") for c in present],
     ).withColumn("gen", F.lit(gen))
-    rows.write.mode(mode).parquet(fsio.join(index_dir, "date_index"))
+    # clustered on the first date column (the common range filter);
+    # other date columns usually correlate, so their min/max stats stay
+    # tight enough to prune too
+    key = f"{present[0]}_us"
+    (
+        rows.repartitionByRange(key)
+        .sortWithinPartitions(key)
+        .write.mode(mode)
+        .parquet(fsio.join(index_dir, "date_index"))
+    )
 
 
 def _counts_rows_from_facets(fac_rows: DataFrame, sign: int) -> DataFrame:
@@ -162,7 +178,14 @@ def _write_suggest_index(
         )
         .withColumn("gen", F.lit(gen))
     )
-    rows.write.mode(mode).parquet(fsio.join(index_dir, "suggest_index"))
+    # clustered on s_lower so the driver-side prefix byte-range filter
+    # prunes row groups
+    (
+        rows.repartitionByRange("s_lower")
+        .sortWithinPartitions("s_lower")
+        .write.mode(mode)
+        .parquet(fsio.join(index_dir, "suggest_index"))
+    )
 
 
 def _doc_store_partitions(rows: DataFrame, target_bytes: int | None = None) -> int:
