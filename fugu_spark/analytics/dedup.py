@@ -274,6 +274,13 @@ def simhash_signatures(
                 flat = toks.explode()
                 flat = flat[flat.notna()].to_numpy()
                 codes, uniques = pd.factorize(flat)
+                if len(memo) > 4_000_000:
+                    # the cross-batch memo is bounded by the partition's
+                    # DISTINCT token count; a high-vocabulary partition
+                    # (source-code identifiers) could otherwise grow it to
+                    # GB scale (ADVICE r4) — reset keeps the common-token
+                    # hit rate while capping worst-case memory
+                    memo.clear()
                 hv = np.empty(len(uniques), dtype=np.uint64)
                 for i, t in enumerate(uniques):
                     v = memo.get(t)

@@ -62,7 +62,13 @@ def extract_date_ranges(
     - ``*`` on either side → that side open
 
     A clause naming a non-date field stays in the string (it parse-errors
-    into the reference's escape-and-retry like any unknown field).
+    into the reference's escape-and-retry like any unknown field), and so
+    does range-looking text INSIDE a quoted phrase — the reference parser
+    only recognizes range syntax outside phrases (ADVICE r4). Two range
+    clauses on the same field INTERSECT (both must match, the two-boolean-
+    clause semantics of the reference parser); an intersection involving
+    an unparseable bound keeps the unparseable side, whose downstream
+    try_cast → NULL matches nothing.
     Pinned divergence: range clauses FILTER — they contribute no score —
     where Tantivy's RangeQuery scores matches at a constant; the facet
     filter path has the same pinned shape (F2-F6)."""
@@ -70,13 +76,47 @@ def extract_date_ranges(
         return query, {}
     ranges: dict[str, tuple[str | None, str | None]] = {}
 
+    def _parse(v: str | None):
+        if v is None:
+            return None
+        try:
+            dt = datetime.fromisoformat(v.replace("Z", "+00:00"))
+        except ValueError:
+            return None
+        return dt if dt.tzinfo else dt.replace(tzinfo=timezone.utc)
+
+    def _tighter(old: str | None, new: str | None, side: str) -> str | None:
+        # intersect two half-open bounds: later start / earlier end wins;
+        # None = open; an unparseable bound wins (→ NULL, matches nothing)
+        if old is None:
+            return new
+        if new is None:
+            return old
+        po, pn = _parse(old), _parse(new)
+        if po is None:
+            return old
+        if pn is None:
+            return new
+        if side == "start":
+            return old if po >= pn else new
+        return old if po <= pn else new
+
     def repl(m: re.Match) -> str:
+        # a match whose span lies inside a quoted region (odd count of
+        # preceding unescaped quotes) is phrase text, not a range clause
+        prefix = query[: m.start()]
+        if (len(prefix.replace('\\"', "").split('"')) - 1) % 2 == 1:
+            return m.group(0)
         f = m.group("field")
         if f not in date_cols:
             return m.group(0)
         lo, hi = m.group("lo"), m.group("hi")
         start = None if lo == "*" else (lo if m.group("lo_b") == "[" else _bump_us(lo, 1))
         end = None if hi == "*" else (_bump_us(hi, 1) if m.group("hi_b") == "]" else hi)
+        if f in ranges:
+            old_s, old_e = ranges[f]
+            start = _tighter(old_s, start, "start")
+            end = _tighter(old_e, end, "end")
         ranges[f] = (start, end)
         return " "
 

@@ -55,10 +55,13 @@ def _write_filter_index(
         .select(F.col(id_col).cast("long").alias("doc_id"), "facet")
         .withColumn("gen", F.lit(gen))
     )
+    from .segments import SIDECAR_PART_BYTES, sized_range_partitions
+
     # clustered on the lookup key: Equals/Prefix facet predicates prune
-    # to the row groups whose [min, max] facet range matches
+    # to the row groups whose [min, max] facet range matches; partition
+    # count scales with sidecar bytes (not shuffle.partitions)
     (
-        rows.repartitionByRange("facet")
+        rows.repartitionByRange(sized_range_partitions(rows, SIDECAR_PART_BYTES), "facet")
         .sortWithinPartitions("facet")
         .write.mode(mode)
         .parquet(fsio.join(index_dir, "filter_index"))
@@ -86,9 +89,11 @@ def _write_date_index(
     # clustered on the first date column (the common range filter);
     # other date columns usually correlate, so their min/max stats stay
     # tight enough to prune too
+    from .segments import SIDECAR_PART_BYTES, sized_range_partitions
+
     key = f"{present[0]}_us"
     (
-        rows.repartitionByRange(key)
+        rows.repartitionByRange(sized_range_partitions(rows, SIDECAR_PART_BYTES), key)
         .sortWithinPartitions(key)
         .write.mode(mode)
         .parquet(fsio.join(index_dir, "date_index"))
@@ -178,10 +183,12 @@ def _write_suggest_index(
         )
         .withColumn("gen", F.lit(gen))
     )
+    from .segments import SIDECAR_PART_BYTES, sized_range_partitions
+
     # clustered on s_lower so the driver-side prefix byte-range filter
     # prunes row groups
     (
-        rows.repartitionByRange("s_lower")
+        rows.repartitionByRange(sized_range_partitions(rows, SIDECAR_PART_BYTES), "s_lower")
         .sortWithinPartitions("s_lower")
         .write.mode(mode)
         .parquet(fsio.join(index_dir, "suggest_index"))
@@ -193,24 +200,16 @@ def _doc_store_partitions(rows: DataFrame, target_bytes: int | None = None) -> i
     size (one range partition per ~``target_bytes`` of source data, env
     FUGU_SPARK_DOC_STORE_PART_BYTES, default 256 MB) instead of a fixed
     cap — at 10^12 docs a capped sidecar is both a write bottleneck and
-    a read-pruning ceiling (VERDICT r3 What's-wrong #4). Size comes from
-    Catalyst's plan stats (file-scan based, no extra job); when the plan
-    can't estimate (unknown → Long.Max sentinel), fall back to the input
-    partition count."""
+    a read-pruning ceiling (VERDICT r3 What's-wrong #4)."""
     import os
 
     if target_bytes is None:
         target_bytes = int(
             os.environ.get("FUGU_SPARK_DOC_STORE_PART_BYTES", str(256 << 20))
         )
-    size = None
-    try:
-        size = int(rows._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    except Exception:
-        pass
-    if size is None or size <= 0 or size >= (1 << 62):
-        return max(1, rows.rdd.getNumPartitions())
-    return max(1, -(-size // target_bytes))
+    from .segments import sized_range_partitions
+
+    return sized_range_partitions(rows, target_bytes)
 
 
 def _write_doc_store(

@@ -32,13 +32,39 @@ ESCAPE_CHARS = set('()[]{}":+-!~*?\\^')
 
 _TOKEN_RE = re.compile(
     r"""
-      (?:(?P<pfield>[A-Za-z_][\w.]*):)?"(?P<phrase>[^"]*)"(?:~(?P<slop>\d+))?(?:\^(?P<pboost>\d+(?:\.\d+)?))?
+      (?:(?P<pfield>[A-Za-z_][\w.]*):)?"(?P<phrase>[^"]*)"(?P<pstar>\*)?(?:~(?P<slop>\d+))?(?:\^(?P<pboost>\d+(?:\.\d+)?))?
+    | (?:(?P<rfield>[A-Za-z_][\w.]*):)?(?P<lo_b>[\[\{])(?P<rlo>[^\s\]\}]+)\s+TO\s+(?P<rhi>[^\s\]\}]+)(?P<rhi_b>[\]\}])(?:\^(?P<rngboost>\d+(?:\.\d+)?))?
     | (?P<lparen>\()
     | (?P<rparen>\))(?:\^(?P<gboost>\d+(?:\.\d+)?))?
     | (?P<word>[^\s()]+)
     """,
     re.VERBOSE,
 )
+
+# 'field: IN [a b c]' — Tantivy's term-set sugar; rewritten (quote-aware)
+# to the field-scoped OR group 'field:(a b c)' before tokenization.
+_IN_SET_RE = re.compile(
+    r"(?P<pre>[+\-]?)(?P<field>[A-Za-z_][\w.]*):\s*IN\s+\[(?P<members>[^\]]*)\]"
+)
+
+# Cap on dictionary expansions for 'term*' / '"a b"*' prefix queries —
+# Tantivy's PhrasePrefixQuery max_expansions default.
+PREFIX_MAX_EXPANSIONS = 50
+
+
+def _in_quotes(text: str, pos: int) -> bool:
+    """True when ``pos`` falls inside a quoted region (odd count of
+    preceding unescaped quotes)."""
+    return (len(text[:pos].replace('\\"', "").split('"')) - 1) % 2 == 1
+
+
+def _rewrite_in_sets(query: str) -> str:
+    def repl(m: re.Match) -> str:
+        if _in_quotes(query, m.start()):
+            return m.group(0)
+        return f"{m.group('pre')}{m.group('field')}:({m.group('members')})"
+
+    return _IN_SET_RE.sub(repl, query)
 
 _FIELD_WORD_RE = re.compile(r"^([A-Za-z_][\w.]*):(.+)$")
 
@@ -60,6 +86,17 @@ class Leaf:
     boost: float = 1.0
     occur: str = "should"  # 'must' | 'should' | 'must_not'
     slop: int = 0
+    # 'term*' / '"a b"*': the LAST term is a dictionary prefix. Expanded
+    # at execution time (expand_plan) to an OR-group of up to
+    # PREFIX_MAX_EXPANSIONS concrete leaves in dictionary order — pinned
+    # divergence from Lucene's blended scoring: each expansion scores as
+    # a normal term/phrase leaf and a doc matching several sums them.
+    prefix_last: bool = False
+    # '[a TO b]' / '{a TO b}' over a TEXT field (date fields are extracted
+    # pre-parse): (lo, hi, incl_lo, incl_hi), lowercased bounds, None =
+    # open side. Pinned Lucene/Tantivy semantics: CONSTANT score — a doc
+    # containing any indexed term in the range scores boost × 1.0.
+    rng: tuple[str | None, str | None, bool, bool] | None = None
     # Field-qualified clause ('name:foo', 'name:"a b"') — Tantivy's
     # QueryParser resolves the prefix against the index schema (the
     # reference's docs schema indexes id/text/namespace/name/… —
@@ -146,10 +183,12 @@ def _flatten(node: "Leaf | BoolNode") -> list[Leaf]:
 def _boosted(node: "Leaf | BoolNode", factor: float) -> "Leaf | BoolNode":
     """Group boost '(a b)^2': since scores are sums of leaf scores, a
     group boost distributes as a multiplier on every leaf boost."""
+    import dataclasses
+
     if factor == 1.0:
         return node
     if isinstance(node, Leaf):
-        return Leaf(node.terms, node.boost * factor, node.occur, node.slop, node.fld)
+        return dataclasses.replace(node, boost=node.boost * factor)
     return BoolNode(tuple((occ, _boosted(c, factor)) for occ, c in node.children))
 
 
@@ -157,10 +196,12 @@ def _fielded(node: "Leaf | BoolNode", fld: str) -> "Leaf | BoolNode":
     """'field:(a b)' group scope: the prefix distributes onto every leaf
     (leaves already carrying their own field keep it — Tantivy resolves
     inner prefixes first)."""
+    import dataclasses
+
     if isinstance(node, Leaf):
         if node.fld is not None:
             return node
-        return Leaf(node.terms, node.boost, node.occur, node.slop, fld)
+        return dataclasses.replace(node, fld=fld)
     return BoolNode(tuple((occ, _fielded(c, fld)) for occ, c in node.children))
 
 
@@ -217,7 +258,7 @@ def _parse_group(tokens: list, pos: int, mode: str, depth: int, fields: frozense
             pos += 1
             continue
         if kind == "phrase":
-            raw, boost, slop, pfield = val
+            raw, boost, slop, pfield, pstar = val
             fld = _resolve_field(pfield, fields)
             terms = tuple(t for t, _ in tokenize_py(raw, mode))
             if terms:
@@ -227,11 +268,37 @@ def _parse_group(tokens: list, pos: int, mode: str, depth: int, fields: frozense
                         Leaf(
                             terms=terms,
                             boost=boost,
-                            slop=slop if len(terms) > 1 else 0,
+                            # '"a b"*' is a phrase-PREFIX; slop does not
+                            # combine with it (Tantivy's PhrasePrefixQuery
+                            # has no slop) — star wins
+                            slop=slop if len(terms) > 1 and not pstar else 0,
                             fld=fld,
+                            prefix_last=pstar,
                         ),
                     )
                 )
+            pending = None
+            pos += 1
+            continue
+        if kind == "range":
+            rfield, lo, hi, incl_lo, incl_hi, boost = val
+            fld = _resolve_field(rfield, fields)
+            children.append(
+                (
+                    pending or "should",
+                    Leaf(
+                        terms=(),
+                        boost=boost,
+                        fld=fld,
+                        rng=(
+                            None if lo == "*" else lo.lower(),
+                            None if hi == "*" else hi.lower(),
+                            incl_lo,
+                            incl_hi,
+                        ),
+                    ),
+                )
+            )
             pending = None
             pos += 1
             continue
@@ -269,11 +336,21 @@ def _parse_group(tokens: list, pos: int, mode: str, depth: int, fields: frozense
             fld = _resolve_field(fm.group(1), fields)
             word = fm.group(2)
         text, boost = _split_boost(word)
+        prefix_last = False
+        if text.endswith("*") and len(text) > 1:
+            # trailing star = dictionary-prefix term ('merge*'); inner
+            # stars stay escape chars (tokenizer splits on them)
+            text, prefix_last = text[:-1], True
         terms = tuple(t for t, _ in tokenize_py(text, mode))
         if terms:
             # a qualified word analyzing to 2+ tokens becomes a phrase in
             # that field (Tantivy parser behaviour, same as unqualified)
-            children.append((pending or "should", Leaf(terms=terms, boost=boost, fld=fld)))
+            children.append(
+                (
+                    pending or "should",
+                    Leaf(terms=terms, boost=boost, fld=fld, prefix_last=prefix_last),
+                )
+            )
         pending = None
         pos += 1
     if depth != 0:
@@ -284,6 +361,7 @@ def _parse_group(tokens: list, pos: int, mode: str, depth: int, fields: frozense
 def _parse_once(query: str, mode: str, fields: frozenset | None = None) -> QueryPlan:
     if query.count('"') % 2 == 1:
         raise QueryParseError("unbalanced quotes")
+    query = _rewrite_in_sets(query)
     tokens: list[tuple[str, object]] = []
     for m in _TOKEN_RE.finditer(query):
         if m.group("lparen"):
@@ -299,6 +377,23 @@ def _parse_once(query: str, mode: str, fields: frozenset | None = None) -> Query
                         float(m.group("pboost") or 1.0),
                         int(m.group("slop") or 0),
                         m.group("pfield"),
+                        bool(m.group("pstar")),
+                    ),
+                )
+            )
+        elif m.group("rlo") is not None:
+            if _in_quotes(query, m.start()):
+                continue  # range-looking text inside a phrase is not a clause
+            tokens.append(
+                (
+                    "range",
+                    (
+                        m.group("rfield"),
+                        m.group("rlo"),
+                        m.group("rhi"),
+                        m.group("lo_b") == "[",
+                        m.group("rhi_b") == "]",
+                        float(m.group("rngboost") or 1.0),
                     ),
                 )
             )
@@ -313,14 +408,62 @@ def _parse_once(query: str, mode: str, fields: frozenset | None = None) -> Query
         for _, node in children:
             plan.leaves.extend(_flatten(node))
     else:
-        plan.leaves = [
-            Leaf(terms=n.terms, boost=n.boost, occur=occ, slop=n.slop, fld=n.fld)
-            for occ, n in children
-        ]
+        import dataclasses
+
+        plan.leaves = [dataclasses.replace(n, occur=occ) for occ, n in children]
     if not plan.leaves:
         plan.is_all = True
         plan.root = None
     return plan
+
+
+def expand_plan(
+    plan: QueryPlan,
+    expander,
+    max_expansions: int = PREFIX_MAX_EXPANSIONS,
+) -> QueryPlan:
+    """Rewrite prefix leaves (``term*``, ``"a b"*``) into OR-groups of
+    concrete leaves using the index dictionary.
+
+    ``expander(prefix, fld)`` → candidate terms in dictionary order
+    (``fld`` is the leaf's field or None = default fields). Capped at
+    ``max_expansions`` (Tantivy's PhrasePrefixQuery default 50). A prefix
+    with zero expansions becomes an empty group — dead exactly like an
+    absent term. Runs at execution time (the parser has no dictionary);
+    parse_query output is pure."""
+    import dataclasses
+
+    if plan.is_all or not any(l.prefix_last for l in plan.leaves):
+        return plan
+
+    def xf(node: "Leaf | BoolNode") -> "Leaf | BoolNode":
+        if isinstance(node, BoolNode):
+            return BoolNode(tuple((occ, xf(c)) for occ, c in node.children))
+        if not node.prefix_last:
+            return node
+        exps = list(expander(node.terms[-1], node.fld))[:max_expansions]
+        return BoolNode(
+            tuple(
+                (
+                    "should",
+                    dataclasses.replace(
+                        node,
+                        terms=node.terms[:-1] + (e,),
+                        occur="should",
+                        prefix_last=False,
+                    ),
+                )
+                for e in exps
+            )
+        )
+
+    if plan.root is not None:
+        root = xf(plan.root)
+    else:
+        root = BoolNode(tuple((l.occur, xf(l)) for l in plan.leaves))
+    out = QueryPlan(root=root)
+    out.leaves = _flatten(root)
+    return out
 
 
 def parse_query(

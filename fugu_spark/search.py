@@ -43,14 +43,71 @@ from pyspark.sql import functions as F
 from . import BM25_B, BM25_K1
 from .bm25 import idf_py
 from .postings import InvertedIndex
-from .queryparse import BoolNode, Leaf, QueryPlan, parse_query
+from .queryparse import (
+    PREFIX_MAX_EXPANSIONS,
+    BoolNode,
+    Leaf,
+    QueryPlan,
+    expand_plan,
+    parse_query,
+)
 from .tokenizer import DEFAULT_MODE
+
+
+def dict_expander(indexes: dict):
+    """Prefix expander over InvertedIndex term dictionaries for
+    queryparse.expand_plan: a field-qualified prefix expands against its
+    own field's dictionary, an unqualified one against the UNION of all
+    default fields' dictionaries (sorted, capped downstream)."""
+
+    def exp(prefix: str, fld) -> list[str]:
+        idxs = [indexes[fld]] if fld is not None and fld in indexes else list(
+            indexes.values()
+        )
+        terms: set[str] = set()
+        for idx in idxs:
+            rows = (
+                idx.terms.filter(F.col("term").startswith(prefix))
+                .select("term")
+                .orderBy("term")
+                .limit(PREFIX_MAX_EXPANSIONS)
+                .collect()
+            )
+            terms.update(r["term"] for r in rows)
+        return sorted(terms)
+
+    return exp
 
 
 def _tf_norm(tf_col: Column, doc_len_col: Column, avgdl: float, k1: float, b: float) -> Column:
     tf = tf_col.cast("double")
     norm = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * doc_len_col.cast("double") / F.lit(float(avgdl)))
     return tf * F.lit(k1 + 1.0) / (tf + norm)
+
+
+def _range_cond(leaf: Leaf) -> Column:
+    lo, hi, incl_lo, incl_hi = leaf.rng
+    cond = F.lit(True)
+    if lo is not None:
+        cond = cond & ((F.col("term") >= lo) if incl_lo else (F.col("term") > lo))
+    if hi is not None:
+        cond = cond & ((F.col("term") <= hi) if incl_hi else (F.col("term") < hi))
+    return cond
+
+
+def _range_frame(postings: DataFrame, leaf: Leaf, mult: float = 1.0) -> DataFrame:
+    """Scored frame for a lexicographic term-range leaf '[a TO b]':
+    CONSTANT score (Lucene/Tantivy range semantics) — a doc containing
+    any indexed term inside the range scores boost × 1.0. The term-range
+    predicate reaches the postings scan (min/max row-group pruning on the
+    term-sorted layout); the distinct is one shuffle over matching docs
+    only."""
+    return (
+        postings.filter(_range_cond(leaf))
+        .select("doc_id")
+        .distinct()
+        .withColumn("score", F.lit(float(leaf.boost) * mult))
+    )
 
 
 def _sloppy_phrase_frame(
@@ -236,6 +293,8 @@ def _execute_node(
     spark = cand.sparkSession
     stats = index.stats
     if isinstance(node, Leaf):
+        if node.rng is not None:
+            return _range_frame(index.postings, node)
         if node.is_phrase:
             return _phrase_frame(cand, node, df_map, stats, k1, b)
         t = node.terms[0]
@@ -316,6 +375,11 @@ def execute_plan(
 ) -> DataFrame:
     """Boolean-combine the plan into DataFrame(doc_id, score)."""
     spark = index.postings.sparkSession
+    if any(l.prefix_last for l in plan.leaves):
+        raise ValueError(
+            "plan contains unexpanded prefix leaves — run queryparse.expand_plan "
+            "with the index dictionary first (search()/search_fields() do this)"
+        )
     musts, shoulds, must_nots = set(plan.musts), set(plan.shoulds), set(plan.must_nots)
 
     def all_docs() -> DataFrame:
@@ -343,15 +407,23 @@ def execute_plan(
     df_map = _df_map(index, all_terms)
     cand = index.postings.filter(F.col("term").isin(all_terms))
 
-    term_leaves = [(i, l) for i, l in enumerate(plan.leaves) if not l.is_phrase]
+    term_leaves = [
+        (i, l) for i, l in enumerate(plan.leaves) if not l.is_phrase and l.rng is None
+    ]
     phrase_leaves = [(i, l) for i, l in enumerate(plan.leaves) if l.is_phrase]
+    range_leaves = [(i, l) for i, l in enumerate(plan.leaves) if l.rng is not None]
 
     # A Must leaf on an absent term means nothing can match.
     for i, leaf in enumerate(plan.leaves):
         if i in musts and any(t not in df_map for t in leaf.terms):
             return spark.createDataFrame([], "doc_id long, score double")
 
-    if len(plan.leaves) == 1 and not plan.leaves[0].is_phrase and not must_nots:
+    if (
+        len(plan.leaves) == 1
+        and not plan.leaves[0].is_phrase
+        and plan.leaves[0].rng is None
+        and not must_nots
+    ):
         # single-term fast path: one posting row per doc, nothing to
         # combine — skip the leaf-explode + groupBy(doc_id) shuffle
         # entirely (score-identical: the fold over one element is the
@@ -378,6 +450,12 @@ def execute_plan(
         pf = _phrase_frame(cand, leaf, df_map, index.stats, k1, b)
         if pf is not None:
             frames.append(pf.select("doc_id", F.lit(i).alias("leaf_id"), "score"))
+    for i, leaf in range_leaves:
+        frames.append(
+            _range_frame(index.postings, leaf).select(
+                "doc_id", F.lit(i).alias("leaf_id"), "score"
+            )
+        )
 
     plan_has_positive = any(i not in must_nots for i in range(len(plan.leaves)))
     live_leaf_ids = {
@@ -389,7 +467,9 @@ def execute_plan(
         base = all_docs()  # pinned divergence: NOT-only query = AllQuery minus exclusions
         for i in must_nots & live_leaf_ids:
             leaf = plan.leaves[i]
-            if leaf.is_phrase:
+            if leaf.rng is not None:
+                excl = _range_frame(index.postings, leaf)
+            elif leaf.is_phrase:
                 excl = _phrase_frame(cand, leaf, df_map, index.stats, k1, b)
             else:
                 excl = cand.filter(F.col("term") == leaf.terms[0])
@@ -422,7 +502,13 @@ def _leaf_frame_fields(
         if any(t not in dm for t in leaf.terms):
             continue
         mult = boosts.get(f, 1.0)
-        if leaf.is_phrase:
+        if leaf.rng is not None:
+            frames.append(
+                _range_frame(idx.postings, leaf, mult).select(
+                    "doc_id", "score", F.lit(fi).alias("_ci")
+                )
+            )
+        elif leaf.is_phrase:
             pf = _phrase_frame(cands[f], leaf, dm, idx.stats, k1, b)
             if pf is None:
                 continue
@@ -549,6 +635,11 @@ def execute_plan_fields(
     fields with per-field stats (Lucene/Tantivy multi-field semantics)."""
     first = next(iter(indexes.values()))
     spark = first.postings.sparkSession
+    if any(l.prefix_last for l in plan.leaves):
+        raise ValueError(
+            "plan contains unexpanded prefix leaves — run queryparse.expand_plan "
+            "with the index dictionary first (search()/search_fields() do this)"
+        )
     musts, must_nots = set(plan.musts), set(plan.must_nots)
     boosts = field_boosts or {}
 
@@ -585,8 +676,11 @@ def execute_plan_fields(
             return spark.createDataFrame([], "doc_id long, score double")
         return out
 
-    term_leaves = [(i, l) for i, l in enumerate(plan.leaves) if not l.is_phrase]
+    term_leaves = [
+        (i, l) for i, l in enumerate(plan.leaves) if not l.is_phrase and l.rng is None
+    ]
     phrase_leaves = [(i, l) for i, l in enumerate(plan.leaves) if l.is_phrase]
+    range_leaves = [(i, l) for i, l in enumerate(plan.leaves) if l.rng is not None]
 
     def live_in_any_field(leaf: Leaf) -> bool:
         # a field-qualified leaf ('name:foo') lives only in its field
@@ -625,6 +719,14 @@ def execute_plan_fields(
                         (F.col("score") * F.lit(mult)).alias("score"),
                     )
                 )
+        for i, leaf in range_leaves:
+            if leaf.fld not in (None, f):
+                continue
+            frames.append(
+                _range_frame(idx.postings, leaf, boosts.get(f, 1.0)).select(
+                    "doc_id", F.lit(i).alias("leaf_id"), "score"
+                )
+            )
 
     plan_has_positive = any(i not in must_nots for i in range(len(plan.leaves)))
     live_leaf_ids = {i for i, l in enumerate(plan.leaves) if live_in_any_field(l)}
@@ -638,11 +740,12 @@ def execute_plan_fields(
                     continue
                 if not all(t in df_maps[f] for t in leaf.terms):
                     continue
-                excl = (
-                    _phrase_frame(cand, leaf, df_maps[f], idx.stats, k1, b)
-                    if leaf.is_phrase
-                    else cand.filter(F.col("term") == leaf.terms[0])
-                )
+                if leaf.rng is not None:
+                    excl = _range_frame(idx.postings, leaf)
+                elif leaf.is_phrase:
+                    excl = _phrase_frame(cand, leaf, df_maps[f], idx.stats, k1, b)
+                else:
+                    excl = cand.filter(F.col("term") == leaf.terms[0])
                 if excl is not None:
                     base = base.join(excl.select("doc_id"), "doc_id", "left_anti")
         return base
@@ -695,6 +798,7 @@ def search_fields(
     """Multi-field search entry point (fugu queries [text, name]);
     ``field:`` prefixes resolve against the index names supplied here."""
     plan = parse_query(query_text, mode=mode, fields=frozenset(indexes))
+    plan = expand_plan(plan, dict_expander(indexes))
     scored = execute_plan_fields(
         indexes, plan, docs=docs, id_col=id_col, k1=k1, b=b, field_boosts=field_boosts
     )
@@ -735,6 +839,7 @@ def search(
     SURVEY.md §2.5); it is applied via semi-join BEFORE top-k.
     """
     plan = parse_query(query_text, mode=mode)
+    plan = expand_plan(plan, dict_expander({None: index}))
     scored = execute_plan(index, plan, docs=docs, id_col=id_col, k1=k1, b=b)
     if doc_filter is not None:
         if docs is None:

@@ -39,7 +39,7 @@ from . import BM25_B, BM25_K1
 from .bm25 import idf_py
 from .codecs import decode_posting_block
 from .postings import InvertedIndex
-from .queryparse import QueryPlan, parse_query
+from .queryparse import PREFIX_MAX_EXPANSIONS, QueryPlan, expand_plan, parse_query
 from .search import execute_plan, top_k
 from .segments import SegmentIndex
 from .tokenizer import DEFAULT_MODE
@@ -283,6 +283,78 @@ def _term_meta(si: SegmentIndex, terms: list[str]) -> dict[str, dict]:
     return out
 
 
+def _dict_prefix_terms(si: SegmentIndex, prefix: str) -> list[str]:
+    """Prefix expansion for ``term*`` / ``"a b"*`` against the RANGE-
+    CLUSTERED terms dictionary: a driver-side pyarrow read of the
+    [prefix, upper-bound) byte range — row-group min/max pruning makes
+    this O(matching terms) even at 10^9-term vocab, the payoff of the
+    round-4 dictionary clustering. Capped at PREFIX_MAX_EXPANSIONS in
+    dictionary order (Tantivy's max_expansions)."""
+    from .serve import _prefix_upper_bound
+
+    try:
+        import pyarrow.dataset as pads
+
+        dset = getattr(si, "_terms_ds", None)
+        if dset is None:
+            from .fsio import as_local
+
+            dset = pads.dataset(
+                os.path.join(as_local(si.index_dir), "terms"), format="parquet"
+            )
+            si._terms_ds = dset
+        flt = pads.field("term") >= prefix
+        ub = _prefix_upper_bound(prefix)
+        if ub is not None:
+            flt = flt & (pads.field("term") < ub)
+        terms = sorted(dset.to_table(columns=["term"], filter=flt)["term"].to_pylist())
+    except Exception as e:
+        _warn_spark_fallback("prefix expansion dictionary read", e)
+        rows = (
+            si.terms.filter(F.col("term").startswith(prefix))
+            .select("term")
+            .orderBy("term")
+            .limit(PREFIX_MAX_EXPANSIONS)
+            .collect()
+        )
+        terms = [r["term"] for r in rows]
+    return terms[:PREFIX_MAX_EXPANSIONS]
+
+
+def _decode_range_postings(
+    si: SegmentIndex,
+    plan: QueryPlan,
+    exclude_terms: list[str],
+    with_positions: bool,
+    k1: float,
+    b: float,
+    doc_ranges=None,
+) -> DataFrame | None:
+    """Extra decode for lexicographic range leaves '[a TO b]': scan the
+    segment files with the term-range predicate pushed down (min/max
+    row-group pruning on the term-sorted layout) and decode the matching
+    blocks. Terms already decoded for the plan's term/phrase leaves are
+    EXCLUDED — their rows are in the base decode, and duplicating a
+    (term, doc) posting would double that term's BM25 contribution."""
+    from .search import _range_cond
+
+    rngs = {l.rng for l in plan.leaves if l.rng is not None}
+    if not rngs:
+        return None
+    from .queryparse import Leaf as _Leaf
+
+    pred = None
+    for rng in sorted(rngs, key=lambda r: tuple(str(x) for x in r)):
+        c = _range_cond(_Leaf(terms=(), rng=rng))
+        pred = c if pred is None else (pred | c)
+    seg = si.segments_df().filter(pred)
+    if exclude_terms:
+        seg = seg.filter(~F.col("term").isin(exclude_terms))
+    return _decode_seg_df(
+        si, seg, with_positions, 0.0, None, None, k1, b, doc_ranges
+    )
+
+
 def merge_intervals(starts: np.ndarray, ends: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Sort + merge overlapping [start, end] intervals into disjoint form."""
     if len(starts) == 0:
@@ -494,13 +566,18 @@ def search_segments(
     docs table; ``doc_filter`` + ``docs`` is the arbitrary-predicate
     alternative."""
     plan = parse_query(query_text, mode=mode)
+    if any(l.prefix_last for l in plan.leaves):
+        plan = expand_plan(plan, lambda p, fld: _dict_prefix_terms(si, p))
     spark = si.spark
 
     pure_or = (
         not plan.is_all
         and plan.root is None
         and plan.leaves
-        and all(l.occur == "should" and not l.is_phrase for l in plan.leaves)
+        and all(
+            l.occur == "should" and not l.is_phrase and l.rng is None
+            for l in plan.leaves
+        )
         and doc_filter is None
         and filter_paths is None
         and date_ranges is None
@@ -516,6 +593,7 @@ def search_segments(
     meta = _term_meta(si, all_terms)
     live_terms = [t for t in all_terms if t in meta]
     needs_universe = plan.is_all or (plan.leaves and not plan.has_positive())
+    ranges = None
     if needs_universe and docs is None:
         # AllQuery / NOT-only over the bare index: the doc universe must
         # come from the index itself — decode every live posting (this IS
@@ -531,7 +609,6 @@ def search_segments(
         # rarest required term's doc-id ranges can contain matches, so
         # the common terms' blocks are mostly skipped before decode
         # (`rare AND the`-shaped queries stop decoding `the`).
-        ranges = None
         if len(live_terms) > 1:
             anchor = conjunctive_anchor(plan, meta)
             if anchor is not None:
@@ -539,6 +616,16 @@ def search_segments(
         decoded = decode_postings(
             si, live_terms, meta, with_positions=need_pos, k1=k1, b=b, doc_ranges=ranges
         )
+    if not (needs_universe and docs is None):
+        # lexicographic range leaves need postings outside the plan's own
+        # terms; decode_all_postings above already covers everything
+        extra = _decode_range_postings(
+            si, plan, live_terms, need_pos, k1, b, doc_ranges=ranges
+        )
+        if extra is not None:
+            if "gen" in decoded.columns:  # the empty-plan frame keeps gen
+                decoded = decoded.drop("gen")
+            decoded = decoded.unionByName(extra)
     idx = InvertedIndex(
         postings=decoded,
         terms=si.terms,

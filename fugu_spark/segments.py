@@ -252,6 +252,38 @@ def _dict_agg(seg: DataFrame) -> DataFrame:
     )
 
 
+def sized_range_partitions(
+    rows: DataFrame, target_bytes: int, fallback: int | None = None
+) -> int:
+    """Range-partition count proportional to the plan's size estimate —
+    one partition per ~``target_bytes``. Size comes from Catalyst's plan
+    stats (file-scan based, no extra job); when the plan can't estimate
+    (unknown → Long.Max sentinel) fall back to ``fallback`` (default: the
+    input's current partition count). Used by every range-clustered
+    sidecar writer so a metadata-scale table never fans out into
+    spark.sql.shuffle.partitions tiny files (ADVICE r4) while a
+    corpus-scale one still gets enough write parallelism."""
+    size = None
+    try:
+        size = int(rows._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        pass
+    # >= 2^50 bytes is not a real estimate (Catalyst's unknown sentinel,
+    # or a blown-up explode multiplier) — treat as unknown
+    if size is None or size <= 0 or size >= (1 << 50):
+        return fallback if fallback is not None else max(1, rows.rdd.getNumPartitions())
+    # cap keeps the count a valid Java int and a sane file count even for
+    # pessimistic estimates (2^21 × target_bytes ≈ 0.25 EB at 128 MB)
+    return int(min(max(1, -(-size // target_bytes)), 1 << 21))
+
+
+# metadata-scale sidecars (terms dictionary, filter/date/suggest indexes)
+# pack ~128 MB per range partition — small enough to parallelize a 10^9-
+# term dictionary write, large enough that a sandbox-scale sidecar is one
+# file and one range-sampling pass instead of 200
+SIDECAR_PART_BYTES = 128 << 20
+
+
 def _write_terms(agg: DataFrame, terms_path: str, mode: str = "overwrite") -> None:
     """Dictionary writer: range-partitioned + sorted BY TERM so the
     driver-side pyarrow lookup (_term_meta) prunes to one file + one row
@@ -259,9 +291,9 @@ def _write_terms(agg: DataFrame, terms_path: str, mode: str = "overwrite") -> No
     row group span ~the full term range — min/max stats prune nothing,
     and at source-code vocab scale (10^9+ distinct identifiers) a per-
     query dictionary read degenerates into a dictionary scan."""
-    agg.repartitionByRange("term").sortWithinPartitions("term").write.mode(
-        mode
-    ).parquet(terms_path)
+    agg.repartitionByRange(
+        sized_range_partitions(agg, SIDECAR_PART_BYTES), "term"
+    ).sortWithinPartitions("term").write.mode(mode).parquet(terms_path)
 
 
 def merge_dictionary(spark: SparkSession, seg_path: str, terms_path: str) -> None:

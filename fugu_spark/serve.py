@@ -659,6 +659,15 @@ class LocalSearcher:
         OOMing the driver — callers fall back to the distributed engine.
         """
         plan = parse_query(query_text, mode=self.mode)
+        if any(l.prefix_last or l.rng is not None for l in plan.leaves):
+            # dictionary-prefix and lexicographic-range leaves execute on
+            # the Spark path (search_segments expands/decodes them);
+            # serving them here would need a local expansion + range
+            # decode that this searcher does not implement
+            raise ValueError(
+                "prefix/range query leaves are not locally servable — "
+                "route to search_segments"
+            )
         allowed = self._allowed_docs(filters) if filters else None
         if date_ranges:
             dallowed = self._allowed_dates(date_ranges)

@@ -1,0 +1,200 @@
+"""Parser syntax tail (VERDICT r4 Next #6): term-set sugar
+``field: IN [a b]``, dictionary-prefix queries ``term*`` / ``"a b"*``,
+and lexicographic term ranges ``[a TO b]`` over non-date fields.
+
+The reference passes raw query strings to Tantivy's QueryParser
+(/root/reference/src/db/search.rs:112-118), so this grammar is reachable
+through its search route; semantics pinned here per queryparse.Leaf."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fugu_spark import postings as P
+from fugu_spark.queryparse import expand_plan, parse_query
+from fugu_spark.search import search, search_fields
+
+DOCS = [
+    (0, "merge join plan", "alpha"),
+    (1, "merge sort network", "alpha"),
+    (2, "hash join probe", "beta"),
+    (3, "joiner jointly joins", "beta"),
+    (4, "vector scan only", "gamma"),
+    (5, "merge joins fast", "gamma"),
+]
+SCHEMA = "doc_id long, text string, source string"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs = spark.createDataFrame(DOCS, SCHEMA).cache()
+    idx = P.build_index(docs, id_col="doc_id", text_col="text")
+    return docs, idx
+
+
+# ---------------------------------------------------------------- parsing
+
+
+def test_in_set_rewrites_to_field_group():
+    plan = parse_query("source: IN [alpha beta]", fields={"text", "source"})
+    assert plan.root is not None
+    assert sorted(l.terms[0] for l in plan.leaves) == ["alpha", "beta"]
+    assert all(l.fld == "source" for l in plan.leaves)
+
+
+def test_in_set_inside_quotes_is_phrase_text():
+    plan = parse_query('"source: IN [alpha beta]"', fields={"source"})
+    # the quoted text is a phrase; IN/brackets are not clause syntax
+    assert len(plan.leaves) == 1 and plan.leaves[0].is_phrase
+
+
+def test_in_set_without_known_field_strips():
+    # single-index search has no field set: ':' '[' ']' strip, members
+    # become bare terms (the reference's escape-and-retry)
+    plan = parse_query("lang: IN [es de]")
+    terms = sorted(t for l in plan.leaves for t in l.terms)
+    assert terms == ["de", "es", "in", "lang"]
+
+
+def test_trailing_star_marks_prefix_leaf():
+    plan = parse_query("merge jo*")
+    assert [l.prefix_last for l in plan.leaves] == [False, True]
+    assert plan.leaves[1].terms == ("jo",)
+
+
+def test_phrase_star_marks_prefix_phrase():
+    plan = parse_query('"merge jo"*')
+    (leaf,) = plan.leaves
+    assert leaf.prefix_last and leaf.terms == ("merge", "jo") and leaf.slop == 0
+
+
+def test_bare_range_leaf():
+    plan = parse_query("[join TO merge]")
+    (leaf,) = plan.leaves
+    assert leaf.rng == ("join", "merge", True, True)
+    assert leaf.terms == ()
+
+
+def test_exclusive_range_and_open_sides():
+    plan = parse_query("{join TO *}")
+    (leaf,) = plan.leaves
+    assert leaf.rng == ("join", None, False, False)
+
+
+def test_expand_plan_zero_expansions_is_dead():
+    plan = parse_query("zz*")
+    out = expand_plan(plan, lambda p, fld: [])
+    assert out.leaves == [] and not out.is_all
+
+
+# ---------------------------------------------------------------- execution
+
+
+def _ids(df):
+    return [r["doc_id"] for r in df.collect()]
+
+
+def test_term_prefix_matches_expansion_or(corpus):
+    docs, idx = corpus
+    got = search(idx, "jo*", k=10, docs=docs)
+    # expansions of 'jo': join, joiner, jointly, joins
+    want = search(idx, "join joiner jointly joins", k=10, docs=docs)
+    assert [(r["doc_id"], round(r["score"], 9)) for r in got.collect()] == [
+        (r["doc_id"], round(r["score"], 9)) for r in want.collect()
+    ]
+
+
+def test_phrase_prefix(corpus):
+    docs, idx = corpus
+    got = _ids(search(idx, '"merge jo"*', k=10, docs=docs))
+    # docs where 'merge' is adjacently followed by a 'jo…' term
+    assert got == sorted(
+        _ids(search(idx, '"merge join" "merge joins"', k=10, docs=docs))
+    ) or set(got) == {0, 5}
+
+
+def test_prefix_as_must_clause(corpus):
+    docs, idx = corpus
+    got = set(_ids(search(idx, "merge AND jo*", k=10, docs=docs)))
+    assert got == {0, 5}  # merge + some jo… term
+
+
+def test_prefix_not_clause(corpus):
+    docs, idx = corpus
+    got = set(_ids(search(idx, "merge NOT jo*", k=10, docs=docs)))
+    assert got == {1}  # merge docs without any jo… term
+
+
+def test_range_constant_score(corpus):
+    docs, idx = corpus
+    out = search(idx, "[joiner TO jointly]", k=10, docs=docs)
+    rows = out.collect()
+    # joiner ≤ {joiner, joins} ≤ jointly → docs 3 and 5
+    assert {r["doc_id"] for r in rows} == {3, 5}
+    assert all(r["score"] == 1.0 for r in rows)
+
+
+def test_range_with_term_or(corpus):
+    docs, idx = corpus
+    out = {r["doc_id"]: r["score"] for r in search(idx, "merge [joiner TO jointly]", k=10, docs=docs).collect()}
+    assert 3 in out and out[3] == 1.0  # range-only match: constant score
+    assert all(i in out for i in (0, 1, 5))  # merge docs score BM25
+
+
+def test_range_exclusive_bounds(corpus):
+    docs, idx = corpus
+    # {join TO joins} excludes both endpoints → only joiner/jointly docs
+    out = set(_ids(search(idx, "{join TO joins}", k=10, docs=docs)))
+    assert out == {3}
+
+
+def test_range_not_clause(corpus):
+    docs, idx = corpus
+    out = set(_ids(search(idx, "merge NOT [join TO joins]", k=10, docs=docs)))
+    # excludes docs containing any term in [join, joins]
+    assert out == {1}
+
+
+def test_segments_parity_prefix_and_range(spark, corpus, tmp_path):
+    from fugu_spark.segment_search import search_segments
+    from fugu_spark.segments import build_segments
+
+    docs, idx = corpus
+    si = build_segments(docs, str(tmp_path / "idx"), id_col="doc_id", text_col="text")
+    for q in ("jo*", '"merge jo"*', "merge AND jo*", "[joiner TO jointly]",
+              "merge [join TO joins]", "merge NOT [join TO joins]"):
+        mem = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in search(idx, q, k=10, docs=docs).collect()
+        ]
+        seg = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in search_segments(si, q, k=10, docs=docs).collect()
+        ]
+        assert mem == seg, q
+
+
+def test_multifield_in_set(corpus):
+    docs, idx_text = corpus
+    idx_src = P.build_index(docs, id_col="doc_id", text_col="source")
+    got = search_fields(
+        {"text": idx_text, "source": idx_src}, "source: IN [alpha gamma] merge",
+        k=10, docs=docs,
+    )
+    ids = {r["doc_id"] for r in got.collect()}
+    # alpha/gamma docs (0,1,4,5) from the set, merge adds nothing new
+    assert ids == {0, 1, 4, 5}
+
+
+def test_engine_falls_back_for_prefix(spark, corpus, tmp_path):
+    """LocalSearcher refuses prefix/range leaves; the engine facade must
+    transparently serve them through the Spark path."""
+    from fugu_spark.engine import FuguSparkEngine
+
+    docs, _ = corpus
+    eng = FuguSparkEngine.build(
+        docs, index_dir=str(tmp_path / "eng"), facets_col=None
+    )
+    out = {r["doc_id"] for r in eng.search("jo*", k=10).collect()}
+    assert out == {0, 2, 3, 5}
