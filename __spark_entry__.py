@@ -92,17 +92,82 @@ def _seg_search_q(query: str, k: int = 10, force_wand: bool = False):
 
 _BATCH_QUERIES = {0: "merge join", 1: "merge AND sort", 2: "table NOT window", 3: "merge^2 join"}
 
+# v2 shapes (VERDICT r4 Next #1): phrase, sloppy phrase + term, nested
+# group, phrase exclusion — all combined in the SAME single job
+_BATCH_RICH_QUERIES = {
+    0: '"merge join"',
+    1: '"merge join"~2 table',
+    2: "(merge OR join) AND sort",
+    3: 'table NOT "merge join"',
+}
 
-def _batch_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch retrieval: 4 queries in ONE Spark job (fugu_spark.batch),
-    rank/score identical per query to the segment engine."""
-    from fugu_spark.batch import batch_search_segments
 
-    si = _seg_index(spark, sf_dir)
-    out = batch_search_segments(si, _BATCH_QUERIES, k=5)
-    return out.select(
-        "query_id", "doc_id", F.round("score", 6).alias("score"), F.col("rank").cast("long").alias("rank")
+def _batch_q(queries: dict[int, str], k: int = 5):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Batch retrieval: many queries in ONE Spark job (fugu_spark.batch),
+        rank/score identical per query to the segment engine."""
+        from fugu_spark.batch import batch_search_segments
+
+        si = _seg_index(spark, sf_dir)
+        out = batch_search_segments(si, queries, k=k)
+        return out.select(
+            "query_id",
+            "doc_id",
+            F.round("score", 6).alias("score"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+
+    return run
+
+
+_batch_search_q = _batch_q(_BATCH_QUERIES)
+
+
+def _bm25_streamed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8/§2.11 through the driver gate: bootstrap an index over part of
+    the corpus, stream the REST through start_stream_ingest's
+    foreachBatch path (availableNow, maxFilesPerTrigger=1 → several
+    micro-batch generations), then search — the streamed index must
+    score identically to a fresh full-corpus build, which is exactly
+    what the oracle recomputes (fugu_spark/streaming.py:25)."""
+    import os
+    import shutil
+
+    import fugu_spark
+    from fugu_spark.segment_search import search_segments
+    from fugu_spark.segments import SegmentIndex, build_segments
+    from fugu_spark.streaming import start_stream_ingest
+
+    d = (
+        f"/tmp/fugu_entry_stream_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_v{fugu_spark.__version__}"
     )
+    shutil.rmtree(d, ignore_errors=True)
+    idx_dir, drop, cp = f"{d}/idx", f"{d}/drop", f"{d}/cp"
+    os.makedirs(drop)
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    build_segments(
+        docs.filter(F.col("doc_id") < 200), idx_dir, id_col="doc_id", text_col="text"
+    )
+    # two drop-folder files → two micro-batches under maxFilesPerTrigger=1
+    docs.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 400)).coalesce(
+        1
+    ).write.mode("append").parquet(drop)
+    docs.filter(F.col("doc_id") >= 400).coalesce(1).write.mode("append").parquet(drop)
+    q = start_stream_ingest(
+        spark,
+        drop,
+        "doc_id long, text string",
+        idx_dir,
+        cp,
+        id_col="doc_id",
+        text_col="text",
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(600)
+    si = SegmentIndex.load(spark, idx_dir)
+    out = search_segments(si, "merge join", k=10)
+    return out.select("doc_id", F.round("score", 6).alias("score"))
 
 
 def _serving_q(query: str, k: int = 10):
@@ -643,13 +708,77 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return namespaces(d)
 
     # ORDERING POLICY (the driver executes the FIRST 50 entries in dict
-    # insertion order — VERDICT r3 What's-wrong #2): never-verified and
-    # newest entries come FIRST so the independent correctness gate always
-    # covers the least-proven code; a regression core fills the remaining
-    # slots; previously-green entries rotate in the tail (still
-    # pytest-covered every session).
+    # insertion order — VERDICT r4 Next #2): never-verified/new entries
+    # come FIRST, then the entries whose last driver-green row is two
+    # rounds old (the 27 rotated out of r04's window), then a regression
+    # core fills to the 50 cap; entries green in r04 rotate to the tail
+    # (still pytest-covered and locally oracle-verified every round).
     out = {
-        # --- block 1: the 21 entries the r3 driver cap never ran ---
+        # --- block 1: new this round (never driver-verified) ---
+        "bm25_streamed": _bm25_streamed_q,
+        "batch_search_rich": _batch_q(_BATCH_RICH_QUERIES),
+        "bm25_in_set": _multifield_q("source: IN [src1 src2] merge", 10),
+        "bm25_phrase_prefix": _search_q('"merge s"*', 10),
+        "bm25_prefix_term": _search_q("s*", 10),
+        "bm25_term_range": _search_q("merge [scan TO sort]", 10),
+        "bm25_segments_prefix": _seg_search_q("s*", 10),
+        # --- block 2: last driver-verified in r03 (refresh their rows) ---
+        "all_filter_paths": all_filter_paths_q,
+        "ann_cosine_all": ann_cosine_all,
+        "ann_ivf_top10": _ann_ivf_top10,
+        "ann_lsh_probe2": _ann_lsh_probe2,
+        "ann_lsh_top10": _ann_lsh_top10,
+        "bm25_contains_filter": _contains_filter_q,
+        "bm25_page2": _eng_search_q("merge join", 10, offset=10),
+        "bm25_prefix_filter": _eng_search_q("merge", 10, filters=["lang/e/*"]),
+        "bm25_wildcard_filter": _eng_search_q("merge", 10, filters=["*rc1*"]),
+        "bm25_segments_and": _seg_search_q("merge AND join", 10),
+        "bpe_token_count": bpe_tokens,
+        "date_range_filter": date_range,
+        "dup_groups": dup_groups_q,
+        "emb_dup_exact": emb_dup_exact,
+        "facet_boost": facet_boost_q,
+        "facet_counts_lang": facet_counts_lang,
+        "facet_tree": facet_tree,
+        "filter_boost": filter_boost_q,
+        "filter_values_lang": filter_values_lang,
+        "fingerprint": fingerprint,
+        "lang_id": lang_id_q,
+        "ngram_jaccard": ngram_jaccard,
+        "quality": quality,
+        "search_facets_src1": search_facets_src1,
+        "suggestions": suggestions_q,
+        "token_stats": token_stats,
+        "winnow_fps": lambda spark, sf_dir: textstats.winnow_fingerprints(_docs(spark, sf_dir)),
+        # --- block 3: regression core (fills to the 50 cap) ---
+        "postings_tf": postings_tf,
+        "doc_len": doc_len,
+        "term_dict": term_dict,
+        "corpus_stats": corpus_stats,
+        "bm25_top10_single": _search_q("merge", 10),
+        "bm25_top10_or": _search_q("merge join", 10),
+        "bm25_top10_and": _search_q("merge AND join", 10),
+        "bm25_top10_not": _search_q("merge NOT window", 10),
+        "bm25_phrase": _search_q('"merge join"', 10),
+        "bm25_boost": _search_q("merge^2 join", 10),
+        "bm25_segments_or": _seg_search_q("merge join", 10),
+        "bm25_segments_wand": _seg_search_q("merge join", 10, force_wand=True),
+        "bm25_serving_path": _serving_q("merge join", 10),
+        "multifield_or": _multifield_q("merge src1", 10),
+        "exact_dedup": exact_dedup_q,
+        "batch_search": _batch_search_q,
+        # --- block 4: rotating tail (driver-green in r04; pytest-covered
+        # and re-verified locally via CORRECTNESS_LOCAL each round) ---
+        "bm25_or_k100": _search_q("merge join", 100),
+        "bm25_filtered_lang": _search_q("merge", 10, lang="es"),
+        "bm25_segments_phrase": _seg_search_q('"merge join"', 10),
+        "allquery": allquery,
+        "point_lookup": point_lookup,
+        "minhash_pairs": lambda spark, sf_dir: dedup.minhash_dedup_pairs(
+            _docs(spark, sf_dir), threshold=0.5
+        ).select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")),
+        "simhash_sigs": lambda spark, sf_dir: dedup.simhash_signatures(_docs(spark, sf_dir)),
+        "bm25_min_score": _eng_search_q("merge join", 100, min_score=0.35),
         "namespaces": namespaces_q,
         "split_assign": split_assign_q,
         "stratified_sample": stratified_sample_q,
@@ -671,7 +800,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segments_compact": segments_compact_q,
         "metadata_facets": metadata_facets_q,
         "namespace_filter_paths": ns_filter_paths_q,
-        # --- new this round (never verified → ahead of the core) ---
         "bm25_phrase_slop": _search_q('"merge join"~2', 10),
         "bm25_segments_phrase_slop": _seg_search_q('"merge join"~2', 10),
         "multifield_qualified": _multifield_q("source:src1 merge", 10),
@@ -679,61 +807,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_range_syntax": _eng_search_q(
             "merge date_created:[2024-03-01T00:00:00Z TO 2024-06-01T00:00:00Z}", 100
         ),
-        "batch_search": _batch_search_q,
-        # --- block 2: regression core (always-run, fills to the 50 cap) ---
-        "postings_tf": postings_tf,
-        "doc_len": doc_len,
-        "term_dict": term_dict,
-        "corpus_stats": corpus_stats,
-        "bm25_top10_single": _search_q("merge", 10),
-        "bm25_top10_or": _search_q("merge join", 10),
-        "bm25_top10_and": _search_q("merge AND join", 10),
-        "bm25_top10_not": _search_q("merge NOT window", 10),
-        "bm25_phrase": _search_q('"merge join"', 10),
-        "bm25_boost": _search_q("merge^2 join", 10),
-        "bm25_or_k100": _search_q("merge join", 100),
-        "bm25_filtered_lang": _search_q("merge", 10, lang="es"),
-        "bm25_segments_or": _seg_search_q("merge join", 10),
-        "bm25_segments_wand": _seg_search_q("merge join", 10, force_wand=True),
-        "bm25_segments_phrase": _seg_search_q('"merge join"', 10),
-        "bm25_serving_path": _serving_q("merge join", 10),
-        "multifield_or": _multifield_q("merge src1", 10),
-        "allquery": allquery,
-        "point_lookup": point_lookup,
-        "exact_dedup": exact_dedup_q,
-        "minhash_pairs": lambda spark, sf_dir: dedup.minhash_dedup_pairs(
-            _docs(spark, sf_dir), threshold=0.5
-        ).select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")),
-        "simhash_sigs": lambda spark, sf_dir: dedup.simhash_signatures(_docs(spark, sf_dir)),
-        "bm25_min_score": _eng_search_q("merge join", 100, min_score=0.35),
-        # --- block 3: rotating tail (green in CORRECTNESS_r03; pytest-covered) ---
-        "ann_lsh_top10": _ann_lsh_top10,
-        "facet_counts_lang": facet_counts_lang,
-        "facet_tree": facet_tree,
-        "all_filter_paths": all_filter_paths_q,
-        "ann_lsh_probe2": _ann_lsh_probe2,
-        "ann_ivf_top10": _ann_ivf_top10,
-        "bm25_segments_and": _seg_search_q("merge AND join", 10),
-        "filter_values_lang": filter_values_lang,
-        "search_facets_src1": search_facets_src1,
-        "token_stats": token_stats,
-        "bpe_token_count": bpe_tokens,
-        "emb_dup_exact": emb_dup_exact,
-        "quality": quality,
-        "lang_id": lang_id_q,
-        "fingerprint": fingerprint,
-        "date_range_filter": date_range,
-        "ngram_jaccard": ngram_jaccard,
-        "dup_groups": dup_groups_q,
-        "ann_cosine_all": ann_cosine_all,
-        "suggestions": suggestions_q,
-        "winnow_fps": lambda spark, sf_dir: textstats.winnow_fingerprints(_docs(spark, sf_dir)),
-        "bm25_prefix_filter": _eng_search_q("merge", 10, filters=["lang/e/*"]),
-        "bm25_contains_filter": _contains_filter_q,
-        "bm25_wildcard_filter": _eng_search_q("merge", 10, filters=["*rc1*"]),
-        "bm25_page2": _eng_search_q("merge join", 10, offset=10),
-        "facet_boost": facet_boost_q,
-        "filter_boost": filter_boost_q,
     }
     return out
 
@@ -864,6 +937,113 @@ SELECT p.doc_id,
        round(i.idf_sum * p.tfp * 2.2 / (p.tfp + 1.2 * (0.25 + 0.75 * d.doc_len / s.avgdl)), 6) AS score
 FROM phr p JOIN dl d USING (doc_id), stats s, idfs i
 ORDER BY 2 DESC, doc_id ASC LIMIT 10"""
+
+# Batch retrieval v2: phrase / sloppy-phrase+term / nested-group /
+# phrase-NOT shapes, one (query_id, doc_id, score, rank ≤ 5) result set.
+# Mirrors fugu_spark.batch's combine semantics per shape.
+_BATCH_RICH_SQL = f"""WITH {_TOK}, {_SCORED},
+idfs AS (
+  SELECT sum(ln(1 + (s.n - t.df + 0.5) / (t.df + 0.5))) AS idf_sum
+  FROM tstat t, stats s WHERE t.term IN ('merge', 'join')
+),
+phr AS (
+  SELECT a.doc_id, count(*) AS tfp
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'merge' AND b.term = 'join' GROUP BY 1
+),
+phr_sc AS (
+  SELECT p.doc_id,
+         i.idf_sum * p.tfp * 2.2 / (p.tfp + 1.2 * (0.25 + 0.75 * d.doc_len / s.avgdl)) AS sc
+  FROM phr p JOIN dl d USING (doc_id), stats s, idfs i
+),
+sphr AS (
+  SELECT b.doc_id, count(DISTINCT b.pos) AS tfp
+  FROM tok a JOIN tok b
+    ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos - a.pos - 1 <= 2
+  WHERE a.term = 'merge' AND b.term = 'join' GROUP BY 1
+),
+sphr_sc AS (
+  SELECT p.doc_id,
+         i.idf_sum * p.tfp * 2.2 / (p.tfp + 1.2 * (0.25 + 0.75 * d.doc_len / s.avgdl)) AS sc
+  FROM sphr p JOIN dl d USING (doc_id), stats s, idfs i
+),
+tbl_sc AS (SELECT doc_id, sum(sc) AS sc FROM scored WHERE term = 'table' GROUP BY 1),
+srt_sc AS (SELECT doc_id, sum(sc) AS sc FROM scored WHERE term = 'sort' GROUP BY 1),
+mj_sc  AS (SELECT doc_id, sum(sc) AS sc FROM scored WHERE term IN ('merge', 'join') GROUP BY 1),
+q0 AS (SELECT 0 AS query_id, doc_id, sc AS s FROM phr_sc),
+q1 AS (
+  SELECT 1, COALESCE(p.doc_id, t.doc_id), COALESCE(p.sc, 0) + COALESCE(t.sc, 0)
+  FROM sphr_sc p FULL OUTER JOIN tbl_sc t ON p.doc_id = t.doc_id
+),
+q2 AS (
+  SELECT 2, g.doc_id, g.sc + s.sc
+  FROM mj_sc g JOIN srt_sc s ON g.doc_id = s.doc_id
+),
+q3 AS (
+  SELECT 3, doc_id, sc FROM tbl_sc
+  WHERE doc_id NOT IN (SELECT doc_id FROM phr)
+),
+u AS (SELECT * FROM q0 UNION ALL SELECT * FROM q1 UNION ALL SELECT * FROM q2
+      UNION ALL SELECT * FROM q3),
+ranked AS (
+  SELECT query_id, doc_id, round(s, 6) AS score,
+         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id ASC) AS rank
+  FROM u
+)
+SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= 5"""
+
+# 'merge s*' family — prefix expansion = every dictionary term with the
+# prefix ('s' → 6 terms at this vocab, far under the 50-expansion cap,
+# so LIKE reproduces the engine's dictionary-ordered expansion exactly)
+_PHRASE_PREFIX_SQL = f"""WITH {_TOK},
+phr AS (
+  SELECT a.doc_id, b.term AS e, count(*) AS tfp
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'merge' AND b.term LIKE 's%'
+  GROUP BY 1, 2
+),
+idfs AS (
+  SELECT t.term AS e,
+         (SELECT ln(1 + (s2.n - t2.df + 0.5) / (t2.df + 0.5))
+          FROM tstat t2, stats s2 WHERE t2.term = 'merge')
+         + ln(1 + (s.n - t.df + 0.5) / (t.df + 0.5)) AS idf_sum
+  FROM tstat t, stats s WHERE t.term LIKE 's%'
+),
+sc AS (
+  SELECT p.doc_id,
+         i.idf_sum * p.tfp * 2.2 / (p.tfp + 1.2 * (0.25 + 0.75 * d.doc_len / s.avgdl)) AS sc
+  FROM phr p JOIN idfs i USING (e) JOIN dl d USING (doc_id), stats s
+)
+SELECT doc_id, round(sum(sc), 6) AS score FROM sc
+GROUP BY doc_id ORDER BY sum(sc) DESC, doc_id ASC LIMIT 10"""
+
+# 'merge [scan TO sort]' — the range leaf is CONSTANT-score 1.0 (Lucene
+# semantics, queryparse.Leaf.rng pin); merge scores BM25; flat OR combine
+_TERM_RANGE_SQL = f"""WITH {_TOK}, {_SCORED},
+m AS (SELECT doc_id, sum(sc) AS s FROM scored WHERE term = 'merge' GROUP BY 1),
+r AS (SELECT DISTINCT doc_id FROM post WHERE term >= 'scan' AND term <= 'sort')
+SELECT COALESCE(m.doc_id, r.doc_id) AS doc_id,
+       round(COALESCE(m.s, 0) + CASE WHEN r.doc_id IS NOT NULL THEN 1.0 ELSE 0.0 END, 6) AS score
+FROM m FULL OUTER JOIN r ON m.doc_id = r.doc_id
+ORDER BY COALESCE(m.s, 0) + CASE WHEN r.doc_id IS NOT NULL THEN 1.0 ELSE 0.0 END DESC,
+         1 ASC LIMIT 10"""
+
+# 'source: IN [src1 src2] merge' — the set sugar becomes a source-scoped
+# OR group; the source field is single-token (tf=1, dl=1, avgdl=1 →
+# tf_norm = 1) so a set member's score is its bare idf; 'merge' scores in
+# both fields (absent from source values here)
+_IN_SET_SQL = f"""WITH {_TOK}, {_SCORED},
+txt AS (SELECT doc_id, sum(sc) AS s FROM scored WHERE term = 'merge' GROUP BY 1),
+sstat AS (SELECT source, count(*) AS df FROM documents GROUP BY source),
+src AS (
+  SELECT d.doc_id, ln(1 + (s.n - st.df + 0.5) / (st.df + 0.5)) AS s
+  FROM documents d JOIN sstat st ON d.source = st.source, stats s
+  WHERE d.source IN ('src1', 'src2')
+)
+SELECT COALESCE(txt.doc_id, src.doc_id) AS doc_id,
+       round(COALESCE(txt.s, 0) + COALESCE(src.s, 0), 6) AS score
+FROM txt FULL OUTER JOIN src ON txt.doc_id = src.doc_id
+ORDER BY COALESCE(txt.s, 0) + COALESCE(src.s, 0) DESC, 1 ASC LIMIT 10"""
 
 _BOOST_SQL = f"""WITH {_TOK}, {_SCORED}
 SELECT doc_id, round(sum(CASE WHEN term = 'merge' THEN 2.0 * sc ELSE sc END), 6) AS score
@@ -1415,6 +1595,15 @@ SELECT vec_id, round(score, 6) AS score FROM sc ORDER BY score DESC, vec_id ASC 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # streamed build must equal a fresh full-corpus build → same
+        # topk oracle as the cold-build entries
+        "bm25_streamed": _topk_sql("term IN ('merge','join')"),
+        "batch_search_rich": _BATCH_RICH_SQL,
+        "bm25_in_set": _IN_SET_SQL,
+        "bm25_phrase_prefix": _PHRASE_PREFIX_SQL,
+        "bm25_prefix_term": _topk_sql("term LIKE 's%'"),
+        "bm25_term_range": _TERM_RANGE_SQL,
+        "bm25_segments_prefix": _topk_sql("term LIKE 's%'"),
         "postings_tf": f"WITH {_TOK} SELECT term, doc_id, tf FROM post",
         "doc_len": f"WITH {_TOK} SELECT doc_id, doc_len FROM dl",
         "term_dict": f"WITH {_TOK} SELECT term, df, cf FROM tstat",

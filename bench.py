@@ -175,6 +175,11 @@ def scale_worker(cpus: int, corpus_dir: str, out_dir: str, with_qb: bool = True)
     if with_qb:
         from fugu_spark.batch import batch_search_segments
 
+        # ≥1k queries (VERDICT r4 Next #3): at this size per-query work
+        # dominates the job's fixed cost (scheduling + decode), which is
+        # what the amortization claim in fugu_spark/batch.py asserts.
+        # Shapes span the v2 surface: OR / AND / NOT / boost / wide-OR /
+        # phrase / nested group.
         vocab = [
             "merge", "join", "sort", "window", "hash", "table",
             "scan", "filter", "group", "order", "key", "value",
@@ -182,12 +187,22 @@ def scale_worker(cpus: int, corpus_dir: str, out_dir: str, with_qb: bool = True)
         qset: dict[int, str] = {}
         for a in vocab:
             for bword in vocab:
+                if a == bword:
+                    continue
+                qset[len(qset)] = f"{a} {bword}"
+                qset[len(qset)] = f"{a} AND {bword}"
+                qset[len(qset)] = f"{a} NOT {bword}"
+                qset[len(qset)] = f"{a}^2 {bword}"
                 if a < bword:
-                    qset[len(qset)] = f"{a} {bword}"
-        for a, bword, c in zip(vocab, vocab[1:], vocab[2:]):
-            qset[len(qset)] = f"{a} AND {bword}"
-            qset[len(qset)] = f"{a} NOT {bword}"
+                    qset[len(qset)] = f'"{a} {bword}"'
+        import itertools
+
+        for a, bword, c in itertools.islice(
+            itertools.combinations(vocab, 3), 250
+        ):
             qset[len(qset)] = f"{a} {bword} {c}"
+            if len(qset) % 2 == 0:
+                qset[len(qset)] = f"({a} OR {bword}) AND {c}"
         batch_search_segments(si, {0: qset[0]}, k=10).count()  # warm
         t0 = time.time()
         n_hits = batch_search_segments(si, qset, k=10).count()

@@ -37,7 +37,7 @@ from pyspark.sql import types as T
 
 from . import BM25_B, BM25_K1
 from .bm25 import idf_py
-from .codecs import decode_posting_block
+from .codecs import decode_posting_blocks_batched
 from .postings import InvertedIndex
 from .queryparse import PREFIX_MAX_EXPANSIONS, QueryPlan, expand_plan, parse_query
 from .search import execute_plan, top_k
@@ -156,42 +156,49 @@ def _decode_seg_df(
                 ok = j < len(r_starts)
                 ok[ok] = r_starts[j[ok]] <= bmax[ok]
                 pdf = pdf[ok]
-            outs = []
-            for row in pdf.itertuples(index=False):
-                if skip_on:
-                    ub = term_upper_bound(
-                        idf[row.term], row.max_tf, row.min_doc_len, avgdl, k1, b
-                    )
-                    if ub + oub[row.term] < theta:
-                        continue  # block-max skip: cannot reach top-k
-                blk = {
-                    "n_docs": row.n_docs,
-                    "doc_ids_enc": row.doc_ids_enc,
-                    "tfs_enc": row.tfs_enc,
-                    "doc_lens_enc": row.doc_lens_enc,
-                }
-                if with_positions:
-                    blk["pos_counts_enc"] = row.pos_counts_enc
-                    blk["positions_enc"] = row.positions_enc
-                dec = decode_posting_block(blk)
-                n = row.n_docs
-                out = pd.DataFrame(
-                    {
-                        "doc_id": dec["doc_ids"].view(np.int64),
-                        "term": row.term,
-                        "tf": dec["tfs"].astype(np.int64).astype("int32"),
-                        "positions": [
-                            p.astype(np.int64).astype("int32") for p in dec["positions"]
-                        ]
-                        if with_positions
-                        else [np.array([], dtype="int32")] * n,
-                        "doc_len": dec["doc_lens"].astype(np.int64).astype("int32"),
-                        "gen": np.int32(row.gen),
-                    }
+            if skip_on and len(pdf):
+                # block-max skip, vectorized: same float expression shape
+                # as term_upper_bound (scalar path), so the keep set is
+                # identical to the old per-row loop
+                idfv = pdf["term"].map(idf).to_numpy(np.float64)
+                mtf = pdf["max_tf"].to_numpy(np.float64)
+                mdl = pdf["min_doc_len"].to_numpy(np.float64)
+                ubv = idfv * mtf * (k1 + 1.0) / (
+                    mtf + k1 * (1.0 - b + b * mdl / avgdl)
                 )
-                outs.append(out)
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
+                oubv = pdf["term"].map(oub).to_numpy(np.float64)
+                pdf = pdf[ubv + oubv >= theta]
+            if not len(pdf):
+                continue
+            # ONE batched decode for the whole Arrow batch (codecs.
+            # decode_posting_blocks_batched): per-block stream decodes
+            # paid ~0.2 ms of fixed numpy overhead per block
+            n = pdf["n_docs"].to_numpy(np.int64)
+            dec = decode_posting_blocks_batched(
+                n,
+                pdf["doc_ids_enc"].tolist(),
+                pdf["tfs_enc"].tolist(),
+                pdf["doc_lens_enc"].tolist(),
+                pdf["pos_counts_enc"].tolist() if with_positions else None,
+                pdf["positions_enc"].tolist() if with_positions else None,
+            )
+            total = dec["n_total"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": dec["doc_ids"].view(np.int64),
+                    "term": np.repeat(pdf["term"].to_numpy(), n),
+                    "tf": dec["tfs"].astype(np.int64).astype("int32"),
+                    "positions": [
+                        p.astype(np.int64).astype("int32") for p in dec["positions"]
+                    ]
+                    if with_positions
+                    else [np.array([], dtype="int32")] * total,
+                    "doc_len": dec["doc_lens"].astype(np.int64).astype("int32"),
+                    "gen": np.repeat(
+                        pdf["gen"].to_numpy(np.int64), n
+                    ).astype(np.int32),
+                }
+            )
 
     return _apply_delete_mask(si, seg.mapInPandas(gen, schema=_DECODED_SCHEMA))
 

@@ -35,7 +35,7 @@ import pandas as pd
 
 from . import BM25_B, BM25_K1
 from .bm25 import idf_py
-from .codecs import decode_posting_block
+from .codecs import decode_posting_blocks_batched
 from .queryparse import QueryPlan, parse_query
 from .tokenizer import DEFAULT_MODE
 
@@ -280,47 +280,58 @@ class LocalSearcher:
     ) -> dict[str, dict[str, np.ndarray | list]]:
         """Block rows → per-term posting arrays, delete mask applied.
         Doc order within a term follows (gen, block) order; combine is
-        order-insensitive (grouped by doc), so no re-sort is needed."""
+        order-insensitive (grouped by doc), so no re-sort is needed.
+
+        ALL blocks decode in one batched pass (codecs.
+        decode_posting_blocks_batched) — per-block stream decodes were
+        the dominant cold-query cost (r5 profile: ~0.2 ms × ~100 blocks
+        of fixed numpy overhead)."""
         out: dict[str, dict] = {}
-        acc: dict[str, list] = {}
-        for row in rows.itertuples(index=False):
-            blk = {
-                "n_docs": row.n_docs,
-                "doc_ids_enc": row.doc_ids_enc,
-                "tfs_enc": row.tfs_enc,
-                "doc_lens_enc": row.doc_lens_enc,
-            }
-            if need_pos:
-                blk["pos_counts_enc"] = row.pos_counts_enc
-                blk["positions_enc"] = row.positions_enc
-            dec = decode_posting_block(blk)
-            acc.setdefault(row.term, []).append(
-                (
-                    dec["doc_ids"].view(np.int64),
-                    dec["tfs"].astype(np.int64),
-                    dec["doc_lens"].astype(np.int64),
-                    dec.get("positions"),
-                    int(row.gen),
-                )
-            )
-        for term, parts in acc.items():
-            doc_ids = np.concatenate([p[0] for p in parts])
-            tfs = np.concatenate([p[1] for p in parts])
-            dls = np.concatenate([p[2] for p in parts])
-            gens = np.concatenate(
-                [np.full(len(p[0]), p[4], dtype=np.int64) for p in parts]
-            )
+        if not len(rows):
+            return out
+        # group blocks per term, preserving (gen, block) row order
+        rows = rows.sort_values("term", kind="stable")
+        n_docs = rows["n_docs"].to_numpy(np.int64)
+        dec = decode_posting_blocks_batched(
+            n_docs,
+            rows["doc_ids_enc"].tolist(),
+            rows["tfs_enc"].tolist(),
+            rows["doc_lens_enc"].tolist(),
+            rows["pos_counts_enc"].tolist() if need_pos else None,
+            rows["positions_enc"].tolist() if need_pos else None,
+        )
+        doc_ids_all = dec["doc_ids"].view(np.int64)
+        tfs_all = dec["tfs"].astype(np.int64)
+        dls_all = dec["doc_lens"].astype(np.int64)
+        gens_all = np.repeat(rows["gen"].to_numpy(np.int64), n_docs)
+        terms = rows["term"].to_numpy()
+        # contiguous per-term slices after the stable term sort
+        block_term_change = np.flatnonzero(terms[1:] != terms[:-1]) + 1
+        term_block_starts = np.concatenate([[0], block_term_change, [len(rows)]])
+        val_offs = np.concatenate([[0], np.cumsum(n_docs)]).astype(np.int64)
+        for k in range(len(term_block_starts) - 1):
+            b0, b1 = term_block_starts[k], term_block_starts[k + 1]
+            lo, hi = val_offs[b0], val_offs[b1]
+            doc_ids = doc_ids_all[lo:hi]
+            tfs = tfs_all[lo:hi]
+            dls = dls_all[lo:hi]
+            gens = gens_all[lo:hi]
             positions = None
             if need_pos:
-                positions = [pos for p in parts for pos in (p[3] or [])]
+                positions = dec["positions"][lo:hi]
             if self._deletes is not None:
                 dg = self._deletes.reindex(doc_ids).to_numpy(dtype=np.float64)
                 keep = np.isnan(dg) | (gens >= dg)
                 if not keep.all():
                     doc_ids, tfs, dls = doc_ids[keep], tfs[keep], dls[keep]
                     if positions is not None:
-                        positions = [p for p, k in zip(positions, keep) if k]
-            out[term] = {"doc_ids": doc_ids, "tfs": tfs, "doc_lens": dls, "positions": positions}
+                        positions = [p for p, k2 in zip(positions, keep) if k2]
+            out[str(terms[b0])] = {
+                "doc_ids": doc_ids,
+                "tfs": tfs,
+                "doc_lens": dls,
+                "positions": positions,
+            }
         return out
 
     # ------------------------------------------------------------- filters
