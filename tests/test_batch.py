@@ -64,8 +64,16 @@ def test_batch_rank_column_is_dense_per_query(batch_setup):
 def test_batch_rejects_unsupported(batch_setup):
     corpus, si = batch_setup
     # v2 supports phrases + nested groups; still out of scope: AllQuery,
-    # NOT-only (doc universe), dictionary-expansion leaves
-    for bad in ("", "NOT merge", "merge*", "[alpha TO beta]"):
+    # NOT-only (doc universe — top-level or as a group whose positives
+    # are all dead), dictionary-expansion leaves
+    for bad in (
+        "",
+        "NOT merge",
+        "merge*",
+        "[alpha TO beta]",
+        "(NOT merge NOT sort) window",  # NOT-only group needs all_docs
+        "(zzabsentzz NOT merge) sort",  # positives dead → same branch
+    ):
         with pytest.raises(ValueError):
             batch_search_segments(si, {0: bad}, k=5)
 

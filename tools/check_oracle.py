@@ -31,7 +31,14 @@ def to_multiset(cols, rows):
     return sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
 
 
-def main(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None):
+def main(
+    sf_dir: str = "/root/testdata/sf0.01",
+    only: list[str] | None = None,
+    json_out: str | None = None,
+):
+    import json as _json
+
+    results: dict[str, dict] = {}
     spark = get_spark(app_name="oracle_check", master="local[8]")
     con = duckdb.connect()
     for t in TABLES:
@@ -48,9 +55,16 @@ def main(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None):
             s_cols = sdf.columns
         except Exception as e:
             failures.append(name)
+            results[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False, "spark_rows": None,
+                             "oracle_rows": None, "err": f"spark: {e}"}
             print(f"FAIL {name}: spark error {type(e).__name__}: {e}")
             continue
         if name not in oracles:
+            results[name] = {"rows_match": None, "schema_match": None,
+                             "hash_match": None, "spark_rows": len(s_rows),
+                             "oracle_rows": None, "err": None,
+                             "rows_only": True}
             print(f"rows-only {name}: {len(s_rows)} rows  ({time.time()-t0:.1f}s)")
             continue
         try:
@@ -59,6 +73,9 @@ def main(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None):
             d_rows = rel.fetchall()
         except Exception as e:
             failures.append(name)
+            results[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False, "spark_rows": len(s_rows),
+                             "oracle_rows": None, "err": f"duckdb: {e}"}
             print(f"FAIL {name}: duckdb error {e}")
             continue
         ok_cols = sorted(s_cols) == sorted(d_cols)
@@ -69,6 +86,9 @@ def main(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None):
         status = "OK  " if (ok_cols and ok_count and ok_vals) else "FAIL"
         if status == "FAIL":
             failures.append(name)
+        results[name] = {"rows_match": ok_count, "schema_match": ok_cols,
+                         "hash_match": ok_vals, "spark_rows": len(s_rows),
+                         "oracle_rows": len(d_rows), "err": None}
         print(
             f"{status} {name}: rows {len(s_rows)}/{len(d_rows)} cols={ok_cols} vals={ok_vals}  ({time.time()-t0:.1f}s)"
         )
@@ -79,8 +99,17 @@ def main(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None):
             for x, y in diff:
                 print(f"   spark={x}\n   duck ={y}")
     print("\nFAILURES:", failures or "none")
+    if json_out:
+        with open(json_out, "w") as f:
+            _json.dump(results, f, indent=1)
+        print(f"wrote {json_out} ({len(results)} entries)")
     return 1 if failures else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(only=sys.argv[1:] or None))
+    args = sys.argv[1:]
+    jout = None
+    if args and args[0] == "--json":
+        jout = args[1]
+        args = args[2:]
+    sys.exit(main(only=args or None, json_out=jout))
