@@ -715,6 +715,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (still pytest-covered and locally oracle-verified every round).
     out = {
         # --- block 1: new this round (never driver-verified) ---
+        "bm25_fuzzy": _search_q("scal~2", 10),
+        "multifield_exists": _multifield_q("source:* merge", 10),
         "bm25_streamed": _bm25_streamed_q,
         "batch_search_rich": _batch_q(_BATCH_RICH_QUERIES),
         "bm25_in_set": _multifield_q("source: IN [src1 src2] merge", 10),
@@ -1595,6 +1597,18 @@ SELECT vec_id, round(score, 6) AS score FROM sc ORDER BY score DESC, vec_id ASC 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # fuzzy 'scal~2' expands to every dictionary term within edit
+        # distance 2 (scan, small at this vocab; cap 50 never binds),
+        # each BM25-scored — Leaf.fuzzy pinned semantics
+        "bm25_fuzzy": _topk_sql("levenshtein(term, 'scal') <= 2"),
+        # 'source:*' ExistsQuery sugar: every doc with a source token
+        # scores a constant 1.0 (unbounded term range), plus 'merge'
+        # scoring in the text field
+        "multifield_exists": f"""WITH {_TOK}, {_SCORED},
+txt AS (SELECT doc_id, sum(sc) AS s FROM scored WHERE term = 'merge' GROUP BY 1)
+SELECT d.doc_id, round(1.0 + COALESCE(txt.s, 0), 6) AS score
+FROM documents d LEFT JOIN txt ON d.doc_id = txt.doc_id
+ORDER BY 1.0 + COALESCE(txt.s, 0) DESC, d.doc_id ASC LIMIT 10""",
         # streamed build must equal a fresh full-corpus build → same
         # topk oracle as the cold-build entries
         "bm25_streamed": _topk_sql("term IN ('merge','join')"),

@@ -121,9 +121,9 @@ def _compile_checks(plan, qid) -> None:
         raise ValueError(f"query {qid!r}: AllQuery not supported in batch mode")
     if not plan.has_positive():
         raise ValueError(f"query {qid!r}: NOT-only queries not supported in batch mode")
-    if any(l.prefix_last or l.rng is not None for l in plan.leaves):
+    if any(l.prefix_last or l.fuzzy or l.rng is not None for l in plan.leaves):
         raise ValueError(
-            f"query {qid!r}: prefix/range leaves not supported in batch mode"
+            f"query {qid!r}: prefix/fuzzy/range leaves not supported in batch mode"
         )
 
 

@@ -92,6 +92,14 @@ class Leaf:
     # divergence from Lucene's blended scoring: each expansion scores as
     # a normal term/phrase leaf and a doc matching several sums them.
     prefix_last: bool = False
+    # 'term~1' / 'term~2': Tantivy FuzzyTermQuery (Levenshtein edit
+    # distance ≤ 1|2, the parser's only accepted distances). Same pinned
+    # expansion semantics as prefix_last: an OR-group of dictionary
+    # terms within the distance (cap PREFIX_MAX_EXPANSIONS, dictionary
+    # order), each BM25-scored — divergence from Lucene's
+    # similarity-boosted blending documented here. Single-term leaves
+    # only; a fuzzy suffix on a multi-token word stays a plain phrase.
+    fuzzy: int = 0
     # '[a TO b]' / '{a TO b}' over a TEXT field (date fields are extracted
     # pre-parse): (lo, hi, incl_lo, incl_hi), lowercased bounds, None =
     # open side. Pinned Lucene/Tantivy semantics: CONSTANT score — a doc
@@ -336,19 +344,44 @@ def _parse_group(tokens: list, pos: int, mode: str, depth: int, fields: frozense
             fld = _resolve_field(fm.group(1), fields)
             word = fm.group(2)
         text, boost = _split_boost(word)
+        if text == "*" and fld is not None:
+            # 'field:*' — ExistsQuery sugar: docs with ≥1 indexed term in
+            # the field ≡ an unbounded constant-score term range
+            children.append(
+                (
+                    pending or "should",
+                    Leaf(terms=(), boost=boost, fld=fld, rng=(None, None, True, True)),
+                )
+            )
+            pending = None
+            pos += 1
+            continue
         prefix_last = False
+        fuzzy = 0
         if text.endswith("*") and len(text) > 1:
             # trailing star = dictionary-prefix term ('merge*'); inner
             # stars stay escape chars (tokenizer splits on them)
             text, prefix_last = text[:-1], True
+        else:
+            fm2 = re.match(r"^(.+)~([12])$", text)
+            if fm2:
+                text, fuzzy = fm2.group(1), int(fm2.group(2))
         terms = tuple(t for t, _ in tokenize_py(text, mode))
+        if len(terms) != 1:
+            fuzzy = 0  # fuzzy applies to single-term leaves only
         if terms:
             # a qualified word analyzing to 2+ tokens becomes a phrase in
             # that field (Tantivy parser behaviour, same as unqualified)
             children.append(
                 (
                     pending or "should",
-                    Leaf(terms=terms, boost=boost, fld=fld, prefix_last=prefix_last),
+                    Leaf(
+                        terms=terms,
+                        boost=boost,
+                        fld=fld,
+                        prefix_last=prefix_last,
+                        fuzzy=fuzzy,
+                    ),
                 )
             )
         pending = None
@@ -417,31 +450,37 @@ def _parse_once(query: str, mode: str, fields: frozenset | None = None) -> Query
     return plan
 
 
+def needs_expansion(plan: QueryPlan) -> bool:
+    return any(l.prefix_last or l.fuzzy for l in plan.leaves)
+
+
 def expand_plan(
     plan: QueryPlan,
     expander,
     max_expansions: int = PREFIX_MAX_EXPANSIONS,
 ) -> QueryPlan:
-    """Rewrite prefix leaves (``term*``, ``"a b"*``) into OR-groups of
+    """Rewrite dictionary-expansion leaves — prefixes (``term*``,
+    ``"a b"*``) and fuzzy terms (``term~1``/``~2``) — into OR-groups of
     concrete leaves using the index dictionary.
 
-    ``expander(prefix, fld)`` → candidate terms in dictionary order
-    (``fld`` is the leaf's field or None = default fields). Capped at
-    ``max_expansions`` (Tantivy's PhrasePrefixQuery default 50). A prefix
-    with zero expansions becomes an empty group — dead exactly like an
-    absent term. Runs at execution time (the parser has no dictionary);
+    ``expander(leaf)`` → candidate replacement terms for
+    ``leaf.terms[-1]`` in dictionary order (the leaf carries its own
+    field and kind: ``prefix_last`` or ``fuzzy``). Capped at
+    ``max_expansions`` (Tantivy's max_expansions default 50). Zero
+    expansions become an empty group — dead exactly like an absent
+    term. Runs at execution time (the parser has no dictionary);
     parse_query output is pure."""
     import dataclasses
 
-    if plan.is_all or not any(l.prefix_last for l in plan.leaves):
+    if plan.is_all or not needs_expansion(plan):
         return plan
 
     def xf(node: "Leaf | BoolNode") -> "Leaf | BoolNode":
         if isinstance(node, BoolNode):
             return BoolNode(tuple((occ, xf(c)) for occ, c in node.children))
-        if not node.prefix_last:
+        if not (node.prefix_last or node.fuzzy):
             return node
-        exps = list(expander(node.terms[-1], node.fld))[:max_expansions]
+        exps = list(expander(node))[:max_expansions]
         return BoolNode(
             tuple(
                 (
@@ -451,6 +490,7 @@ def expand_plan(
                         terms=node.terms[:-1] + (e,),
                         occur="should",
                         prefix_last=False,
+                        fuzzy=0,
                     ),
                 )
                 for e in exps

@@ -55,19 +55,34 @@ from .tokenizer import DEFAULT_MODE
 
 
 def dict_expander(indexes: dict):
-    """Prefix expander over InvertedIndex term dictionaries for
-    queryparse.expand_plan: a field-qualified prefix expands against its
-    own field's dictionary, an unqualified one against the UNION of all
-    default fields' dictionaries (sorted, capped downstream)."""
+    """Dictionary expander over InvertedIndex term dictionaries for
+    queryparse.expand_plan — prefixes (``term*``) and fuzzy terms
+    (``term~1``/``~2``). A field-qualified leaf expands against its own
+    field's dictionary, an unqualified one against the UNION of all
+    default fields' dictionaries (sorted, capped downstream). Fuzzy uses
+    Spark's JVM ``levenshtein`` with a length-band prefilter — a
+    distributed dictionary scan (Tantivy's trick is an FST automaton;
+    ours is a predicate the optimizer parallelizes)."""
 
-    def exp(prefix: str, fld) -> list[str]:
-        idxs = [indexes[fld]] if fld is not None and fld in indexes else list(
-            indexes.values()
+    def exp(leaf) -> list[str]:
+        t = leaf.terms[-1]
+        idxs = (
+            [indexes[leaf.fld]]
+            if leaf.fld is not None and leaf.fld in indexes
+            else list(indexes.values())
         )
         terms: set[str] = set()
         for idx in idxs:
+            if leaf.prefix_last:
+                cond = F.col("term").startswith(t)
+            else:
+                cond = (
+                    (F.length("term") >= len(t) - leaf.fuzzy)
+                    & (F.length("term") <= len(t) + leaf.fuzzy)
+                    & (F.levenshtein(F.col("term"), F.lit(t)) <= leaf.fuzzy)
+                )
             rows = (
-                idx.terms.filter(F.col("term").startswith(prefix))
+                idx.terms.filter(cond)
                 .select("term")
                 .orderBy("term")
                 .limit(PREFIX_MAX_EXPANSIONS)
@@ -375,10 +390,11 @@ def execute_plan(
 ) -> DataFrame:
     """Boolean-combine the plan into DataFrame(doc_id, score)."""
     spark = index.postings.sparkSession
-    if any(l.prefix_last for l in plan.leaves):
+    if any(l.prefix_last or l.fuzzy for l in plan.leaves):
         raise ValueError(
-            "plan contains unexpanded prefix leaves — run queryparse.expand_plan "
-            "with the index dictionary first (search()/search_fields() do this)"
+            "plan contains unexpanded prefix/fuzzy leaves — run "
+            "queryparse.expand_plan with the index dictionary first "
+            "(search()/search_fields() do this)"
         )
     musts, shoulds, must_nots = set(plan.musts), set(plan.shoulds), set(plan.must_nots)
 
@@ -635,10 +651,11 @@ def execute_plan_fields(
     fields with per-field stats (Lucene/Tantivy multi-field semantics)."""
     first = next(iter(indexes.values()))
     spark = first.postings.sparkSession
-    if any(l.prefix_last for l in plan.leaves):
+    if any(l.prefix_last or l.fuzzy for l in plan.leaves):
         raise ValueError(
-            "plan contains unexpanded prefix leaves — run queryparse.expand_plan "
-            "with the index dictionary first (search()/search_fields() do this)"
+            "plan contains unexpanded prefix/fuzzy leaves — run "
+            "queryparse.expand_plan with the index dictionary first "
+            "(search()/search_fields() do this)"
         )
     musts, must_nots = set(plan.musts), set(plan.must_nots)
     boosts = field_boosts or {}

@@ -39,7 +39,13 @@ from . import BM25_B, BM25_K1
 from .bm25 import idf_py
 from .codecs import decode_posting_blocks_batched
 from .postings import InvertedIndex
-from .queryparse import PREFIX_MAX_EXPANSIONS, QueryPlan, expand_plan, parse_query
+from .queryparse import (
+    PREFIX_MAX_EXPANSIONS,
+    QueryPlan,
+    expand_plan,
+    needs_expansion,
+    parse_query,
+)
 from .search import execute_plan, top_k
 from .segments import SegmentIndex
 from .tokenizer import DEFAULT_MODE
@@ -328,6 +334,38 @@ def _dict_prefix_terms(si: SegmentIndex, prefix: str) -> list[str]:
     return terms[:PREFIX_MAX_EXPANSIONS]
 
 
+def _dict_fuzzy_terms(si: SegmentIndex, term: str, n: int) -> list[str]:
+    """Fuzzy expansion for ``term~1``/``~2``: a distributed scan of the
+    terms dictionary with a length-band prefilter + JVM ``levenshtein``
+    predicate. Tantivy walks an FST automaton; the Spark-first form is
+    one parallel pass over the dictionary parquet — at 10⁹-term vocab
+    this is a (pruned-by-length-stats) columnar scan, not a driver loop.
+    Capped at PREFIX_MAX_EXPANSIONS in dictionary order."""
+    rows = (
+        si.terms.filter(
+            (F.length("term") >= len(term) - n)
+            & (F.length("term") <= len(term) + n)
+            & (F.levenshtein(F.col("term"), F.lit(term)) <= n)
+        )
+        .select("term")
+        .orderBy("term")
+        .limit(PREFIX_MAX_EXPANSIONS)
+        .collect()
+    )
+    return [r["term"] for r in rows]
+
+
+def _segment_expander(si: SegmentIndex):
+    """queryparse.expand_plan expander over the segment dictionary."""
+
+    def exp(leaf) -> list[str]:
+        if leaf.prefix_last:
+            return _dict_prefix_terms(si, leaf.terms[-1])
+        return _dict_fuzzy_terms(si, leaf.terms[-1], leaf.fuzzy)
+
+    return exp
+
+
 def _decode_range_postings(
     si: SegmentIndex,
     plan: QueryPlan,
@@ -573,8 +611,8 @@ def search_segments(
     docs table; ``doc_filter`` + ``docs`` is the arbitrary-predicate
     alternative."""
     plan = parse_query(query_text, mode=mode)
-    if any(l.prefix_last for l in plan.leaves):
-        plan = expand_plan(plan, lambda p, fld: _dict_prefix_terms(si, p))
+    if needs_expansion(plan):
+        plan = expand_plan(plan, _segment_expander(si))
     spark = si.spark
 
     pure_or = (

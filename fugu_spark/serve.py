@@ -670,13 +670,13 @@ class LocalSearcher:
         OOMing the driver — callers fall back to the distributed engine.
         """
         plan = parse_query(query_text, mode=self.mode)
-        if any(l.prefix_last or l.rng is not None for l in plan.leaves):
-            # dictionary-prefix and lexicographic-range leaves execute on
-            # the Spark path (search_segments expands/decodes them);
-            # serving them here would need a local expansion + range
-            # decode that this searcher does not implement
+        if any(l.prefix_last or l.fuzzy or l.rng is not None for l in plan.leaves):
+            # dictionary-prefix/fuzzy and lexicographic-range leaves
+            # execute on the Spark path (search_segments expands/decodes
+            # them); serving them here would need a local expansion +
+            # range decode that this searcher does not implement
             raise ValueError(
-                "prefix/range query leaves are not locally servable — "
+                "prefix/fuzzy/range query leaves are not locally servable — "
                 "route to search_segments"
             )
         allowed = self._allowed_docs(filters) if filters else None

@@ -84,7 +84,7 @@ def test_exclusive_range_and_open_sides():
 
 def test_expand_plan_zero_expansions_is_dead():
     plan = parse_query("zz*")
-    out = expand_plan(plan, lambda p, fld: [])
+    out = expand_plan(plan, lambda leaf: [])
     assert out.leaves == [] and not out.is_all
 
 
@@ -198,3 +198,79 @@ def test_engine_falls_back_for_prefix(spark, corpus, tmp_path):
     )
     out = {r["doc_id"] for r in eng.search("jo*", k=10).collect()}
     assert out == {0, 2, 3, 5}
+
+
+# ---------------------------------------------------------------- fuzzy / exists
+
+
+def test_fuzzy_parse_flags():
+    plan = parse_query("joun~1 merge")
+    assert plan.leaves[0].fuzzy == 1 and plan.leaves[0].terms == ("joun",)
+    assert plan.leaves[1].fuzzy == 0
+
+
+def test_fuzzy_multi_token_word_stays_phrase():
+    plan = parse_query("hash-join~1")
+    (leaf,) = plan.leaves
+    assert leaf.is_phrase and leaf.fuzzy == 0
+
+
+def test_fuzzy_matches_levenshtein_expansion(corpus):
+    docs, idx = corpus
+    # 'joun' is distance 1 from 'join' and 'jo' → depends on vocab;
+    # compare against the explicit OR of the true expansion set
+    got = search(idx, "joun~1", k=10, docs=docs)
+    want = search(idx, "join", k=10, docs=docs)  # only vocab term at d<=1
+    assert [(r["doc_id"], round(r["score"], 9)) for r in got.collect()] == [
+        (r["doc_id"], round(r["score"], 9)) for r in want.collect()
+    ]
+
+
+def test_fuzzy_distance_2(corpus):
+    docs, idx = corpus
+    # 'jiner~2': joiner (1 ins), joins? j-i-n-e-r vs j-o-i-n-s = 3 → no
+    got = set(_ids(search(idx, "jiner~2", k=10, docs=docs)))
+    assert got == {3}  # only the joiner doc
+
+
+def test_fuzzy_as_must(corpus):
+    docs, idx = corpus
+    got = set(_ids(search(idx, "merge AND joun~1", k=10, docs=docs)))
+    assert got == {0}  # merge + join
+
+
+def test_fuzzy_segments_parity(spark, corpus, tmp_path):
+    from fugu_spark.segment_search import search_segments
+    from fugu_spark.segments import build_segments
+
+    docs, idx = corpus
+    si = build_segments(docs, str(tmp_path / "fz"), id_col="doc_id", text_col="text")
+    for q in ("joun~1", "jiner~2", "merge AND joun~1"):
+        mem = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in search(idx, q, k=10, docs=docs).collect()
+        ]
+        seg = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in search_segments(si, q, k=10, docs=docs).collect()
+        ]
+        assert mem == seg, q
+
+
+def test_field_exists(corpus):
+    docs, idx_text = corpus
+    idx_src = P.build_index(docs, id_col="doc_id", text_col="source")
+    out = {
+        r["doc_id"]: r["score"]
+        for r in search_fields(
+            {"text": idx_text, "source": idx_src}, "source:*", k=10, docs=docs
+        ).collect()
+    }
+    # every doc has a source token → constant 1.0 for all six docs
+    assert out == {i: 1.0 for i in range(6)}
+
+
+def test_exists_unknown_field_strips():
+    # single-index: ':' and '*' strip → bare term 'source'
+    plan = parse_query("source:*")
+    assert [l.terms for l in plan.leaves] == [("source",)]
