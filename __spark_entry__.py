@@ -717,6 +717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- block 1: new this round (never driver-verified) ---
         "bm25_fuzzy": _search_q("scal~2", 10),
         "multifield_exists": _multifield_q("source:* merge", 10),
+        "bm25_prefix_served": _serving_q("s*", 10),
         "bm25_streamed": _bm25_streamed_q,
         "batch_search_rich": _batch_q(_BATCH_RICH_QUERIES),
         "bm25_in_set": _multifield_q("source: IN [src1 src2] merge", 10),
@@ -1616,6 +1617,9 @@ ORDER BY 1.0 + COALESCE(txt.s, 0) DESC, d.doc_id ASC LIMIT 10""",
         "bm25_in_set": _IN_SET_SQL,
         "bm25_phrase_prefix": _PHRASE_PREFIX_SQL,
         "bm25_prefix_term": _topk_sql("term LIKE 's%'"),
+        # served prefix: LocalSearcher expands against the clustered
+        # dictionary and runs the OR-group locally — same oracle
+        "bm25_prefix_served": _topk_sql("term LIKE 's%'"),
         "bm25_term_range": _TERM_RANGE_SQL,
         "bm25_segments_prefix": _topk_sql("term LIKE 's%'"),
         "postings_tf": f"WITH {_TOK} SELECT term, doc_id, tf FROM post",

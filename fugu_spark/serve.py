@@ -162,6 +162,28 @@ class LocalSearcher:
 
     # ------------------------------------------------------------- lookups
 
+    def _prefix_expander(self):
+        """queryparse.expand_plan expander over the local dictionary:
+        [prefix, successor) pyarrow read, row-group pruned by the
+        range-clustered terms layout; cap = Tantivy's max_expansions."""
+        import pyarrow.dataset as pads
+
+        from .queryparse import PREFIX_MAX_EXPANSIONS
+
+        def exp(leaf) -> list[str]:
+            prefix = leaf.terms[-1]
+            flt = pads.field("term") >= prefix
+            ub = _prefix_upper_bound(prefix)
+            if ub is not None:
+                flt = flt & (pads.field("term") < ub)
+            try:
+                tbl = self._terms.to_table(columns=["term"], filter=flt)
+            except Exception:
+                return []
+            return sorted(tbl["term"].to_pylist())[:PREFIX_MAX_EXPANSIONS]
+
+        return exp
+
     def term_meta(self, terms: list[str]) -> dict[str, dict]:
         """Dictionary rows for the query terms (row-group pruned read,
         memoized per searcher — the dictionary is immutable for this
@@ -670,13 +692,20 @@ class LocalSearcher:
         OOMing the driver — callers fall back to the distributed engine.
         """
         plan = parse_query(query_text, mode=self.mode)
-        if any(l.prefix_last or l.fuzzy or l.rng is not None for l in plan.leaves):
-            # dictionary-prefix/fuzzy and lexicographic-range leaves
-            # execute on the Spark path (search_segments expands/decodes
-            # them); serving them here would need a local expansion +
-            # range decode that this searcher does not implement
+        if any(l.prefix_last for l in plan.leaves):
+            # prefix leaves ('term*', '"a b"*') serve locally: expansion
+            # is a [prefix, successor) byte-range read of the
+            # range-clustered dictionary — O(matching row groups) at any
+            # vocab size — and the expanded plan is an ordinary OR-group
+            from .queryparse import expand_plan
+
+            plan = expand_plan(plan, self._prefix_expander())
+        if any(l.fuzzy or l.rng is not None for l in plan.leaves):
+            # fuzzy expansion (O(vocab) Levenshtein scan) and
+            # lexicographic-range decode stay on the Spark path, where
+            # they run as distributed dictionary/segment scans
             raise ValueError(
-                "prefix/fuzzy/range query leaves are not locally servable — "
+                "fuzzy/range query leaves are not locally servable — "
                 "route to search_segments"
             )
         allowed = self._allowed_docs(filters) if filters else None

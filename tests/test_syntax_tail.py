@@ -188,8 +188,9 @@ def test_multifield_in_set(corpus):
 
 
 def test_engine_falls_back_for_prefix(spark, corpus, tmp_path):
-    """LocalSearcher refuses prefix/range leaves; the engine facade must
-    transparently serve them through the Spark path."""
+    """The engine facade serves prefix queries end-to-end (locally since
+    r5; previously via Spark fallback) — results must be the expansion
+    OR's."""
     from fugu_spark.engine import FuguSparkEngine
 
     docs, _ = corpus
@@ -274,3 +275,35 @@ def test_exists_unknown_field_strips():
     # single-index: ':' and '*' strip → bare term 'source'
     plan = parse_query("source:*")
     assert [l.terms for l in plan.leaves] == [("source",)]
+
+
+def test_prefix_serves_locally(spark, corpus, tmp_path):
+    """Prefix queries serve from LocalSearcher (dictionary byte-range
+    expansion) — rank/score identical to the Spark segment path."""
+    from fugu_spark.segment_search import search_segments
+    from fugu_spark.segments import build_segments
+    from fugu_spark.serve import LocalSearcher
+
+    docs, idx = corpus
+    si = build_segments(docs, str(tmp_path / "ps"), id_col="doc_id", text_col="text")
+    ls = LocalSearcher(si.index_dir)
+    for q in ("jo*", '"merge jo"*', "merge AND jo*", "merge NOT jo*"):
+        pdf = ls.search(q, k=10)
+        srv = [(int(r.doc_id), round(r.score, 9)) for r in pdf.itertuples()]
+        seg = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in search_segments(si, q, k=10, docs=docs).collect()
+        ]
+        assert srv == seg, q
+
+
+def test_fuzzy_still_raises_locally(spark, corpus, tmp_path):
+    from fugu_spark.segments import build_segments
+    from fugu_spark.serve import LocalSearcher
+
+    docs, _ = corpus
+    si = build_segments(docs, str(tmp_path / "fr"), id_col="doc_id", text_col="text")
+    ls = LocalSearcher(si.index_dir)
+    for q in ("joun~1", "[join TO merge]"):
+        with pytest.raises(ValueError):
+            ls.search(q, k=5)
