@@ -28,11 +28,14 @@ search_segments` per query, :func:`search.search_fields` for
 field-qualified batches) is pinned by tests.
 
 v2 scope (VERDICT r4 Next #1): terms, AND/OR/NOT, boosts, phrases
-(including ``"a b"~N`` slop), nested boolean groups, and — through
-:func:`batch_search_fields` — field-qualified leaves and field-scoped
-groups. Still unsupported (callers fall back to per-query search):
-AllQuery, NOT-only plans or groups (need the doc universe), and
-dictionary-expansion leaves (``term*``, ``[a TO b]``).
+(including ``"a b"~N`` slop), nested boolean groups, dictionary
+expansions (``term*``, ``"a b"*``, ``term~N`` — expanded driver-side
+with the same dictionary reads as the single-query engines), and —
+through :func:`batch_search_fields` — field-qualified leaves and
+field-scoped groups. Still unsupported (callers fall back to per-query
+search): AllQuery, NOT-only plans or groups (need the doc universe),
+and lexicographic term ranges / ``field:*`` (their decode is a
+segment-scan predicate, not a leaf table).
 """
 
 from __future__ import annotations
@@ -121,10 +124,41 @@ def _compile_checks(plan, qid) -> None:
         raise ValueError(f"query {qid!r}: AllQuery not supported in batch mode")
     if not plan.has_positive():
         raise ValueError(f"query {qid!r}: NOT-only queries not supported in batch mode")
-    if any(l.prefix_last or l.fuzzy or l.rng is not None for l in plan.leaves):
+    if any(l.rng is not None for l in plan.leaves):
         raise ValueError(
-            f"query {qid!r}: prefix/fuzzy/range leaves not supported in batch mode"
+            f"query {qid!r}: range/exists leaves not supported in batch mode"
         )
+
+
+def _batch_expander(sources: dict):
+    """Dictionary expander for prefix/fuzzy leaves in batch plans —
+    delegates to the per-source expanders (pyarrow byte-range /
+    distributed levenshtein scan for segments, Spark dictionary filter
+    for table indexes) and unions across a leaf's applicable fields,
+    exactly like the single-query engines, so expansion sets (and
+    therefore ranks) stay identical."""
+    from .queryparse import PREFIX_MAX_EXPANSIONS
+
+    def exp(leaf) -> list[str]:
+        keys = (
+            [leaf.fld]
+            if leaf.fld is not None and leaf.fld in sources
+            else list(sources)
+        )
+        terms: set[str] = set()
+        for f in keys:
+            src = sources[f]
+            if src.is_segments:
+                from .segment_search import _segment_expander
+
+                terms.update(_segment_expander(src.src)(leaf))
+            else:
+                from .search import dict_expander
+
+                terms.update(dict_expander({f: src.src})(leaf))
+        return sorted(terms)[:PREFIX_MAX_EXPANSIONS]
+
+    return exp
 
 
 def _leaf_live_fields(leaf: Leaf, fields: list[str], metas: dict) -> list[str]:
@@ -289,8 +323,18 @@ def _batch_execute(
     boosts = field_boosts or {}
 
     plans = []
+    expander = None
     for qid, text in queries:
         plan = parse_query(text, mode=mode, fields=parse_fields)
+        from .queryparse import expand_plan, needs_expansion
+
+        if needs_expansion(plan):
+            # prefix/fuzzy leaves expand driver-side (same dictionary
+            # reads as the single-query engines → identical expansion
+            # sets); the expanded OR-groups batch like any nested plan
+            if expander is None:
+                expander = _batch_expander(sources)
+            plan = expand_plan(plan, expander)
         _compile_checks(plan, qid)
         plans.append((qid, plan))
 

@@ -63,19 +63,35 @@ def test_batch_rank_column_is_dense_per_query(batch_setup):
 
 def test_batch_rejects_unsupported(batch_setup):
     corpus, si = batch_setup
-    # v2 supports phrases + nested groups; still out of scope: AllQuery,
-    # NOT-only (doc universe — top-level or as a group whose positives
-    # are all dead), dictionary-expansion leaves
+    # v2 supports phrases, nested groups, and dictionary expansions;
+    # still out of scope: AllQuery, NOT-only (doc universe — top-level
+    # or as a group whose positives are all dead), term ranges
     for bad in (
         "",
         "NOT merge",
-        "merge*",
         "[alpha TO beta]",
         "(NOT merge NOT sort) window",  # NOT-only group needs all_docs
         "(zzabsentzz NOT merge) sort",  # positives dead → same branch
     ):
         with pytest.raises(ValueError):
             batch_search_segments(si, {0: bad}, k=5)
+
+
+def test_batch_prefix_and_fuzzy_match_per_query(batch_setup):
+    """Prefix/fuzzy queries expand driver-side and batch as nested
+    OR-groups — identical ranks/scores to search_segments per query."""
+    corpus, si = batch_setup
+    queries = {0: "mer*", 1: "merge AND sor*", 2: "merhe~1"}
+    out = batch_search_segments(si, queries, k=6)
+    by_q: dict[int, list] = {}
+    for r in out.collect():
+        by_q.setdefault(r.query_id, []).append((r.rank, r.doc_id, round(r.score, 9)))
+    for qid, text in queries.items():
+        want = [
+            (i + 1, r.doc_id, round(r.score, 9))
+            for i, r in enumerate(search_segments(si, text, k=6, docs=corpus).collect())
+        ]
+        assert sorted(by_q.get(qid, [])) == want, f"q{qid}: {text}"
 
 
 # ---- v2: phrases, slop, nested groups (VERDICT r4 Next #1) ----
