@@ -480,6 +480,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("contamination_frac", 6).alias("contamination_frac"),
         )
 
+    def gopher_quality_q(spark, sf_dir):
+        # synthetic text is plain lowercase words: perturb deterministically
+        # so every Gopher rule fires on some stratum
+        d = _docs(spark, sf_dir)
+        suffix = (
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.lit("\n- bullet item one\n- bullet item two"),
+            )
+            .when(F.col("doc_id") % 5 == 1, F.lit(" the dog and the cat trail..."))
+            .when(F.col("doc_id") % 5 == 2, F.lit(" ### ## #"))
+            .otherwise(F.lit(" the and of that"))
+        )
+        out = curation.gopher_filters(d.withColumn("text", F.concat(F.col("text"), suffix)))
+        return out.select(
+            "doc_id",
+            F.col("n_words").cast("long").alias("n_words"),
+            "mean_word_len",
+            "symbol_word_ratio",
+            "frac_bullet_lines",
+            "frac_ellipsis_lines",
+            "frac_alpha_words",
+            F.col("n_stop_hits").cast("long").alias("n_stop_hits"),
+            F.col("keep").cast("long").alias("keep"),
+        )
+
+    def ann_batch_topk_q(spark, sf_dir):
+        """Batch ANN: 3 query vectors, ONE job (similarity.batch_cosine_topk)
+        — per-query results identical to the brute-force cosine_topk."""
+        emb = _emb(spark, sf_dir)
+        qs = {
+            int(r["vec_id"]): list(r["embedding"])
+            for r in emb.filter(F.col("vec_id") < 3).collect()
+        }
+        out = similarity.batch_cosine_topk(emb, qs, k=5)
+        return out.select(
+            "query_id",
+            "vec_id",
+            F.round("score", 6).alias("score"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+
     def c4_filters_q(spark, sf_dir):
         # testdata text has no punctuation/braces; perturb deterministically
         d = _docs(spark, sf_dir)
@@ -718,6 +760,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_fuzzy": _search_q("scal~2", 10),
         "multifield_exists": _multifield_q("source:* merge", 10),
         "bm25_prefix_served": _serving_q("s*", 10),
+        "gopher_quality": gopher_quality_q,
+        "ann_batch_topk": ann_batch_topk_q,
         "bm25_streamed": _bm25_streamed_q,
         "batch_search_rich": _batch_q(_BATCH_RICH_QUERIES),
         "bm25_in_set": _multifield_q("source: IN [src1 src2] merge", 10),
@@ -1202,6 +1246,71 @@ SELECT d.doc_id,
        coalesce(k.n_pars_kept, 0) AS n_pars_kept
 FROM documents d LEFT JOIN alln a USING (doc_id) LEFT JOIN keptagg k USING (doc_id)"""
 
+# Gopher quality rules (Rae et al. 2021 App. A) over the deterministic
+# per-doc perturbation; words are WHITESPACE-split (the paper's unit)
+_GOPHER_SQL = r"""
+WITH pdocs AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 5 = 0 THEN e'\n- bullet item one\n- bullet item two'
+                      WHEN doc_id % 5 = 1 THEN ' the dog and the cat trail...'
+                      WHEN doc_id % 5 = 2 THEN ' ### ## #'
+                      ELSE ' the and of that' END AS text
+  FROM documents
+),
+w AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS words,
+         list_filter(regexp_split_to_array(text, '\n'), x -> trim(x) <> '') AS lines
+  FROM pdocs
+),
+m AS (
+  SELECT doc_id,
+         len(words) AS n_words,
+         list_sum(list_transform(words, x -> len(x)))::DOUBLE / len(words) AS mean_wl,
+         ((len(text) - len(replace(text, '#', '')))::DOUBLE
+          + (len(text) - len(replace(text, '...', '')))::DOUBLE / 3) / len(words) AS sym_ratio,
+         greatest(len(lines), 1)::DOUBLE AS nl,
+         len(list_filter(lines, x -> starts_with(trim(x), '- ')
+             OR starts_with(trim(x), '* ') OR starts_with(trim(x), '•')))::DOUBLE AS n_bullet,
+         len(list_filter(lines, x -> ends_with(rtrim(x), '...')
+             OR ends_with(rtrim(x), '…')))::DOUBLE AS n_ell,
+         len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE AS n_alpha,
+         len(list_filter(['the','be','to','of','and','that','have','with'],
+             s -> list_contains(list_transform(words, x -> lower(x)), s))) AS n_stop
+  FROM w
+)
+SELECT doc_id, n_words::BIGINT AS n_words,
+       round(mean_wl, 6) AS mean_word_len,
+       round(sym_ratio, 6) AS symbol_word_ratio,
+       round(n_bullet / nl, 6) AS frac_bullet_lines,
+       round(n_ell / nl, 6) AS frac_ellipsis_lines,
+       round(n_alpha / n_words, 6) AS frac_alpha_words,
+       n_stop::BIGINT AS n_stop_hits,
+       (CASE WHEN n_words BETWEEN 50 AND 100000 AND mean_wl >= 3.0 AND mean_wl <= 10.0
+             AND sym_ratio <= 0.1 AND n_bullet / nl <= 0.9 AND n_ell / nl <= 0.3
+             AND n_alpha / n_words >= 0.8 AND n_stop >= 2
+             THEN 1 ELSE 0 END)::BIGINT AS keep
+FROM m"""
+
+# Batch ANN: 3 query vectors in one job; per-query brute-force cosine
+# ranked, rank over the UNROUNDED score
+_ANN_BATCH_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+sc AS (
+  SELECT q.query_id, e.vec_id,
+         sum(e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE)
+           / (sqrt(sum(e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))
+              * sqrt(sum(q.qv[i]::DOUBLE * q.qv[i]::DOUBLE))) AS score
+  FROM embeddings e, q, unnest(generate_series(1, len(e.embedding))) t(i)
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+  FROM sc
+)
+SELECT query_id, vec_id, round(score, 6) AS score, rank FROM r WHERE rank <= 5"""
+
 _SPLIT_SQL = f"""
 SELECT doc_id,
        CASE WHEN {_hash60_sql("'42::' || doc_id::VARCHAR")} % 10000 < 9000 THEN 'train'
@@ -1620,6 +1729,8 @@ ORDER BY 1.0 + COALESCE(txt.s, 0) DESC, d.doc_id ASC LIMIT 10""",
         # served prefix: LocalSearcher expands against the clustered
         # dictionary and runs the OR-group locally — same oracle
         "bm25_prefix_served": _topk_sql("term LIKE 's%'"),
+        "gopher_quality": _GOPHER_SQL,
+        "ann_batch_topk": _ANN_BATCH_SQL,
         "bm25_term_range": _TERM_RANGE_SQL,
         "bm25_segments_prefix": _topk_sql("term LIKE 's%'"),
         "postings_tf": f"WITH {_TOK} SELECT term, doc_id, tf FROM post",

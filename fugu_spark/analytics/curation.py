@@ -403,6 +403,100 @@ def c4_filters(
     )
 
 
+# Stop words for the Gopher containment rule (Rae et al. 2021, App. A:
+# a document must contain at least 2 of these common English words).
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_filters(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style quality rules (Rae et al. 2021, Appendix A — the
+    other public curation recipe next to C4): word-count band, mean
+    word length band, hash/ellipsis symbol-to-word ratio, bullet-line
+    and ellipsis-line fractions, fraction of words with an alphabetic
+    character, and stop-word containment. ``keep`` is the conjunction.
+    Words are WHITESPACE-split (the paper's unit — symbols count, unlike
+    the index tokenizer); pure column expressions, so ``keep`` runs at
+    scan speed ahead of heavier operators."""
+    t = F.col(text_col)
+    words = F.filter(F.split(t, r"\s+"), lambda x: x != F.lit(""))
+    words_low = F.transform(words, F.lower)
+    n_words = F.size(words)
+    nw = n_words.cast("double")
+    mean_wl = F.aggregate(
+        words, F.lit(0.0), lambda acc, x: acc + F.length(x).cast("double")
+    ) / nw
+    n_hash = (F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))).cast("double")
+    n_ell = (
+        (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / F.lit(3)
+    ).cast("double")
+    sym_ratio = (n_hash + n_ell) / nw
+    lines = F.filter(F.split(t, r"\n"), lambda x: F.trim(x) != F.lit(""))
+    nl = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    frac_bullet = (
+        F.size(
+            F.filter(
+                lines,
+                lambda x: F.trim(x).startswith("- ")
+                | F.trim(x).startswith("* ")
+                | F.trim(x).startswith("•"),
+            )
+        ).cast("double")
+        / nl
+    )
+    frac_ell_lines = (
+        F.size(
+            F.filter(
+                lines,
+                lambda x: F.rtrim(x).endswith("...") | F.rtrim(x).endswith("…"),
+            )
+        ).cast("double")
+        / nl
+    )
+    frac_alpha = (
+        F.size(F.filter(words, lambda x: x.rlike("[A-Za-z]"))).cast("double") / nw
+    )
+    n_stop = F.aggregate(
+        F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        F.lit(0),
+        lambda acc, s: acc + F.when(F.array_contains(words_low, s), 1).otherwise(0),
+    )
+    keep = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len)
+        & (sym_ratio <= max_symbol_ratio)
+        & (frac_bullet <= max_bullet_frac)
+        & (frac_ell_lines <= max_ellipsis_frac)
+        & (frac_alpha >= min_alpha_frac)
+        & (n_stop >= min_stop_hits)
+    )
+    return docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(sym_ratio, 6).alias("symbol_word_ratio"),
+        F.round(frac_bullet, 6).alias("frac_bullet_lines"),
+        F.round(frac_ell_lines, 6).alias("frac_ellipsis_lines"),
+        F.round(frac_alpha, 6).alias("frac_alpha_words"),
+        n_stop.alias("n_stop_hits"),
+        keep.alias("keep"),
+    )
+
+
 # --------------------------------------------- incremental exact dedup
 
 def dedup_against(

@@ -57,6 +57,101 @@ def cosine_topk(
     )
 
 
+def batch_cosine_topk(
+    embeddings: DataFrame,
+    queries: "list[tuple[int, list[float]]] | dict[int, list[float]]",
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch ANN: MANY query vectors, ONE Spark job — the embedding
+    analog of batch retrieval (hard-negative mining, eval sweeps,
+    dedup-vs-index at training-pipeline scale).
+
+    → DataFrame(query_id, vec_id, score, rank ≤ k), score = cosine.
+
+    Dataflow: the normalized query matrix broadcasts into a mapInPandas
+    kernel that computes one (rows × queries) matmul per Arrow batch and
+    keeps a per-partition top-(k+8) per query (global top-k ⊆ union of
+    per-partition top-k, so candidate selection is exact; the +8 margin
+    absorbs f32/f64 boundary ulps). The ≤ (k+8)·|Q| survivors per
+    partition then rejoin the embeddings and rescore with
+    :func:`cosine_expr` — the SAME ascending-index fold the per-query
+    entries (and the SQL oracle) use, so final scores are bit-identical
+    to the brute-force path — before the per-query window. Shuffle
+    volume is O(partitions · queries · k), never O(rows · queries)."""
+    from pyspark.sql import Window
+
+    if isinstance(queries, dict):
+        queries = list(queries.items())
+    qids = [int(q) for q, _ in queries]
+    qmat = np.asarray([v for _, v in queries], dtype=np.float64)
+    qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    spark = embeddings.sparkSession
+    margin = k + 8
+
+    def part_topk(batches):
+        best_s: dict[int, np.ndarray] = {}
+        best_v: dict[int, np.ndarray] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            V = V / np.linalg.norm(V, axis=1, keepdims=True)
+            S = V @ qnorm.T  # rows × queries
+            ids = pdf[id_col].to_numpy(np.int64)
+            for j in range(S.shape[1]):
+                s = np.concatenate([best_s.get(j, np.empty(0)), S[:, j]])
+                v = np.concatenate(
+                    [best_v.get(j, np.empty(0, np.int64)), ids]
+                )
+                if len(s) > margin:
+                    keep = np.lexsort((v, -s))[:margin]
+                    s, v = s[keep], v[keep]
+                best_s[j], best_v[j] = s, v
+        rows = {
+            "query_id": np.concatenate(
+                [np.full(len(v), qids[j], dtype=np.int64) for j, v in best_v.items()]
+            )
+            if best_v
+            else np.empty(0, np.int64),
+            "vec_id": np.concatenate(list(best_v.values()))
+            if best_v
+            else np.empty(0, np.int64),
+        }
+        import pandas as pd
+
+        yield pd.DataFrame(rows)
+
+    cand = embeddings.select(id_col, vec_col).mapInPandas(
+        part_topk, schema="query_id long, vec_id long"
+    )
+    qdf = spark.createDataFrame(
+        [(int(q), [float(x) for x in v]) for q, v in queries],
+        f"query_id long, qvec array<double>",
+    )
+    scored = (
+        cand.join(
+            embeddings.select(
+                F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")
+            ),
+            "vec_id",
+        )
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_expr(F.col("_v"), F.col("qvec")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "score", "rank")
+    )
+
+
 def _planes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     """Deterministic pseudo-random hyperplanes via counter-hash → N(0,1)
     (Box-Muller over splitmix64 uniforms)."""
