@@ -92,6 +92,17 @@ def _seg_search_q(query: str, k: int = 10, force_wand: bool = False):
 
 _BATCH_QUERIES = {0: "merge join", 1: "merge AND sort", 2: "table NOT window", 3: "merge^2 join"}
 
+# Standing queries for the percolate entry: every grammar shape the
+# percolator supports (AND / phrase / NOT / OR / sloppy phrase / nested)
+_PERC_QUERIES = {
+    1: "merge AND join",
+    2: '"merge join"',
+    3: "window NOT merge",
+    4: "table OR sort",
+    5: '"merge join"~2',
+    6: "(table OR sort) AND window",
+}
+
 # v2 shapes (VERDICT r4 Next #1): phrase, sloppy phrase + term, nested
 # group, phrase exclusion — all combined in the SAME single job
 _BATCH_RICH_QUERIES = {
@@ -755,8 +766,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rounds old (the 27 rotated out of r04's window), then a regression
     # core fills to the 50 cap; entries green in r04 rotate to the tail
     # (still pytest-covered and locally oracle-verified every round).
+    def percolate_q(spark, sf_dir):
+        """Standing-query matching (percolator / Lucene-Monitor shape):
+        tag every doc with the registered queries it satisfies — one
+        job over the raw doc batch, no index built (fugu_spark.percolate)."""
+        from fugu_spark.percolate import compile_queries, percolate
+
+        out = percolate(
+            _docs(spark, sf_dir), compile_queries(_PERC_QUERIES), text_col="text"
+        )
+        return out.orderBy("doc_id", "query_id").select(
+            F.col("doc_id").cast("long"), F.col("query_id").cast("long")
+        )
+
     out = {
         # --- block 1: new this round (never driver-verified) ---
+        "percolate": percolate_q,
         "bm25_fuzzy": _search_q("scal~2", 10),
         "multifield_exists": _multifield_q("source:* merge", 10),
         "bm25_prefix_served": _serving_q("s*", 10),
@@ -1705,8 +1730,41 @@ sc AS (
 SELECT vec_id, round(score, 6) AS score FROM sc ORDER BY score DESC, vec_id ASC LIMIT {k}"""
 
 
+# Percolation oracle: boolean match sets for _PERC_QUERIES, mirrored in
+# plain SQL — q1 'merge AND join', q2 '"merge join"', q3 'window NOT
+# merge', q4 'table OR sort', q5 '"merge join"~2' (ordered window ≤ 3).
+_PERCOLATE_SQL = f"""WITH {_TOK},
+t AS (SELECT DISTINCT doc_id, term FROM tok),
+adj AS (SELECT DISTINCT a.doc_id FROM tok a JOIN tok b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        WHERE a.term = 'merge' AND b.term = 'join'),
+slop AS (SELECT DISTINCT a.doc_id FROM tok a JOIN tok b
+         ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos - a.pos - 1 <= 2
+         WHERE a.term = 'merge' AND b.term = 'join')
+SELECT doc_id, query_id FROM (
+  SELECT doc_id, CAST(1 AS BIGINT) AS query_id FROM (
+    SELECT doc_id FROM t WHERE term = 'merge'
+    INTERSECT SELECT doc_id FROM t WHERE term = 'join')
+  UNION ALL SELECT doc_id, 2 FROM adj
+  UNION ALL SELECT doc_id, 3 FROM t
+    WHERE term = 'window'
+      AND doc_id NOT IN (SELECT doc_id FROM t WHERE term = 'merge')
+  UNION ALL SELECT doc_id, 4 FROM (
+    SELECT doc_id FROM t WHERE term = 'table'
+    UNION SELECT doc_id FROM t WHERE term = 'sort')
+  UNION ALL SELECT doc_id, 5 FROM slop
+  UNION ALL SELECT doc_id, 6 FROM t
+    WHERE term = 'window'
+      AND doc_id IN (SELECT doc_id FROM t WHERE term IN ('table', 'sort'))
+) ORDER BY doc_id, query_id"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        # percolation is BOOLEAN matching — per standing query: all
+        # musts present, no must_nots, ≥1 should when mustless; phrase
+        # = adjacency, sloppy phrase = ordered window ≤ slop + n - 1
+        "percolate": _PERCOLATE_SQL,
         # fuzzy 'scal~2' expands to every dictionary term within edit
         # distance 2 (scan, small at this vocab; cap 50 never binds),
         # each BM25-scored — Leaf.fuzzy pinned semantics
