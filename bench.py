@@ -87,6 +87,28 @@ def build_batch_qset() -> dict[int, str]:
     return qset
 
 
+def build_standing_qset() -> dict[int, str]:
+    """200 standing queries for the percolation stage (same mid-tail
+    vocab as the batch set): term-pair OR, AND, NOT, phrase, nested."""
+    from fugu_spark.corpus import build_vocab
+
+    vocab_all = build_vocab()
+    sel = [vocab_all[i] for i in range(1200, 2400) if i % 5 == 3][:50]
+    q: dict[int, str] = {}
+    for i, a in enumerate(sel):
+        b = sel[(i + 7) % len(sel)]
+        c = sel[(i + 19) % len(sel)]
+        q[len(q)] = f"{a} {b}"
+        q[len(q)] = f"{a} AND {b}"
+        q[len(q)] = f"{a} NOT {b}"
+        q[len(q)] = f'"{a} {b}"'
+        if i % 2 == 0:
+            q[len(q)] = f"({a} OR {b}) AND {c}"
+        if len(q) >= 200:
+            break
+    return q
+
+
 def _sf_from_dir(sf_dir: str) -> float:
     name = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -229,6 +251,25 @@ def scale_worker(cpus: int, corpus_dir: str, out_dir: str, with_qb: bool = True)
             "wall_sec": round(qbatch_wall, 2),
             "queries_per_sec": round(len(qset) / qbatch_wall, 1),
         }
+    # percolation throughput at this parallelism: match the whole corpus
+    # against a 200-query standing set in one job (fugu_spark.percolate —
+    # tokenize once, broadcast leaf tables, single combine shuffle)
+    pc = None
+    if with_qb:
+        from fugu_spark.percolate import compile_queries, percolate
+
+        standing_qset = build_standing_qset()
+        standing = compile_queries(standing_qset)
+        t0 = time.time()
+        n_matches = percolate(docs, standing, id_col="doc_id", text_col="content").count()
+        pc_wall = time.time() - t0
+        n_docs = docs.count()
+        pc = {
+            "n_queries": len(standing_qset),
+            "n_matches": n_matches,
+            "wall_sec": round(pc_wall, 2),
+            "docs_per_sec": round(n_docs / pc_wall, 1),
+        }
     stage_walls = {}
     for st in ("postings_raw", "segments", "terms"):
         try:
@@ -251,6 +292,7 @@ def scale_worker(cpus: int, corpus_dir: str, out_dir: str, with_qb: bool = True)
                 "host_calib_iters_per_sec": calib,
                 "host_pool_wall_sec": round(pool_wall, 2) if pool_wall else None,
                 "query_batch": qb,
+                "percolate": pc,
             }
         )
     )
@@ -298,17 +340,21 @@ def run_scaling(rows: int) -> dict:
             res = json.loads(line)
             key = f"local[{cpus}]"
             if key not in out or res["wall_sec"] < out[key]["wall_sec"]:
-                prev_qb = (out.get(key) or {}).get("query_batch")
+                prev = out.get(key) or {}
                 out[key] = res
-                # query-batch wall tracked independently of the build best-of
-                if prev_qb and prev_qb["wall_sec"] < (res.get("query_batch") or {}).get(
-                    "wall_sec", 9e9
-                ):
-                    out[key]["query_batch"] = prev_qb
-            elif (res.get("query_batch") or {}).get("wall_sec", 9e9) < (
-                out[key].get("query_batch") or {}
-            ).get("wall_sec", 9e9):
-                out[key]["query_batch"] = res["query_batch"]
+                # query-batch / percolate walls tracked independently of
+                # the build best-of
+                for aux in ("query_batch", "percolate"):
+                    pa = prev.get(aux)
+                    if pa and pa["wall_sec"] < (res.get(aux) or {}).get("wall_sec", 9e9):
+                        out[key][aux] = pa
+            else:
+                for aux in ("query_batch", "percolate"):
+                    ra = res.get(aux)
+                    if ra and ra["wall_sec"] < (out[key].get(aux) or {}).get(
+                        "wall_sec", 9e9
+                    ):
+                        out[key][aux] = ra
     def _eff(lo: str, hi: str, factor: float) -> tuple[float, float, float | None]:
         raw = out[hi]["postings_per_sec"] / (factor * out[lo]["postings_per_sec"])
         host_ratio = (
@@ -558,6 +604,11 @@ def main() -> None:
                     if v.get("query_batch")
                     else {}
                 ),
+                **(
+                    {"percolate_docs_per_sec": v["percolate"]["docs_per_sec"]}
+                    if v.get("percolate")
+                    else {}
+                ),
             }
             for k, v in sc.items()
             if isinstance(v, dict) and "cpus" in v
@@ -620,8 +671,8 @@ def _write_bench_md(r: dict) -> None:
             "## Scaling (N → 4N cores, same deterministic corpus, best of "
             f"{s.get('repeats', 1)} alternating runs)",
             "",
-            "| config | rows | postings | wall s | postings/sec | batch queries/sec |",
-            "|---|---|---|---|---|---|",
+            "| config | rows | postings | wall s | postings/sec | batch queries/sec | percolate docs/sec |",
+            "|---|---|---|---|---|---|---|",
         ]
         for key in ("local[2]", "local[8]", "local[32]"):
             if key not in s:
@@ -629,8 +680,10 @@ def _write_bench_md(r: dict) -> None:
             w = s[key]
             qb = w.get("query_batch") or {}
             qps = f"{qb['queries_per_sec']:.1f}" if qb else "—"
+            pc = w.get("percolate") or {}
+            pps = f"{pc['docs_per_sec']:.0f}" if pc else "—"
             lines.append(
-                f"| {key} | {w['rows']} | {w['n_postings']} | {w['wall_sec']:.1f} | {w['postings_per_sec']:.0f} | {qps} |"
+                f"| {key} | {w['rows']} | {w['n_postings']} | {w['wall_sec']:.1f} | {w['postings_per_sec']:.0f} | {qps} | {pps} |"
             )
         if s.get("query_efficiency_2_to_8") is not None:
             lines += [
@@ -642,6 +695,18 @@ def _write_bench_md(r: dict) -> None:
                     f", 8→32 {s['query_efficiency_8_to_32']}"
                     if s.get("query_efficiency_8_to_32") is not None
                     else ""
+                )
+                + ".",
+            ]
+        if (s.get("local[2]") or {}).get("percolate"):
+            lines += [
+                "",
+                "Percolation (200 standing queries matched against the whole "
+                "corpus, one job — fugu_spark.percolate): "
+                + ", ".join(
+                    f"{k} {s[k]['percolate']['docs_per_sec']:.0f} docs/s"
+                    for k in ("local[2]", "local[8]", "local[32]")
+                    if (s.get(k) or {}).get("percolate")
                 )
                 + ".",
             ]

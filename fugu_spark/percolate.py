@@ -19,10 +19,11 @@ Dataflow (ONE job over the doc batch, no index built):
       → broadcast-join a (term, query, occur) leaf table against the
         doc postings; docs are the big side and stay map-local until
         the final combine
-      → phrase leaves: one adjacency/slop chain per DISTINCT phrase
-        across the whole query set (shared between queries, exactly
-        like batch retrieval shares phrase signatures), reusing the
-        forward engine's JVM chain kernel (search._phrase_frame)
+      → phrase leaves: distinct phrases across the whole query set
+        chain-join BATCHED BY LENGTH (all length-L sigs share one
+        (L−1)-join chain keyed (doc_id, sig_id), per-sig slop bound as
+        a column) — the forward engine's greedy latest-start fold
+        (search._sloppy_phrase_frame) in the same JVM expressions
       → per-(doc, query) boolean combine: one partial-aggregated
         groupBy — the job's only shuffle
 
@@ -59,18 +60,12 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import BM25_B, BM25_K1
-from .postings import CorpusStats, build_postings
-from .queryparse import Leaf, parse_query
+from .postings import build_postings
+from .queryparse import parse_query
 from .tokenizer import DEFAULT_MODE
 
 _OCC_SHOULD, _OCC_MUST, _OCC_NOT = 0, 1, 2
 _OCC_CODE = {"should": _OCC_SHOULD, "must": _OCC_MUST, "must_not": _OCC_NOT}
-
-# Neutral stats for the reused phrase kernel: percolation only consumes
-# the MATCH SET (rows survive the kernel's tfp > 0 filter); the BM25
-# score column it also computes is discarded.
-_NEUTRAL_STATS = CorpusStats(n_docs=1, avgdl=1.0, total_tokens=0)
 
 
 @dataclass(frozen=True)
@@ -238,22 +233,13 @@ def _percolate_frames(
     def _maybe_broadcast(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if broadcast_queries else df
 
-    # one match frame (doc_id) per DISTINCT phrase, shared between the
-    # flat and nested paths and between every query using the phrase
-    sig_match: dict[int, DataFrame] = {}
-    if compiled.sigs:
-        from .search import _phrase_frame
-
-        for sid, (terms, slop) in enumerate(compiled.sigs):
-            cand = posts.filter(F.col("term").isin(list(set(terms))))
-            sig_match[sid] = _phrase_frame(
-                cand,
-                Leaf(terms=terms, slop=slop),
-                {t: 1 for t in terms},
-                _NEUTRAL_STATS,
-                BM25_K1,
-                BM25_B,
-            ).select("doc_id")
+    # one (doc_id, sig_id) match frame for ALL distinct phrases, shared
+    # between the flat and nested paths and between every query using a
+    # phrase — chains run BATCHED BY LENGTH (one join sequence per
+    # phrase length, sig_id rides along), not one per sig
+    sig_hits: DataFrame | None = (
+        _batched_sig_match(spark, posts, compiled.sigs) if compiled.sigs else None
+    )
 
     outs: list[DataFrame] = []
 
@@ -266,12 +252,15 @@ def _percolate_frames(
         hit_frames.append(
             posts.join(_maybe_broadcast(tl), "term").select("doc_id", "query_id", "occur")
         )
-    by_sig: dict[int, list[tuple[int, int]]] = {}
-    for sid, qid, occ in compiled.phrase_rows:
-        by_sig.setdefault(sid, []).append((qid, occ))
-    for sid, rows in by_sig.items():
-        qrows = spark.createDataFrame(rows, "query_id long, occur int")
-        hit_frames.append(sig_match[sid].crossJoin(F.broadcast(qrows)))
+    if compiled.phrase_rows:
+        prows = spark.createDataFrame(
+            list(compiled.phrase_rows), "sig_id int, query_id long, occur int"
+        )
+        hit_frames.append(
+            sig_hits.join(F.broadcast(prows), "sig_id").select(
+                "doc_id", "query_id", "occur"
+            )
+        )
     if hit_frames:
         hits = hit_frames[0]
         for f in hit_frames[1:]:
@@ -305,12 +294,15 @@ def _percolate_frames(
                 "doc_id", "query_id", "leaf_idx"
             )
         )
-    nby_sig: dict[int, list[tuple[int, int]]] = {}
-    for sid, qid, li in compiled.nested_phrase_rows:
-        nby_sig.setdefault(sid, []).append((qid, li))
-    for sid, rows in nby_sig.items():
-        qrows = spark.createDataFrame(rows, "query_id long, leaf_idx int")
-        nhit_frames.append(sig_match[sid].crossJoin(F.broadcast(qrows)))
+    if compiled.nested_phrase_rows:
+        nprows = spark.createDataFrame(
+            list(compiled.nested_phrase_rows), "sig_id int, query_id long, leaf_idx int"
+        )
+        nhit_frames.append(
+            sig_hits.join(F.broadcast(nprows), "sig_id").select(
+                "doc_id", "query_id", "leaf_idx"
+            )
+        )
     if nhit_frames:
         nhits = nhit_frames[0]
         for f in nhit_frames[1:]:
@@ -328,6 +320,78 @@ def _percolate_frames(
     for f in outs[1:]:
         out = out.unionByName(f)
     return out, persisted
+
+
+def _batched_sig_match(spark, posts: DataFrame, sigs) -> DataFrame:
+    """(doc_id, sig_id) existence matches for every distinct phrase,
+    chained BATCHED BY LENGTH: all length-L sigs share one (L-1)-join
+    chain keyed (doc_id, sig_id), with each sig's window bound applied
+    as a per-row ``span`` column at the end. The chain is the forward
+    engine's greedy latest-start fold (search._sloppy_phrase_frame) in
+    the same JVM higher-order expressions; for slop = 0 an ascending
+    chain with total span ≤ L−1 forces consecutive positions, i.e.
+    exact adjacency — pinned by the forward-parity tests."""
+    by_len: dict[int, list[int]] = {}
+    for sid, (terms, _slop) in enumerate(sigs):
+        by_len.setdefault(len(terms), []).append(sid)
+    frames: list[DataFrame] = []
+    for length, sids in by_len.items():
+        rows0 = [(sid, sigs[sid][0][0]) for sid in sids]
+        base = (
+            posts.join(
+                F.broadcast(spark.createDataFrame(rows0, "sig_id int, term string")),
+                "term",
+            )
+            .select("doc_id", "sig_id", F.col("positions").alias("pp"))
+            .withColumn("ss", F.col("pp"))
+        )
+        for k in range(1, length):
+            rowsk = [(sid, sigs[sid][0][k]) for sid in sids]
+            nxt = posts.join(
+                F.broadcast(spark.createDataFrame(rowsk, "sig_id int, term string")),
+                "term",
+            ).select(
+                F.col("doc_id").alias("doc_id_r"),
+                F.col("sig_id").alias("sig_id_r"),
+                F.col("positions").alias("pos_r"),
+            )
+            base = (
+                base.join(
+                    nxt,
+                    (base["doc_id"] == nxt["doc_id_r"])
+                    & (base["sig_id"] == nxt["sig_id_r"]),
+                    "inner",
+                )
+                .drop("doc_id_r", "sig_id_r")
+                .withColumn(
+                    "ss_new",
+                    F.expr(
+                        "transform(pos_r, q -> aggregate(arrays_zip(pp, ss), -1, "
+                        "(acc, x) -> CASE WHEN x.pp < q THEN greatest(acc, x.ss) ELSE acc END))"
+                    ),
+                )
+                .withColumn(
+                    "z", F.expr("filter(arrays_zip(pos_r, ss_new), x -> x.ss_new >= 0)")
+                )
+                .select(
+                    "doc_id",
+                    "sig_id",
+                    F.expr("transform(z, x -> x.pos_r)").alias("pp"),
+                    F.expr("transform(z, x -> x.ss_new)").alias("ss"),
+                )
+                .filter(F.size("pp") > 0)
+            )
+        spans = [(sid, sigs[sid][1] + length - 1) for sid in sids]
+        sp = spark.createDataFrame(spans, "sig_id int, span int")
+        frames.append(
+            base.join(F.broadcast(sp), "sig_id")
+            .filter(F.expr("exists(arrays_zip(pp, ss), x -> x.pp - x.ss <= span)"))
+            .select("doc_id", "sig_id")
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
 
 
 def _mask_tree_eval(trees: dict[int, tuple]):
