@@ -323,75 +323,51 @@ def _percolate_frames(
 
 
 def _batched_sig_match(spark, posts: DataFrame, sigs) -> DataFrame:
-    """(doc_id, sig_id) existence matches for every distinct phrase,
-    chained BATCHED BY LENGTH: all length-L sigs share one (L-1)-join
-    chain keyed (doc_id, sig_id), with each sig's window bound applied
-    as a per-row ``span`` column at the end. The chain is the forward
-    engine's greedy latest-start fold (search._sloppy_phrase_frame) in
-    the same JVM higher-order expressions; for slop = 0 an ascending
-    chain with total span ≤ L−1 forces consecutive positions, i.e.
-    exact adjacency — pinned by the forward-parity tests."""
-    by_len: dict[int, list[int]] = {}
-    for sid, (terms, _slop) in enumerate(sigs):
-        by_len.setdefault(len(terms), []).append(sid)
-    frames: list[DataFrame] = []
-    for length, sids in by_len.items():
-        rows0 = [(sid, sigs[sid][0][0]) for sid in sids]
-        base = (
-            posts.join(
-                F.broadcast(spark.createDataFrame(rows0, "sig_id int, term string")),
-                "term",
-            )
-            .select("doc_id", "sig_id", F.col("positions").alias("pp"))
-            .withColumn("ss", F.col("pp"))
+    """(doc_id, sig_id) existence matches for EVERY distinct phrase in
+    ONE aggregation: postings broadcast-join a (term, sig_id, step)
+    table, a single ``groupBy(doc_id, sig_id)`` collects the per-step
+    position arrays, and the greedy latest-start chain — the forward
+    engine's fold (search._sloppy_phrase_frame) — runs as one JVM
+    ``aggregate`` over the sorted steps. One shuffle for the whole
+    phrase stage regardless of phrase count or length (the join-chain
+    alternative costs a SortMergeJoin per step). For slop = 0 an
+    ascending chain with total span ≤ L−1 forces consecutive
+    positions, i.e. exact adjacency — pinned by forward-parity tests."""
+    rows = []
+    for sid, (terms, slop) in enumerate(sigs):
+        span = slop + len(terms) - 1
+        for k, t in enumerate(terms):
+            rows.append((t, sid, k, len(terms), span))
+    steps = spark.createDataFrame(
+        rows, "term string, sig_id int, k int, n_terms int, span int"
+    )
+    # a doc contributes one posting row per term, so each step matches
+    # ≤ 1 row — size(kp) == n_terms ⇔ every step's term is present
+    # (duplicate terms in a phrase are distinct steps joining the same
+    # posting row)
+    grouped = (
+        posts.join(F.broadcast(steps), "term")
+        .groupBy("doc_id", "sig_id")
+        .agg(
+            F.collect_list(F.struct("k", "positions")).alias("kp"),
+            F.first("n_terms").alias("n_terms"),
+            F.first("span").alias("span"),
         )
-        for k in range(1, length):
-            rowsk = [(sid, sigs[sid][0][k]) for sid in sids]
-            nxt = posts.join(
-                F.broadcast(spark.createDataFrame(rowsk, "sig_id int, term string")),
-                "term",
-            ).select(
-                F.col("doc_id").alias("doc_id_r"),
-                F.col("sig_id").alias("sig_id_r"),
-                F.col("positions").alias("pos_r"),
-            )
-            base = (
-                base.join(
-                    nxt,
-                    (base["doc_id"] == nxt["doc_id_r"])
-                    & (base["sig_id"] == nxt["sig_id_r"]),
-                    "inner",
-                )
-                .drop("doc_id_r", "sig_id_r")
-                .withColumn(
-                    "ss_new",
-                    F.expr(
-                        "transform(pos_r, q -> aggregate(arrays_zip(pp, ss), -1, "
-                        "(acc, x) -> CASE WHEN x.pp < q THEN greatest(acc, x.ss) ELSE acc END))"
-                    ),
-                )
-                .withColumn(
-                    "z", F.expr("filter(arrays_zip(pos_r, ss_new), x -> x.ss_new >= 0)")
-                )
-                .select(
-                    "doc_id",
-                    "sig_id",
-                    F.expr("transform(z, x -> x.pos_r)").alias("pp"),
-                    F.expr("transform(z, x -> x.ss_new)").alias("ss"),
-                )
-                .filter(F.size("pp") > 0)
-            )
-        spans = [(sid, sigs[sid][1] + length - 1) for sid in sids]
-        sp = spark.createDataFrame(spans, "sig_id int, span int")
-        frames.append(
-            base.join(F.broadcast(sp), "sig_id")
-            .filter(F.expr("exists(arrays_zip(pp, ss), x -> x.pp - x.ss <= span)"))
-            .select("doc_id", "sig_id")
-        )
-    out = frames[0]
-    for f in frames[1:]:
-        out = out.unionByName(f)
-    return out
+        .filter(F.size("kp") == F.col("n_terms"))
+    )
+    # fold steps in k order: state = candidate (end p, latest chain
+    # start s) pairs; each step keeps ends q with some predecessor
+    # p < q, carrying the max start reachable
+    chain = (
+        "aggregate(slice(array_sort(kp), 2, n_terms - 1), "
+        "transform(array_sort(kp)[0].positions, p -> named_struct('p', p, 's', p)), "
+        "(acc, e) -> filter(transform(e.positions, q -> named_struct('p', q, "
+        "'s', aggregate(acc, -1, (m, x) -> CASE WHEN x.p < q THEN greatest(m, x.s) "
+        "ELSE m END))), x -> x.s >= 0))"
+    )
+    return grouped.filter(
+        F.expr(f"exists({chain}, x -> x.p - x.s <= span)")
+    ).select("doc_id", "sig_id")
 
 
 def _mask_tree_eval(trees: dict[int, tuple]):
