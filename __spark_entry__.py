@@ -39,6 +39,7 @@ from fugu_spark.search import search, search_fields
 
 _CACHE: dict[str, tuple] = {}
 _SEG_CACHE: dict[str, object] = {}
+_CODE_CACHE: dict[str, tuple] = {}
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -55,6 +56,56 @@ def _index(spark: SparkSession, sf_dir: str):
         docs = _docs(spark, sf_dir).cache()
         _CACHE[key] = (docs, P.build_index(docs, id_col="doc_id", text_col="text"))
     return _CACHE[key]
+
+
+def _code_index(spark: SparkSession, sf_dir: str):
+    """Camelized corpus + code-analyzer index (the ``code`` tokenizer
+    mode — an extension for source-code payloads; tokenizer.py
+    _CODE_BOUNDARY_RES). The driver corpus has no real identifiers, so
+    one is DERIVED deterministically: each doc's words of length ≥ 2
+    (all-alpha corpus) are initcap'd and concatenated into one
+    PascalCase identifier. The analyzer's boundary rules must then
+    reconstruct exactly the original word stream — which is what the
+    DuckDB oracle checks by tokenizing the ORIGINAL text instead."""
+    key = sf_dir
+    if key not in _CODE_CACHE:
+        camel = (
+            _docs(spark, sf_dir)
+            .select(
+                "doc_id",
+                F.expr(
+                    "array_join(transform(filter(split(lower(text), '[^a-z]+'),"
+                    " w -> length(w) >= 2),"
+                    " w -> concat(upper(substring(w, 1, 1)), substring(w, 2))), '')"
+                ).alias("text"),
+            )
+            .cache()
+        )
+        _CODE_CACHE[key] = (camel, P.build_index(camel, id_col="doc_id", text_col="text", mode="code"))
+    return _CODE_CACHE[key]
+
+
+def _code_seg_index(spark: SparkSession, sf_dir: str):
+    """Segment-file index over the camelized corpus built with the code
+    analyzer (mode plumbs through build_segments → postings_batch), so
+    the driver also verifies the SEGMENT + serving path under the code
+    tokenizer, not just the in-memory index."""
+    key = sf_dir + "#code"
+    if key not in _SEG_CACHE:
+        import os
+
+        import fugu_spark
+        from fugu_spark.segments import build_segments
+
+        camel, _ = _code_index(spark, sf_dir)
+        d = (
+            f"/tmp/fugu_entry_codeseg_{os.path.basename(sf_dir.rstrip('/'))}"
+            f"_v{fugu_spark.__version__}"
+        )
+        _SEG_CACHE[key] = build_segments(
+            camel, d, id_col="doc_id", text_col="text", mode="code", resume=True
+        )
+    return _SEG_CACHE[key]
 
 
 def _seg_index(spark: SparkSession, sf_dir: str):
@@ -779,9 +830,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("doc_id").cast("long"), F.col("query_id").cast("long")
         )
 
+    def code_tokens_q(spark, sf_dir):
+        """Code-analyzer postings over the derived camelized corpus
+        (see _code_index): (term, doc_id, tf) must equal plain
+        tokenization of the ORIGINAL text (len ≥ 2 words) — i.e. the
+        camelCase/acronym/digit boundary rules recover every original
+        word boundary, none extra."""
+        camel, idx = _code_index(spark, sf_dir)
+        return idx.postings.select(
+            "term", F.col("doc_id").cast("long"), F.col("tf").cast("long").alias("tf")
+        )
+
+    def bm25_code_q(spark, sf_dir):
+        """BM25 top-10 for the camelCase query string 'mergeJoin' with
+        the code analyzer: the query side splits to [merge, join]
+        through the same boundary rules as the index side, and —
+        Tantivy QueryParser semantics for a multi-token word — executes
+        as the adjacency PHRASE "merge join"."""
+        camel, idx = _code_index(spark, sf_dir)
+        out = search(idx, "mergeJoin", k=10, docs=camel, mode="code")
+        return out.select("doc_id", F.round("score", 6).alias("score"))
+
+    def bm25_code_served_q(spark, sf_dir):
+        """Same query through the SEGMENT build + driver-side serving
+        path under the code analyzer (LocalSearcher(mode='code')) —
+        rank/score-identical to bm25_code by construction, verified
+        against the same phrase oracle."""
+        from fugu_spark.serve import LocalSearcher
+
+        si = _code_seg_index(spark, sf_dir)
+        pdf = LocalSearcher(si.index_dir, mode="code").search("mergeJoin", k=10)
+        pdf["score"] = pdf["score"].round(6)
+        return spark.createDataFrame(pdf, "doc_id long, score double")
+
     out = {
         # --- block 1: new this round (never driver-verified) ---
         "percolate": percolate_q,
+        "code_tokens": code_tokens_q,
+        "bm25_code": bm25_code_q,
+        "bm25_code_served": bm25_code_served_q,
         "bm25_fuzzy": _search_q("scal~2", 10),
         "multifield_exists": _multifield_q("source:* merge", 10),
         "bm25_prefix_served": _serving_q("s*", 10),
@@ -1760,11 +1847,43 @@ SELECT doc_id, query_id FROM (
 
 
 def oracle_sql() -> dict[str, str]:
+    # ``code`` analyzer oracle: the Spark side indexes a CAMELIZED
+    # corpus (initcap + concat of the len≥2 words) with the boundary-
+    # splitting analyzer; the oracle tokenizes the ORIGINAL text with
+    # the plain pipeline + len≥2 filter — equality proves the analyzer
+    # reconstructs exactly the original word stream. The corpus is
+    # digit-free, so len(x) >= 2 subsumes the non-empty filter.
+    tok_code = _TOK.replace("x -> x <> ''", "x -> len(x) >= 2")
+    code_tokens_sql = f"""WITH {tok_code}
+SELECT term, doc_id, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2"""
+    # 'mergeJoin' is ONE query word that the code analyzer splits into
+    # two tokens — Tantivy's QueryParser turns a multi-token word into
+    # a PhraseQuery (positions permitting), and the engine pins the
+    # same semantics (queryparse Leaf.is_phrase), so the oracle is the
+    # adjacency-phrase score, not a two-term OR.
+    bm25_code_sql = f"""WITH {tok_code},
+phr AS (
+  SELECT a.doc_id, count(*) AS tfp
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'merge' AND b.term = 'join'
+  GROUP BY 1
+),
+idfs AS (
+  SELECT sum(ln(1 + (s.n - t.df + 0.5) / (t.df + 0.5))) AS idf_sum
+  FROM tstat t, stats s WHERE t.term IN ('merge', 'join')
+)
+SELECT p.doc_id,
+       round(i.idf_sum * p.tfp * 2.2 / (p.tfp + 1.2 * (0.25 + 0.75 * d.doc_len / s.avgdl)), 6) AS score
+FROM phr p JOIN dl d USING (doc_id), stats s, idfs i
+ORDER BY 2 DESC, doc_id ASC LIMIT 10"""
     return {
         # percolation is BOOLEAN matching — per standing query: all
         # musts present, no must_nots, ≥1 should when mustless; phrase
         # = adjacency, sloppy phrase = ordered window ≤ slop + n - 1
         "percolate": _PERCOLATE_SQL,
+        "code_tokens": code_tokens_sql,
+        "bm25_code": bm25_code_sql,
+        "bm25_code_served": bm25_code_sql,
         # fuzzy 'scal~2' expands to every dictionary term within edit
         # distance 2 (scan, small at this vocab; cap 50 never binds),
         # each BM25-scored — Leaf.fuzzy pinned semantics

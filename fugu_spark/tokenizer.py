@@ -55,8 +55,33 @@ _CLASS_PATTERNS = [
 ]
 _DROPPED_CLASSES = {"punctuation", "pagehead"}  # src/tokeinze.rs:332-341
 
-MODES = ("tantivy_default", "standard_tokenizer")
+MODES = ("tantivy_default", "standard_tokenizer", "code")
 DEFAULT_MODE = "tantivy_default"
+
+# ``code`` mode (EXTENSION — not in the reference, which declares all
+# fields TEXT with the Tantivy default analyzer): identifier-aware
+# analysis for source-code corpora. Implemented as a pure text
+# PREPROCESS — insert a space at camelCase / acronym / letter↔digit
+# boundaries — followed by the normative tantivy_default pipeline, so
+# every downstream property (position ordinals, 40-byte long-token
+# filter, lowercase, phrase adjacency) is inherited unchanged and the
+# SQL oracle is the same regexp_replace chain. snake_case needs no
+# rule: underscore is already a tantivy_default split point. Patterns
+# are RE2-safe (no lookaround) so DuckDB/RE2 and Python/Java agree.
+#   parseHTTPResponse → parse http response     utf8Parser → utf 8 parser
+#   "http response" (phrase) matches inside parseHTTPResponse.
+_CODE_BOUNDARY_RES = [
+    (re.compile(r"([A-Z]+)([A-Z][a-z])"), r"\1 \2"),  # HTTPResponse → HTTP Response
+    (re.compile(r"([a-z0-9])([A-Z])"), r"\1 \2"),  # parseHTTP → parse HTTP
+    (re.compile(r"([a-zA-Z])([0-9])"), r"\1 \2"),  # utf8 → utf 8
+    (re.compile(r"([0-9])([a-zA-Z])"), r"\1 \2"),  # 8bit → 8 bit
+]
+
+
+def _code_preprocess(text: str) -> str:
+    for pat, rep in _CODE_BOUNDARY_RES:
+        text = pat.sub(rep, text)
+    return text
 
 # ASCII fast path: lookup table of [0-9A-Za-z] (Tantivy's is_alphanumeric
 # restricted to ASCII — exact on ASCII input, which is the overwhelming
@@ -86,6 +111,8 @@ def tokenize_py(text: str, mode: str = DEFAULT_MODE) -> list[tuple[str, int]]:
     out: list[tuple[str, int]] = []
     if text is None:
         return out
+    if mode == "code":
+        text, mode = _code_preprocess(text), "tantivy_default"
     if mode == "tantivy_default":
         for pos, m in enumerate(TANTIVY_TOKEN_RE.finditer(text)):
             tok = m.group(0)
@@ -110,6 +137,11 @@ def tokenize_batch(texts: pd.Series, mode: str = DEFAULT_MODE) -> pd.DataFrame:
     Output: DataFrame ``(idx, term, pos)`` — one row per indexed token
     occurrence, where ``idx`` is the input Series index label.
     """
+    if mode == "code":
+        mode = "tantivy_default"
+        texts = texts.fillna("")
+        for pat, rep in _CODE_BOUNDARY_RES:
+            texts = texts.str.replace(pat, rep, regex=True)
     if mode == "tantivy_default":
         import numpy as np
 
@@ -216,6 +248,13 @@ def postings_batch(
     import numpy as np
 
     pos_col = "pos_enc" if encode_positions else "positions"
+    if mode == "code":
+        # boundary preprocess (vectorized C regex), then the normative
+        # pipeline — including its ASCII byte fast path — unchanged
+        mode = "tantivy_default"
+        texts = texts.fillna("")
+        for pat, rep in _CODE_BOUNDARY_RES:
+            texts = texts.str.replace(pat, rep, regex=True)
     if mode == "tantivy_default":
         is_ascii = texts.map(lambda t: t is None or t.isascii())
         if bool(is_ascii.all()):

@@ -96,3 +96,71 @@ class TestBatchMatchesPy:
                 for r in batch[batch["idx"] == idx].itertuples()
             ]
             assert got == tokenize_py(text, mode), f"mismatch mode={mode} idx={idx}"
+
+
+class TestCodeMode:
+    """``code`` analyzer (EXTENSION, SURVEY.md §2 code-analyzer row):
+    boundary preprocess + the normative tantivy_default pipeline."""
+
+    M = "code"
+
+    def test_camel_case(self):
+        assert tokenize_py("parseHTTPResponse", self.M) == [
+            ("parse", 0), ("http", 1), ("response", 2)]
+
+    def test_acronym_then_word(self):
+        assert tokenize_py("URLDecoder", self.M) == [("url", 0), ("decoder", 1)]
+
+    def test_letter_digit_boundaries(self):
+        assert tokenize_py("utf8Parser decode8Bit", self.M) == [
+            ("utf", 0), ("8", 1), ("parser", 2),
+            ("decode", 3), ("8", 4), ("bit", 5)]
+
+    def test_snake_and_kebab_inherit_default_split(self):
+        assert tokenize_py("snake_case kebab-case", self.M) == [
+            ("snake", 0), ("case", 1), ("kebab", 2), ("case", 3)]
+
+    def test_phrase_positions_adjacent_inside_identifier(self):
+        # "http response" as a phrase must match inside parseHTTPResponse
+        toks = tokenize_py("x parseHTTPResponse y", self.M)
+        d = {t: p for t, p in toks}
+        assert d["response"] == d["http"] + 1
+
+    def test_long_token_filter_applies_after_split(self):
+        # a 45-char camel identifier splits into short kept subtokens
+        ident = "prefix" + "Aaaa" * 10  # 46 chars, all subtokens short
+        toks = [t for t, _ in tokenize_py(ident, self.M)]
+        assert toks == ["prefix"] + ["aaaa"] * 10
+
+    def test_non_ascii_passthrough(self):
+        assert tokenize_py("Ünïcode Wörds", self.M) == [("ünïcode", 0), ("wörds", 1)]
+
+    def test_batch_and_postings_parity(self):
+        from fugu_spark.tokenizer import postings_batch
+
+        texts = pd.Series(
+            [
+                "parseHTTPResponse(utf8Parser, snake_case, X86_64)",
+                "def build_index(docs): return BM25Scorer(k1=1.2)",
+                None,
+                "",
+                "日本語withÜmlaut42 iOS9",
+                "the the the mergeJoin merge_join",
+            ]
+        )
+        batch = tokenize_batch(texts, self.M)
+        for idx, text in texts.items():
+            got = [(r.term, r.pos) for r in batch[batch["idx"] == idx].itertuples()]
+            assert got == tokenize_py(text, self.M), f"idx={idx}"
+        pb = postings_batch(texts, self.M)
+        for idx, text in texts.items():
+            want: dict[str, list[int]] = {}
+            for t, p in tokenize_py(text, self.M):
+                want.setdefault(t, []).append(p)
+            sub = pb[pb["idx"] == idx]
+            got = {r.term: list(r.positions) for r in sub.itertuples()}
+            assert got == want, f"idx={idx}"
+            if want:
+                assert set(sub["tf"]) == {len(v) for v in want.values()} or all(
+                    int(r.tf) == len(want[r.term]) for r in sub.itertuples()
+                )
