@@ -851,6 +851,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = search(idx, "mergeJoin", k=10, docs=camel, mode="code")
         return out.select("doc_id", F.round("score", 6).alias("score"))
 
+    def code_quality_q(spark, sf_dir):
+        """StarCoder/CodeParrot-style code-quality filters (analytics/
+        code_quality.py) over a deterministically derived multi-line
+        file: every occurrence of the word 'line' in the doc text
+        becomes a newline ('line' has no self-overlap, so Spark and
+        DuckDB replace() agree), then line-shape + char-class stats and
+        the published keep thresholds are pure column exprs both sides."""
+        from fugu_spark.analytics.code_quality import code_quality_stats
+
+        src = _docs(spark, sf_dir).select(
+            "doc_id", F.expr("replace(text, 'line', '\n')").alias("content")
+        )
+        return code_quality_stats(src).select(
+            "doc_id",
+            "n_lines",
+            "max_line_len",
+            "avg_line_len",
+            "alnum_frac",
+            "alpha_token_frac",
+            "keep_code",
+        )
+
     def bm25_code_served_q(spark, sf_dir):
         """Same query through the SEGMENT build + driver-side serving
         path under the code analyzer (LocalSearcher(mode='code')) —
@@ -869,6 +891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_tokens": code_tokens_q,
         "bm25_code": bm25_code_q,
         "bm25_code_served": bm25_code_served_q,
+        "code_quality": code_quality_q,
         "bm25_fuzzy": _search_q("scal~2", 10),
         "multifield_exists": _multifield_q("source:* merge", 10),
         "bm25_prefix_served": _serving_q("s*", 10),
@@ -1876,6 +1899,34 @@ SELECT p.doc_id,
        round(i.idf_sum * p.tfp * 2.2 / (p.tfp + 1.2 * (0.25 + 0.75 * d.doc_len / s.avgdl)), 6) AS score
 FROM phr p JOIN dl d USING (doc_id), stats s, idfs i
 ORDER BY 2 DESC, doc_id ASC LIMIT 10"""
+    # StarCoder-style code-quality stats over the derived multi-line
+    # content (replace 'line' -> newline; no self-overlap so both
+    # replace()s agree). Thresholds: max_line<=1000, avg<=100,
+    # alnum_frac>0.25 (analytics/code_quality.py).
+    code_quality_sql = """WITH src AS (
+  SELECT doc_id, replace(text, 'line', chr(10)) AS c FROM documents
+),
+l AS (
+  SELECT doc_id, c, string_split(c, chr(10)) AS ls,
+         list_filter(regexp_split_to_array(c, '\\s+'), x -> x <> '') AS toks
+  FROM src
+),
+m AS (
+  SELECT doc_id,
+         len(ls)::BIGINT AS n_lines,
+         list_max(list_transform(ls, x -> len(x)))::BIGINT AS max_line_len,
+         round((len(c) - (len(ls) - 1))::DOUBLE / len(ls), 6) AS avg_line_len,
+         round(CASE WHEN len(c) > 0
+               THEN len(regexp_replace(c, '[^0-9A-Za-z]', '', 'g'))::DOUBLE / len(c)
+               ELSE 0.0 END, 6) AS alnum_frac,
+         round(CASE WHEN len(toks) > 0
+               THEN len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE / len(toks)
+               ELSE 0.0 END, 6) AS alpha_token_frac
+  FROM l
+)
+SELECT doc_id, n_lines, max_line_len, avg_line_len, alnum_frac, alpha_token_frac,
+       (max_line_len <= 1000 AND avg_line_len <= 100 AND alnum_frac > 0.25) AS keep_code
+FROM m"""
     return {
         # percolation is BOOLEAN matching — per standing query: all
         # musts present, no must_nots, ≥1 should when mustless; phrase
@@ -1884,6 +1935,7 @@ ORDER BY 2 DESC, doc_id ASC LIMIT 10"""
         "code_tokens": code_tokens_sql,
         "bm25_code": bm25_code_sql,
         "bm25_code_served": bm25_code_sql,
+        "code_quality": code_quality_sql,
         # fuzzy 'scal~2' expands to every dictionary term within edit
         # distance 2 (scan, small at this vocab; cap 50 never binds),
         # each BM25-scored — Leaf.fuzzy pinned semantics
