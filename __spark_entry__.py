@@ -892,6 +892,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_code": bm25_code_q,
         "bm25_code_served": bm25_code_served_q,
         "code_quality": code_quality_q,
+        # signed non-word clauses: the occur prefix binds to the phrase
+        # token itself ('-"a b"' = negated PhraseQuery — Tantivy parser)
+        "bm25_not_phrase": _search_q('-"merge join" scan', 10),
+        "bm25_must_phrase": _search_q('+"merge join" scan', 10),
         "bm25_fuzzy": _search_q("scal~2", 10),
         "multifield_exists": _multifield_q("source:* merge", 10),
         "bm25_prefix_served": _serving_q("s*", 10),
@@ -1927,6 +1931,40 @@ m AS (
 SELECT doc_id, n_lines, max_line_len, avg_line_len, alnum_frac, alpha_token_frac,
        (max_line_len <= 1000 AND avg_line_len <= 100 AND alnum_frac > 0.25) AS keep_code
 FROM m"""
+    # signed phrase clauses: '-"merge join" scan' scores 'scan' over
+    # docs WITHOUT the adjacent phrase; '+"merge join" scan' requires
+    # the phrase (phrase score) and adds the optional scan score
+    not_phrase_sql = f"""WITH {_TOK}, {_SCORED},
+phr AS (
+  SELECT DISTINCT a.doc_id FROM tok a
+  JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'merge' AND b.term = 'join'
+)
+SELECT doc_id, round(sum(sc), 6) AS score
+FROM scored
+WHERE term = 'scan' AND doc_id NOT IN (SELECT doc_id FROM phr)
+GROUP BY doc_id
+ORDER BY sum(sc) DESC, doc_id ASC LIMIT 10"""
+    must_phrase_sql = f"""WITH {_TOK}, {_SCORED},
+phr AS (
+  SELECT a.doc_id, count(*) AS tfp FROM tok a
+  JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'merge' AND b.term = 'join'
+  GROUP BY 1
+),
+idfs AS (
+  SELECT sum(ln(1 + (s.n - t.df + 0.5) / (t.df + 0.5))) AS idf_sum
+  FROM tstat t, stats s WHERE t.term IN ('merge', 'join')
+),
+phr_sc AS (
+  SELECT p.doc_id,
+         i.idf_sum * p.tfp * 2.2 / (p.tfp + 1.2 * (0.25 + 0.75 * d.doc_len / s.avgdl)) AS sc
+  FROM phr p JOIN dl d USING (doc_id), stats s, idfs i
+),
+scan_sc AS (SELECT doc_id, sum(sc) AS sc FROM scored WHERE term = 'scan' GROUP BY 1)
+SELECT p.doc_id, round(p.sc + coalesce(s2.sc, 0), 6) AS score
+FROM phr_sc p LEFT JOIN scan_sc s2 USING (doc_id)
+ORDER BY (p.sc + coalesce(s2.sc, 0)) DESC, p.doc_id ASC LIMIT 10"""
     return {
         # percolation is BOOLEAN matching — per standing query: all
         # musts present, no must_nots, ≥1 should when mustless; phrase
@@ -1936,6 +1974,8 @@ FROM m"""
         "bm25_code": bm25_code_sql,
         "bm25_code_served": bm25_code_sql,
         "code_quality": code_quality_sql,
+        "bm25_not_phrase": not_phrase_sql,
+        "bm25_must_phrase": must_phrase_sql,
         # fuzzy 'scal~2' expands to every dictionary term within edit
         # distance 2 (scan, small at this vocab; cap 50 never binds),
         # each BM25-scored — Leaf.fuzzy pinned semantics

@@ -107,6 +107,12 @@ def extract_date_ranges(
         prefix = query[: m.start()]
         if (len(prefix.replace('\\"', "").split('"')) - 1) % 2 == 1:
             return m.group(0)
+        if prefix.endswith(("+", "-")):
+            # signed date range ('-date:[a TO b]'): the date-filter path
+            # has no negated shape — leave the clause in the string so
+            # it degrades through the parse-error → escape-strip
+            # fallback instead of silently negating the NEXT clause
+            return m.group(0)
         f = m.group("field")
         if f not in date_cols:
             return m.group(0)

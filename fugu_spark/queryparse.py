@@ -32,8 +32,8 @@ ESCAPE_CHARS = set('()[]{}":+-!~*?\\^')
 
 _TOKEN_RE = re.compile(
     r"""
-      (?:(?P<pfield>[A-Za-z_][\w.]*):)?"(?P<phrase>[^"]*)"(?P<pstar>\*)?(?:~(?P<slop>\d+))?(?:\^(?P<pboost>\d+(?:\.\d+)?))?
-    | (?:(?P<rfield>[A-Za-z_][\w.]*):)?(?P<lo_b>[\[\{])(?P<rlo>[^\s\]\}]+)\s+TO\s+(?P<rhi>[^\s\]\}]+)(?P<rhi_b>[\]\}])(?:\^(?P<rngboost>\d+(?:\.\d+)?))?
+      (?P<psign>[+\-])?(?:(?P<pfield>[A-Za-z_][\w.]*):)?"(?P<phrase>[^"]*)"(?P<pstar>\*)?(?:~(?P<slop>\d+))?(?:\^(?P<pboost>\d+(?:\.\d+)?))?
+    | (?P<rsign>[+\-])?(?:(?P<rfield>[A-Za-z_][\w.]*):)?(?P<lo_b>[\[\{])(?P<rlo>[^\s\]\}]+)\s+TO\s+(?P<rhi>[^\s\]\}]+)(?P<rhi_b>[\]\}])(?:\^(?P<rngboost>\d+(?:\.\d+)?))?
     | (?P<lparen>\()
     | (?P<rparen>\))(?:\^(?P<gboost>\d+(?:\.\d+)?))?
     | (?P<word>[^\s()]+)
@@ -266,13 +266,16 @@ def _parse_group(tokens: list, pos: int, mode: str, depth: int, fields: frozense
             pos += 1
             continue
         if kind == "phrase":
-            raw, boost, slop, pfield, pstar = val
+            raw, boost, slop, pfield, pstar, sign = val
             fld = _resolve_field(pfield, fields)
             terms = tuple(t for t, _ in tokenize_py(raw, mode))
+            # attached '+'/'-' sign ('-"a b"', '+name:"a b"') wins over
+            # any pending operator, Tantivy occur-prefix semantics
+            occur = {"+": "must", "-": "must_not"}.get(sign) or pending or "should"
             if terms:
                 children.append(
                     (
-                        pending or "should",
+                        occur,
                         Leaf(
                             terms=terms,
                             boost=boost,
@@ -289,11 +292,12 @@ def _parse_group(tokens: list, pos: int, mode: str, depth: int, fields: frozense
             pos += 1
             continue
         if kind == "range":
-            rfield, lo, hi, incl_lo, incl_hi, boost = val
+            rfield, lo, hi, incl_lo, incl_hi, boost, sign = val
             fld = _resolve_field(rfield, fields)
+            occur = {"+": "must", "-": "must_not"}.get(sign) or pending or "should"
             children.append(
                 (
-                    pending or "should",
+                    occur,
                     Leaf(
                         terms=(),
                         boost=boost,
@@ -411,6 +415,7 @@ def _parse_once(query: str, mode: str, fields: frozenset | None = None) -> Query
                         int(m.group("slop") or 0),
                         m.group("pfield"),
                         bool(m.group("pstar")),
+                        m.group("psign"),
                     ),
                 )
             )
@@ -427,6 +432,7 @@ def _parse_once(query: str, mode: str, fields: frozenset | None = None) -> Query
                         m.group("lo_b") == "[",
                         m.group("rhi_b") == "]",
                         float(m.group("rngboost") or 1.0),
+                        m.group("rsign"),
                     ),
                 )
             )

@@ -307,3 +307,81 @@ def test_fuzzy_still_raises_locally(spark, corpus, tmp_path):
     for q in ("joun~1", "[join TO merge]"):
         with pytest.raises(ValueError):
             ls.search(q, k=5)
+
+
+# ------------------------------------------------- signed phrase / range
+
+
+class TestSignedClauses:
+    """Tantivy occur prefixes on NON-word clauses: '-"a b"', '+"a b"',
+    '-[a TO b]' — the sign binds to the phrase/range token itself
+    (previously the lexer split '-"merge join"' into the words
+    '-"merge' / 'join"', negating only the first term)."""
+
+    def test_minus_phrase_parses_must_not(self):
+        plan = parse_query('-"merge join" scan')
+        assert [(l.occur, l.terms) for l in plan.leaves] == [
+            ("must_not", ("merge", "join")),
+            ("should", ("scan",)),
+        ]
+
+    def test_plus_phrase_parses_must(self):
+        plan = parse_query('+"merge join" scan')
+        assert plan.leaves[0].occur == "must"
+        assert plan.leaves[0].terms == ("merge", "join")
+
+    def test_signed_field_phrase(self):
+        plan = parse_query('-name:"merge join"', fields={"name"})
+        assert plan.leaves[0].occur == "must_not"
+        assert plan.leaves[0].fld == "name"
+
+    def test_minus_range_parses_must_not(self):
+        plan = parse_query("-[scan TO sort] merge")
+        assert plan.leaves[0].occur == "must_not"
+        assert plan.leaves[0].rng == ("scan", "sort", True, True)
+
+    def test_sign_wins_over_pending(self):
+        # 'AND -"a b"': the attached sign beats the pending AND upgrade
+        plan = parse_query('merge AND -"hash join"')
+        assert plan.leaves[1].occur == "must_not"
+
+    def test_not_phrase_unchanged(self):
+        plan = parse_query('NOT "merge join" scan')
+        assert plan.leaves[0].occur == "must_not"
+        assert plan.leaves[0].terms == ("merge", "join")
+
+    def test_minus_phrase_execution(self, corpus):
+        docs, idx = corpus
+        got = {r.doc_id for r in search(idx, '-"merge join" merge', k=10).collect()}
+        # docs with 'merge' (0,1,5) minus the adjacent-phrase doc 0
+        assert got == {1, 5}
+
+    def test_plus_phrase_execution(self, corpus):
+        docs, idx = corpus
+        rows = search(idx, '+"merge join" merge', k=10).collect()
+        assert [r.doc_id for r in rows] == [0]
+
+    def test_minus_range_execution(self, corpus):
+        docs, idx = corpus
+        got = {r.doc_id for r in search(idx, "-[probe TO scan] merge", k=10).collect()}
+        # 'merge' docs are 0,1,5; range [probe..scan] hits doc 2 (probe)
+        # and 4 (scan) only — no overlap, so all three survive; then
+        # exclude any merge-doc containing a term in range: none
+        assert got == {0, 1, 5}
+
+    def test_minus_range_excludes(self, corpus):
+        docs, idx = corpus
+        got = {r.doc_id for r in search(idx, "-[network TO plan] merge", k=10).collect()}
+        # range [network..plan] contains 'network' (doc 1) and 'plan'
+        # (doc 0) -> merge docs 0 and 1 excluded
+        assert got == {5}
+
+    def test_signed_date_range_stays_in_string(self):
+        from fugu_spark.dates import extract_date_ranges
+
+        q, ranges = extract_date_ranges(
+            "-date_created:[2024-01-01T00:00:00Z TO 2024-02-01T00:00:00Z] merge",
+            ("date_created",),
+        )
+        assert ranges == {}
+        assert "date_created" in q  # clause left for the strip fallback
