@@ -71,6 +71,11 @@ SEGMENT_SCHEMA = T.StructType(
         T.StructField("pos_counts_enc", T.BinaryType(), True),
         T.StructField("positions_enc", T.BinaryType(), True),
         T.StructField("term_bucket", T.IntegerType(), False),
+        # total encoded bytes of the 5 streams, precomputed at encode time
+        # so dictionary merges aggregate METADATA columns only — without
+        # it, stage 3 / every incremental merge re-reads the full binary
+        # posting payload just to sum lengths (at 100 TB: the whole index)
+        T.StructField("bytes_enc", T.LongType(), False),
     ]
 )
 
@@ -127,10 +132,35 @@ def _stage_done(index_dir: str, stage: str) -> bool:
     return fsio.exists(fsio.join(index_dir, STAGE_OUTPUT[stage]))
 
 
+_MANIFEST_PA_FIELDS = (
+    ("build_id", "string"), ("stage", "string"), ("partition_key", "string"),
+    ("status", "string"), ("n_postings", "int64"), ("n_blocks", "int64"),
+    ("bytes_encoded", "int64"), ("wall_sec", "float64"), ("ts", "float64"),
+)
+
+
 def _append_manifest(spark: SparkSession, index_dir: str, rows: list[tuple]) -> None:
-    spark.createDataFrame(rows, MANIFEST_SCHEMA).coalesce(1).write.mode("append").parquet(
-        fsio.join(index_dir, "manifest")
+    """A build's lineage is a handful of driver-held rows; writing them
+    through a Spark job (createDataFrame → parquet) costs seconds of pure
+    scheduler time per build/commit. Write driver-side with pyarrow (same
+    schema, Spark-readable directory); non-local index dirs keep the
+    Spark write since the driver may not mount their filesystem."""
+    path = fsio.join(index_dir, "manifest")
+    if fsio.is_uri(path):
+        spark.createDataFrame(rows, MANIFEST_SCHEMA).coalesce(1).write.mode("append").parquet(
+            path
+        )
+        return
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    fsio.makedirs(path)
+    schema = pa.schema([pa.field(n, pa.type_for_alias(t)) for n, t in _MANIFEST_PA_FIELDS])
+    cols = list(zip(*rows))
+    table = pa.table(
+        {f.name: list(c) for f, c in zip(schema, cols)}, schema=schema
     )
+    pq.write_table(table, f"{fsio.as_local(path)}/part-{uuid.uuid4().hex}.parquet")
 
 
 _TAG_VARINT = bytes([0])  # codecs.CODEC_VARINT
@@ -230,6 +260,10 @@ def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
         )
         for k, (s, e) in enumerate(zip(block_starts, block_ends))
     ]
+    rows = [
+        r + (sum(len(r[i]) for i in (9, 10, 11, 12, 13) if r[i] is not None),)
+        for r in rows
+    ]
     return pd.DataFrame(rows, columns=[f.name for f in SEGMENT_SCHEMA.fields])
 
 
@@ -242,13 +276,10 @@ def _dict_agg(seg: DataFrame) -> DataFrame:
         F.first("term_bucket").alias("term_bucket"),
         F.count(F.lit(1)).alias("n_blocks"),
         F.countDistinct("salt").alias("n_salts"),
-        F.sum(
-            F.length("doc_ids_enc")
-            + F.length("tfs_enc")
-            + F.length("doc_lens_enc")
-            + F.length("pos_counts_enc")
-            + F.length("positions_enc")
-        ).alias("bytes_encoded"),
+        # precomputed at encode time: the dictionary merge reads only the
+        # small metadata columns — parquet column pruning skips the
+        # binary posting streams entirely
+        F.sum("bytes_enc").alias("bytes_encoded"),
     )
 
 

@@ -337,3 +337,31 @@ def test_term_dictionary_sorted_for_pruning(spark, tmp_path):
     ranges.sort()
     for (_, hi_a), (lo_b, _) in zip(ranges, ranges[1:]):
         assert hi_a <= lo_b, "term ranges overlap across files"
+
+
+def test_dict_merge_reads_metadata_only(spark, seg_index):
+    """Stage-3 dictionary merge must never read the encoded posting
+    streams: bytes_enc is precomputed per block at encode time, so the
+    parquet scan prunes every binary column (at scale, the alternative
+    re-reads the whole index payload to sum lengths)."""
+    import re
+
+    from fugu_spark import segments as seg
+
+    sdf = spark.read.schema(seg.SEG_READ_SCHEMA).parquet(f"{seg_index.index_dir}/segments")
+    plan = seg._dict_agg(sdf)._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"ReadSchema: (\S+)", plan)
+    assert m, plan
+    for col in ("doc_ids_enc", "tfs_enc", "doc_lens_enc", "pos_counts_enc", "positions_enc"):
+        assert col not in m.group(1), f"dictionary merge reads binary column {col}"
+    # and the precomputed sum is identical to recomputing from the streams
+    recomputed = sdf.agg(
+        F.sum(
+            F.length("doc_ids_enc")
+            + F.length("tfs_enc")
+            + F.length("doc_lens_enc")
+            + F.length("pos_counts_enc")
+            + F.length("positions_enc")
+        )
+    ).collect()[0][0]
+    assert sdf.agg(F.sum("bytes_enc")).collect()[0][0] == recomputed
