@@ -885,8 +885,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pdf["score"] = pdf["score"].round(6)
         return spark.createDataFrame(pdf, "doc_id long, score double")
 
+    def match_count_q(spark, sf_dir):
+        """Exact hit count, no top-k (Lucene TotalHitCountCollector;
+        fugu_spark/resultops.py)."""
+        from fugu_spark.resultops import match_count
+
+        _, idx = _index(spark, sf_dir)
+        return match_count(idx, "merge join scan")
+
+    def grouped_lang_q(spark, sf_dir):
+        """Field collapsing: top-3 hits per lang (Lucene grouping
+        module; fugu_spark/resultops.py)."""
+        from fugu_spark.resultops import grouped_topk
+
+        docs, idx = _index(spark, sf_dir)
+        out = grouped_topk(idx, "merge join", docs, "lang", k_per_group=3)
+        return out.select(
+            "group", "doc_id", F.round("score", 6).alias("score"), "rank_in_group"
+        )
+
+    def mlt_q(spark, sf_dir):
+        """MoreLikeThis: seed doc 42's top-5 tf×idf terms as an OR query,
+        seed excluded (fugu_spark/resultops.py)."""
+        from fugu_spark.resultops import more_like_this
+
+        _, idx = _index(spark, sf_dir)
+        out = more_like_this(idx, 42, max_terms=5, k=10)
+        return out.select("doc_id", F.round("score", 6).alias("score"))
+
     out = {
         # --- block 1: new this round (never driver-verified) ---
+        "match_count": match_count_q,
+        "bm25_grouped_lang": grouped_lang_q,
+        "more_like_this": mlt_q,
         "percolate": percolate_q,
         "code_tokens": code_tokens_q,
         "bm25_code": bm25_code_q,
@@ -1965,7 +1996,42 @@ scan_sc AS (SELECT doc_id, sum(sc) AS sc FROM scored WHERE term = 'scan' GROUP B
 SELECT p.doc_id, round(p.sc + coalesce(s2.sc, 0), 6) AS score
 FROM phr_sc p LEFT JOIN scan_sc s2 USING (doc_id)
 ORDER BY (p.sc + coalesce(s2.sc, 0)) DESC, p.doc_id ASC LIMIT 10"""
+    # result-shaping collectors (fugu_spark/resultops.py): exact hit
+    # count, per-group (lang) top-3 collapse, MoreLikeThis (seed 42's
+    # top-5 tf×idf terms OR-scored, seed excluded)
+    match_count_sql = f"""WITH {_TOK}
+SELECT count(DISTINCT doc_id) AS n_matches FROM tok
+WHERE term IN ('merge', 'join', 'scan')"""
+    grouped_lang_sql = f"""WITH {_TOK}, {_SCORED},
+sc AS (
+  SELECT doc_id, sum(sc) AS score FROM scored
+  WHERE term IN ('merge', 'join') GROUP BY 1
+),
+g AS (
+  SELECT d.lang AS "group", s.doc_id, s.score,
+         row_number() OVER (PARTITION BY d.lang ORDER BY s.score DESC, s.doc_id ASC)
+           AS rank_in_group
+  FROM sc s JOIN documents d USING (doc_id)
+)
+SELECT "group", doc_id, round(score, 6) AS score, rank_in_group
+FROM g WHERE rank_in_group <= 3 ORDER BY "group", rank_in_group"""
+    mlt_sql = f"""WITH {_TOK}, {_SCORED},
+seed AS (SELECT term, tf FROM post WHERE doc_id = 42),
+sel AS (
+  SELECT s.term FROM seed s JOIN tstat t USING (term), stats st
+  ORDER BY s.tf * ln(1 + (st.n - t.df + 0.5) / (t.df + 0.5)) DESC, s.term ASC
+  LIMIT 5
+),
+sc AS (
+  SELECT doc_id, sum(sc) AS score FROM scored
+  WHERE term IN (SELECT term FROM sel) AND doc_id <> 42 GROUP BY 1
+)
+SELECT doc_id, round(score, 6) AS score FROM sc
+ORDER BY score DESC, doc_id ASC LIMIT 10"""
     return {
+        "match_count": match_count_sql,
+        "bm25_grouped_lang": grouped_lang_sql,
+        "more_like_this": mlt_sql,
         # percolation is BOOLEAN matching — per standing query: all
         # musts present, no must_nots, ≥1 should when mustless; phrase
         # = adjacency, sloppy phrase = ordered window ≤ slop + n - 1

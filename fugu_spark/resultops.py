@@ -1,0 +1,139 @@
+"""Result-shaping search operators over the table-native engine —
+Lucene-parity surface beyond the reference's own API (the reference
+delegates these to callers; Tantivy exposes Count / grouping / MLT
+through its collector layer, cf. /root/reference/src/db/search.rs:146-162
+which only ever builds TopDocs):
+
+- ``match_count``: total hit count without materializing top-k
+  (Lucene ``TotalHitCountCollector``).
+- ``grouped_topk``: field collapsing / diversified results — top k docs
+  per value of a grouping column (Lucene grouping module).
+- ``more_like_this``: seed-document similarity query (Lucene
+  ``MoreLikeThis``): rank the seed's terms by tf×idf, search the top
+  ``max_terms`` as an OR query, exclude the seed.
+
+All three are pure DataFrame compositions over the existing plan
+executor — no new shuffles beyond the canonical shapes (a grand-total
+partial aggregate; one window keyed by the group column; a broadcast
+semi-join against the seed's vocabulary).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .bm25 import BM25_B, BM25_K1
+from .postings import InvertedIndex
+from .queryparse import Leaf, QueryPlan, parse_query
+from .queryparse import expand_plan
+from .search import dict_expander, execute_plan, top_k
+from .tokenizer import DEFAULT_MODE
+
+
+def match_count(
+    index: InvertedIndex,
+    query_text: str | None,
+    mode: str = DEFAULT_MODE,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Exact number of documents matching the query → one-row
+    DataFrame(n_matches). ``execute_plan`` returns exactly one row per
+    matched document on every path (each ends in a per-doc groupBy,
+    distinct, or anti-join), so the count is a grand-total aggregate:
+    map-side partials, no extra shuffle beyond the plan's own."""
+    plan = parse_query(query_text, mode=mode)
+    plan = expand_plan(plan, dict_expander({None: index}))
+    scored = execute_plan(index, plan, k1=k1, b=b)
+    return scored.agg(F.count(F.lit(1)).alias("n_matches"))
+
+
+def grouped_topk(
+    index: InvertedIndex,
+    query_text: str | None,
+    docs: DataFrame,
+    group_col: str,
+    k_per_group: int = 3,
+    id_col: str = "doc_id",
+    mode: str = DEFAULT_MODE,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Top ``k_per_group`` hits per value of ``docs.group_col`` →
+    DataFrame(group, doc_id, score, rank_in_group), deterministic
+    (score DESC, doc_id ASC within each group).
+
+    One window shuffle keyed by the group column. At 100-TB scale the
+    window processes each group's MATCHED docs (not the corpus) in one
+    partition; a pathologically hot group (most of the corpus matching
+    one value) should be pre-reduced with a per-partition bounded heap
+    first — at typical group cardinalities (language, repo, source) the
+    canonical window is the right plan and AQE handles moderate skew."""
+    plan = parse_query(query_text, mode=mode)
+    plan = expand_plan(plan, dict_expander({None: index}))
+    scored = execute_plan(index, plan, k1=k1, b=b)
+    joined = scored.join(
+        docs.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(group_col).alias("group"),
+        ),
+        "doc_id",
+    )
+    w = Window.partitionBy("group").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        joined.withColumn("rank_in_group", F.row_number().over(w))
+        .filter(F.col("rank_in_group") <= k_per_group)
+        .select("group", "doc_id", F.col("score"), "rank_in_group")
+        .orderBy("group", "rank_in_group")
+    )
+
+
+def mlt_terms(
+    index: InvertedIndex, seed_doc_id: int, max_terms: int = 10
+) -> list[str]:
+    """Rank the seed document's terms by seed-tf × idf (ties: term ASC)
+    and return the top ``max_terms``. df comes from the index's term
+    dictionary via a broadcast join against the seed's vocabulary — one
+    point-filtered pass over postings plus a dictionary probe; never a
+    corpus-wide aggregation."""
+    seed = (
+        index.postings.filter(F.col("doc_id") == seed_doc_id)
+        .select("term", "tf")
+    )
+    n = index.stats.n_docs
+    ranked = (
+        index.terms.join(F.broadcast(seed), "term")
+        .withColumn(
+            "w",
+            F.col("tf")
+            * F.log(1.0 + (F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+        )
+        .orderBy(F.desc("w"), F.asc("term"))
+        .limit(max_terms)
+    )
+    return [r["term"] for r in ranked.collect()]  # bounded: ≤ max_terms rows
+
+
+def more_like_this(
+    index: InvertedIndex,
+    seed_doc_id: int,
+    max_terms: int = 10,
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Documents most similar to the seed (Lucene MoreLikeThis shape):
+    BM25 OR-query over the seed's ``max_terms`` highest tf×idf terms,
+    seed excluded → top-k DataFrame(doc_id, score)."""
+    terms = mlt_terms(index, seed_doc_id, max_terms=max_terms)
+    if not terms:
+        spark = index.postings.sparkSession
+        return spark.createDataFrame([], "doc_id long, score double")
+    # plan built directly from normalized dictionary terms — re-parsing a
+    # joined string would re-tokenize (and split) terms like '3.4'
+    plan = QueryPlan(leaves=[Leaf(terms=(t,)) for t in terms])
+    scored = execute_plan(index, plan, k1=k1, b=b).filter(
+        F.col("doc_id") != seed_doc_id
+    )
+    return top_k(scored, k=k)

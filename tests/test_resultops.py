@@ -1,0 +1,103 @@
+"""Result-shaping collectors (fugu_spark/resultops.py): exact hit
+counts, field collapsing (grouped top-k), MoreLikeThis — verified
+against hand-derived answers on the 12-doc fixture corpus and against
+the pure-Python BM25 oracle for score identity."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fugu_spark.postings import build_index
+from fugu_spark.resultops import grouped_topk, match_count, mlt_terms, more_like_this
+from fugu_spark.search import search
+
+from .test_search import DOCS
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    rows = [(i, t, ["py", "rs", "go"][i % 3]) for i, t in DOCS.items()]
+    return spark.createDataFrame(rows, "doc_id long, content string, lang string")
+
+
+@pytest.fixture(scope="module")
+def index(spark, docs_df):
+    return build_index(docs_df)
+
+
+MERGE_DOCS = {0, 2, 4, 8, 9}
+JOIN_DOCS = {0, 4, 9}
+
+
+class TestMatchCount:
+    def test_or(self, index):
+        got = match_count(index, "merge join").collect()[0].n_matches
+        assert got == len(MERGE_DOCS | JOIN_DOCS)
+
+    def test_and(self, index):
+        assert match_count(index, "merge AND join").collect()[0].n_matches == len(
+            MERGE_DOCS & JOIN_DOCS
+        )
+
+    def test_not(self, index):
+        assert match_count(index, "merge NOT join").collect()[0].n_matches == len(
+            MERGE_DOCS - JOIN_DOCS
+        )
+
+    def test_phrase(self, index):
+        # adjacent "merge join" appears only in docs 0
+        assert match_count(index, '"merge join"').collect()[0].n_matches == 1
+
+    def test_absent_and_all(self, index):
+        assert match_count(index, "zzzznotfound").collect()[0].n_matches == 0
+        assert match_count(index, "").collect()[0].n_matches == len(DOCS)
+
+
+class TestGroupedTopk:
+    def test_counts_and_order(self, index, docs_df):
+        out = grouped_topk(index, "merge", docs_df, "lang", k_per_group=2).collect()
+        by_group: dict[str, list] = {}
+        for r in out:
+            by_group.setdefault(r.group, []).append(r)
+        # merge docs 0,2,4,8,9 → lang py:{0,9}, rs:{4}, go:{2,8}
+        assert set(by_group) == {"py", "rs", "go"}
+        assert len(by_group["rs"]) == 1
+        for rows in by_group.values():
+            assert [r.rank_in_group for r in rows] == list(range(1, len(rows) + 1))
+            scores = [r.score for r in rows]
+            assert scores == sorted(scores, reverse=True)
+
+    def test_matches_global_search(self, index, docs_df):
+        """Every grouped hit carries the same score the flat search gives."""
+        flat = {r.doc_id: r.score for r in search(index, "merge", k=100).collect()}
+        for r in grouped_topk(index, "merge", docs_df, "lang", k_per_group=3).collect():
+            assert r.score == pytest.approx(flat[r.doc_id], abs=1e-9)
+
+
+class TestMoreLikeThis:
+    def test_terms_ranked_tfidf(self, index):
+        # doc 8 = 'merge' ×5: its only term is 'merge'
+        assert mlt_terms(index, 8, 5) == ["merge"]
+
+    def test_seed_excluded_and_scores_match_or_query(self, index):
+        got = more_like_this(index, 8, max_terms=5, k=10).collect()
+        ids = [r.doc_id for r in got]
+        assert 8 not in ids
+        flat = {
+            r.doc_id: r.score
+            for r in search(index, "merge", k=100).collect()
+            if r.doc_id != 8
+        }
+        assert set(ids) == set(flat)
+        for r in got:
+            assert r.score == pytest.approx(flat[r.doc_id], abs=1e-9)
+
+    def test_empty_seed(self, index, spark):
+        assert more_like_this(index, 999999, k=5).count() == 0
+
+    def test_max_terms_cap(self, index):
+        # doc 0 has 4 distinct terms; cap at 2 keeps the top tf×idf pair
+        t2 = mlt_terms(index, 0, 2)
+        t4 = mlt_terms(index, 0, 4)
+        assert len(t2) == 2 and set(t2) <= set(t4)
