@@ -64,12 +64,13 @@ def grouped_topk(
     DataFrame(group, doc_id, score, rank_in_group), deterministic
     (score DESC, doc_id ASC within each group).
 
-    One window shuffle keyed by the group column. At 100-TB scale the
-    window processes each group's MATCHED docs (not the corpus) in one
-    partition; a pathologically hot group (most of the corpus matching
-    one value) should be pre-reduced with a per-partition bounded heap
-    first — at typical group cardinalities (language, repo, source) the
-    canonical window is the right plan and AQE handles moderate skew."""
+    One window shuffle keyed by the group column, over MATCHED docs
+    only (not the corpus). Catalyst inserts WindowGroupLimit on the
+    rank filter — a per-partition bounded top-k BEFORE the exchange —
+    so each map task ships at most k_per_group rows per group it saw:
+    a hot group (most of the corpus matching one value) reduces
+    map-side exactly like a partial aggregate (plan pinned in
+    tests/test_resultops.py)."""
     plan = parse_query(query_text, mode=mode)
     plan = expand_plan(plan, dict_expander({None: index}))
     scored = execute_plan(index, plan, k1=k1, b=b)

@@ -101,3 +101,19 @@ class TestMoreLikeThis:
         t2 = mlt_terms(index, 0, 2)
         t4 = mlt_terms(index, 0, 4)
         assert len(t2) == 2 and set(t2) <= set(t4)
+
+
+def test_grouped_topk_plan_has_map_side_group_limit(index, docs_df):
+    """WindowGroupLimit must appear BELOW the exchange (partial mode):
+    each map task ships at most k rows per group it saw, so a hot group
+    cannot funnel the whole corpus into one window partition."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        grouped_topk(index, "merge", docs_df, "lang", k_per_group=2).explain("formatted")
+    txt = buf.getvalue()
+    assert len(re.findall(r"^\(\d+\) WindowGroupLimit", txt, re.M)) >= 2, txt
+    assert "Partial" in txt  # the map-side (pre-shuffle) instance
