@@ -913,9 +913,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = more_like_this(idx, 42, max_terms=5, k=10)
         return out.select("doc_id", F.round("score", 6).alias("score"))
 
+    def match_count_served_q(spark, sf_dir):
+        """Same exact-count semantics from the driver-side serving path
+        (LocalSearcher.count — serve.py)."""
+        from fugu_spark.serve import LocalSearcher
+
+        si = _seg_index(spark, sf_dir)
+        n = LocalSearcher(si.index_dir).count("merge join scan")
+        return spark.createDataFrame([(n,)], "n_matches long")
+
     out = {
         # --- block 1: new this round (never driver-verified) ---
         "match_count": match_count_q,
+        "match_count_served": match_count_served_q,
         "bm25_grouped_lang": grouped_lang_q,
         "more_like_this": mlt_q,
         "percolate": percolate_q,
@@ -2030,6 +2040,7 @@ SELECT doc_id, round(score, 6) AS score FROM sc
 ORDER BY score DESC, doc_id ASC LIMIT 10"""
     return {
         "match_count": match_count_sql,
+        "match_count_served": match_count_sql,
         "bm25_grouped_lang": grouped_lang_sql,
         "more_like_this": mlt_sql,
         # percolation is BOOLEAN matching — per standing query: all

@@ -806,6 +806,30 @@ class LocalSearcher:
         ).iloc[offset : offset + k]
         return out.reset_index(drop=True)
 
+    def count(
+        self,
+        query_text: str | None,
+        max_postings: int | None = None,
+        filters: list | None = None,
+        date_ranges: dict | None = None,
+    ) -> int:
+        """Exact hit count without top-k (Lucene TotalHitCountCollector;
+        distributed analog: resultops.match_count). Runs the search
+        pipeline with an unreachable k: the MaxScore θ-seed never
+        engages (`len(scores) < k` → no block skipped), so the matched
+        set is exact; conjunctive block pruning remains active — it is
+        SET-safe (only skips blocks that cannot satisfy every Must).
+        Cost is O(matched postings), the same volume `max_postings`
+        already caps for serving."""
+        out = self.search(
+            query_text,
+            k=1 << 40,
+            max_postings=max_postings,
+            filters=filters,
+            date_ranges=date_ranges,
+        )
+        return int(len(out))
+
     def _search_nested(
         self,
         plan: QueryPlan,

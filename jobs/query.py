@@ -58,6 +58,12 @@ def main() -> int:
         "index's date_index sidecar.",
     )
     p.add_argument("-k", type=int, default=10)
+    p.add_argument(
+        "--count",
+        action="store_true",
+        help="print the exact hit count instead of top-k hits "
+        "(LocalSearcher.count / resultops.match_count)",
+    )
     p.add_argument("--no-wand", action="store_true")
     p.add_argument(
         "--serve-max-postings",
@@ -123,6 +129,39 @@ def main() -> int:
     si = None
     for q in args.query:
         t0 = time.time()
+        if args.count:
+            n = None
+            if searcher is not None:
+                try:
+                    n = searcher.count(
+                        q,
+                        max_postings=args.serve_max_postings,
+                        filters=args.filter,
+                        date_ranges=date_ranges,
+                    )
+                except ValueError:
+                    pass
+            if n is None:
+                if spark is None:
+                    from pyspark.sql import SparkSession
+
+                    from fugu_spark.segments import SegmentIndex
+
+                    spark = SparkSession.builder.appName("fugu_query").getOrCreate()
+                    si = SegmentIndex.load(spark, args.index_dir)
+                from fugu_spark.segment_search import search_segments
+
+                n = search_segments(
+                    si,
+                    q,
+                    k=(1 << 31) - 1,
+                    use_wand=False,  # rank pruning must not shrink the set
+                    filter_paths=args.filter,
+                    date_ranges=date_ranges,
+                ).count()
+            print(json.dumps({"query": q, "sec": round(time.time() - t0, 4),
+                              "n_matches": int(n)}))
+            continue
         hits = None
         if searcher is not None:
             try:

@@ -149,3 +149,32 @@ def test_postings_cache_identity_and_eviction(spark, tmp_path):
     for q in ("merge", "join", "alpha", "beta", "gamma"):
         tiny.search(q, k=5)
         assert tiny._post_cache_bytes <= 4096
+
+
+class TestCount:
+    """LocalSearcher.count: exact hit counts — must equal the matched-set
+    size of the distributed engine and the oracle for every shape."""
+
+    @pytest.mark.parametrize("q", [
+        "merge", "merge join", "merge AND join", "merge NOT join",
+        '"merge join"', "merge^2 join scan",
+    ])
+    def test_count_matches_distributed(self, setup, q):
+        corpus, si, ls, oracle = setup
+        want = search_segments(si, q, k=10**9).count()
+        assert ls.count(q) == want
+
+    def test_count_matches_oracle(self, setup):
+        corpus, si, ls, oracle = setup
+        want = len(oracle.search("merge join", k=10**9))
+        assert ls.count("merge join") == want
+
+    def test_count_absent_term(self, setup):
+        _, _, ls, _ = setup
+        assert ls.count("zzzznotfound") == 0
+
+    def test_count_maxscore_not_engaged(self, setup):
+        """Counting must see EVERY matched doc, not just top-k: the same
+        query with a tiny k returns fewer rows than the count."""
+        _, si, ls, _ = setup
+        assert ls.count("merge join") > len(ls.search("merge join", k=3))
