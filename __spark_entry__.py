@@ -922,10 +922,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         n = LocalSearcher(si.index_dir).count("merge join scan")
         return spark.createDataFrame([(n,)], "n_matches long")
 
+    def _hybrid_q(fusion: str):
+        def run(spark, sf_dir):
+            """BM25 + embedding-cosine hybrid retrieval
+            (fugu_spark/hybrid.py): top-100 candidates from each engine,
+            fused by RRF (1/(60+rank)) or α=0.5 min-max weighted sum."""
+            from fugu_spark.hybrid import hybrid_search
+
+            _, idx = _index(spark, sf_dir)
+            emb = _emb(spark, sf_dir)
+            qvec = list(emb.filter(F.col("vec_id") == 0).first().embedding)
+            out = hybrid_search(idx, emb, "merge join", qvec, k=10, fusion=fusion)
+            return out.select("doc_id", F.round("score", 6).alias("score"))
+
+        return run
+
     out = {
         # --- block 1: new this round (never driver-verified) ---
         "match_count": match_count_q,
         "match_count_served": match_count_served_q,
+        "hybrid_rrf": _hybrid_q("rrf"),
+        "hybrid_weighted": _hybrid_q("weighted"),
         "bm25_grouped_lang": grouped_lang_q,
         "more_like_this": mlt_q,
         "percolate": percolate_q,
@@ -2038,9 +2055,58 @@ sc AS (
 )
 SELECT doc_id, round(score, 6) AS score FROM sc
 ORDER BY score DESC, doc_id ASC LIMIT 10"""
+    # hybrid retrieval (fugu_spark/hybrid.py): BM25 top-100 + cosine
+    # top-100 candidate lists; ranks are row_number (score DESC, doc_id
+    # ASC) — double-identical scores on both sides make ranks identical
+    _HYBRID_CANDS = f"""WITH {_TOK}, {_SCORED},
+bm AS (
+  SELECT doc_id, sum(sc) AS s FROM scored
+  WHERE term IN ('merge', 'join') GROUP BY 1
+),
+bmr AS (
+  SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
+  FROM bm QUALIFY rank <= 100
+),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+cos AS (
+  SELECT e.vec_id AS doc_id,
+         sum(e.embedding[i]::DOUBLE * q.qe[i]::DOUBLE)
+           / (sqrt(sum(e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))
+              * sqrt(sum(q.qe[i]::DOUBLE * q.qe[i]::DOUBLE))) AS s
+  FROM embeddings e, q, unnest(generate_series(1, len(e.embedding))) t(i)
+  GROUP BY e.vec_id
+),
+cosr AS (
+  SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
+  FROM cos QUALIFY rank <= 100
+)"""
+    hybrid_rrf_sql = f"""{_HYBRID_CANDS},
+u AS (SELECT doc_id, rank FROM bmr UNION ALL SELECT doc_id, rank FROM cosr),
+f AS (SELECT doc_id, sum(1.0 / (60.0 + rank)) AS score FROM u GROUP BY 1)
+SELECT doc_id, round(score, 6) AS score FROM f
+ORDER BY score DESC, doc_id ASC LIMIT 10"""
+    hybrid_weighted_sql = f"""{_HYBRID_CANDS},
+bmn AS (
+  SELECT doc_id, CASE WHEN max(s) OVER () > min(s) OVER ()
+    THEN 0.5 * (s - min(s) OVER ()) / (max(s) OVER () - min(s) OVER ())
+    ELSE 0.0 END AS part
+  FROM bmr
+),
+cosn AS (
+  SELECT doc_id, CASE WHEN max(s) OVER () > min(s) OVER ()
+    THEN 0.5 * (s - min(s) OVER ()) / (max(s) OVER () - min(s) OVER ())
+    ELSE 0.0 END AS part
+  FROM cosr
+),
+u AS (SELECT * FROM bmn UNION ALL SELECT * FROM cosn),
+f AS (SELECT doc_id, sum(part) AS score FROM u GROUP BY 1)
+SELECT doc_id, round(score, 6) AS score FROM f
+ORDER BY score DESC, doc_id ASC LIMIT 10"""
     return {
         "match_count": match_count_sql,
         "match_count_served": match_count_sql,
+        "hybrid_rrf": hybrid_rrf_sql,
+        "hybrid_weighted": hybrid_weighted_sql,
         "bm25_grouped_lang": grouped_lang_sql,
         "more_like_this": mlt_sql,
         # percolation is BOOLEAN matching — per standing query: all
