@@ -992,6 +992,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": quality,
         "search_facets_src1": search_facets_src1,
         "suggestions": suggestions_q,
+        # token_stats/winnow_fps sit at positions 51-52: with 25 new
+        # round-5 entries ahead of this block, the driver's 50-entry cap
+        # reaches only 25 of the 27 r03-stale rows. These two (pure
+        # column-expr textstats) keep their r03 driver rows + this
+        # round's local re-verification (CORRECTNESS_LOCAL_r05.json).
         "token_stats": token_stats,
         "winnow_fps": lambda spark, sf_dir: textstats.winnow_fingerprints(_docs(spark, sf_dir)),
         # --- block 3: regression core (fills to the 50 cap) ---
