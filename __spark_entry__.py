@@ -937,12 +937,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return run
 
+    def batch_mlt_q(spark, sf_dir):
+        """Corpus-wide MoreLikeThis in one job: every doc's top-3
+        lexically-similar docs (fugu_spark/resultops.py batch_mlt;
+        rank identity vs per-seed more_like_this pinned in tests)."""
+        from fugu_spark.resultops import batch_mlt
+
+        _, idx = _index(spark, sf_dir)
+        out = batch_mlt(idx, max_terms=5, k=3)
+        return out.select(
+            "seed", "cand", F.round("score", 6).alias("score"), "rank"
+        )
+
     out = {
         # --- block 1: new this round (never driver-verified) ---
         "match_count": match_count_q,
         "match_count_served": match_count_served_q,
         "hybrid_rrf": _hybrid_q("rrf"),
         "hybrid_weighted": _hybrid_q("weighted"),
+        "batch_mlt": batch_mlt_q,
         "bm25_grouped_lang": grouped_lang_q,
         "more_like_this": mlt_q,
         "percolate": percolate_q,
@@ -992,11 +1005,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": quality,
         "search_facets_src1": search_facets_src1,
         "suggestions": suggestions_q,
-        # token_stats/winnow_fps sit at positions 51-52: with 25 new
-        # round-5 entries ahead of this block, the driver's 50-entry cap
-        # reaches only 25 of the 27 r03-stale rows. These two (pure
-        # column-expr textstats) keep their r03 driver rows + this
-        # round's local re-verification (CORRECTNESS_LOCAL_r05.json).
+        # suggestions/token_stats/winnow_fps sit at positions 51-53:
+        # with 26 new round-5 entries ahead of this block, the driver's
+        # 50-entry cap reaches only 24 of the 27 r03-stale rows. These
+        # three keep their r03 driver rows + this round's local
+        # re-verification (CORRECTNESS_LOCAL_r05.json).
         "token_stats": token_stats,
         "winnow_fps": lambda spark, sf_dir: textstats.winnow_fingerprints(_docs(spark, sf_dir)),
         # --- block 3: regression core (fills to the 50 cap) ---
@@ -2107,11 +2120,36 @@ u AS (SELECT * FROM bmn UNION ALL SELECT * FROM cosn),
 f AS (SELECT doc_id, sum(part) AS score FROM u GROUP BY 1)
 SELECT doc_id, round(score, 6) AS score FROM f
 ORDER BY score DESC, doc_id ASC LIMIT 10"""
+    batch_mlt_sql = f"""WITH {_TOK}, {_SCORED},
+sel AS (
+  SELECT doc_id AS seed, term FROM (
+    SELECT p.doc_id, p.term,
+           row_number() OVER (
+             PARTITION BY p.doc_id
+             ORDER BY p.tf * ln(1 + (s.n - t.df + 0.5) / (t.df + 0.5)) DESC,
+                      p.term ASC
+           ) AS rn
+    FROM post p JOIN tstat t USING (term), stats s
+  ) WHERE rn <= 5
+),
+pairs AS (
+  SELECT sel.seed, sc.doc_id AS cand, sum(sc.sc) AS score
+  FROM sel JOIN scored sc USING (term)
+  WHERE sc.doc_id <> sel.seed GROUP BY 1, 2
+),
+topk AS (
+  SELECT seed, cand, score,
+         row_number() OVER (PARTITION BY seed ORDER BY score DESC, cand ASC) AS rank
+  FROM pairs
+)
+SELECT seed, cand, round(score, 6) AS score, rank
+FROM topk WHERE rank <= 3 ORDER BY seed, rank"""
     return {
         "match_count": match_count_sql,
         "match_count_served": match_count_sql,
         "hybrid_rrf": hybrid_rrf_sql,
         "hybrid_weighted": hybrid_weighted_sql,
+        "batch_mlt": batch_mlt_sql,
         "bm25_grouped_lang": grouped_lang_sql,
         "more_like_this": mlt_sql,
         # percolation is BOOLEAN matching — per standing query: all

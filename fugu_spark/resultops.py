@@ -27,7 +27,7 @@ from .bm25 import BM25_B, BM25_K1
 from .postings import InvertedIndex
 from .queryparse import Leaf, QueryPlan, parse_query
 from .queryparse import expand_plan
-from .search import dict_expander, execute_plan, top_k
+from .search import _tf_norm, dict_expander, execute_plan, top_k
 from .tokenizer import DEFAULT_MODE
 
 
@@ -114,6 +114,58 @@ def mlt_terms(
         .limit(max_terms)
     )
     return [r["term"] for r in ranked.collect()]  # bounded: ≤ max_terms rows
+
+
+def batch_mlt(
+    index: InvertedIndex,
+    max_terms: int = 5,
+    k: int = 5,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """MoreLikeThis for EVERY document in one job → DataFrame(seed,
+    cand, score, rank ≤ k): each doc's top-k lexically most-similar
+    docs, the related-docs / near-dup candidate mining shape a training
+    pipeline runs corpus-wide (where per-seed ``more_like_this`` calls
+    would mean n_docs driver round-trips).
+
+    Dataflow: (1) per-doc term selection — one window partitioned by
+    doc over the postings (top ``max_terms`` by seed-tf × idf, ties
+    term ASC); (2) candidate generation — the selected (seed, term)
+    frame joins postings ON TERM, so fan-out per term is its df; tf×idf
+    selection favors RARE terms, which bounds df exactly where it
+    matters (a stopword never wins a tf×idf slot against any rarer
+    term); (3) per-(seed, cand) score = Σ BM25 term contributions —
+    partial-aggregated groupBy; (4) per-seed top-k window, which
+    Catalyst rewrites with map-side WindowGroupLimit."""
+    n = index.stats.n_docs
+    idf = F.log(1.0 + (F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    w_sel = Window.partitionBy("doc_id").orderBy(
+        F.desc("w"), F.asc("term")
+    )
+    sel = (
+        index.postings.join(index.terms.select("term", "df"), "term")
+        .withColumn("w", F.col("tf") * idf)
+        .withColumn("rn", F.row_number().over(w_sel))
+        .filter(F.col("rn") <= max_terms)
+        .select(F.col("doc_id").alias("seed"), "term", F.col("df"))
+    )
+    contrib = F.lit(1.0) * F.log(
+        1.0 + (F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    ) * _tf_norm(F.col("tf"), F.col("doc_len"), index.stats.avgdl, k1, b)
+    pairs = (
+        sel.join(index.postings, "term")
+        .filter(F.col("doc_id") != F.col("seed"))
+        .groupBy("seed", F.col("doc_id").alias("cand"))
+        .agg(F.sum(contrib).alias("score"))
+    )
+    w_k = Window.partitionBy("seed").orderBy(F.desc("score"), F.asc("cand"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w_k))
+        .filter(F.col("rank") <= k)
+        .select("seed", "cand", "score", "rank")
+        .orderBy("seed", "rank")
+    )
 
 
 def more_like_this(

@@ -117,3 +117,42 @@ def test_grouped_topk_plan_has_map_side_group_limit(index, docs_df):
     txt = buf.getvalue()
     assert len(re.findall(r"^\(\d+\) WindowGroupLimit", txt, re.M)) >= 2, txt
     assert "Partial" in txt  # the map-side (pre-shuffle) instance
+
+
+class TestBatchMLT:
+    def test_identity_vs_single_seed(self, index):
+        from fugu_spark.resultops import batch_mlt
+
+        batch = batch_mlt(index, max_terms=3, k=4).collect()
+        by_seed: dict[int, list] = {}
+        for r in batch:
+            by_seed.setdefault(r.seed, []).append((r.cand, r.score))
+        # a doc whose selected (rare) terms occur nowhere else has no
+        # lexical neighbors — e.g. fixture docs 7 ('a b c d e f g') and
+        # 11 ('rare_unique_term …'); everyone else gets recommendations
+        assert set(by_seed) <= set(DOCS)
+        assert {0, 2, 4, 8, 9} <= set(by_seed)
+        for seed in (0, 4, 8, 9):
+            single = more_like_this(index, seed, max_terms=3, k=4).collect()
+            assert [(r.doc_id, pytest.approx(r.score, abs=1e-9)) for r in single] == by_seed[seed]
+
+    def test_ranks_contiguous_and_seed_excluded(self, index):
+        from fugu_spark.resultops import batch_mlt
+
+        for r in batch_mlt(index, max_terms=3, k=4).collect():
+            assert r.cand != r.seed
+            assert 1 <= r.rank <= 4
+
+    def test_plan_map_side_group_limit(self, index):
+        """The per-seed top-k window must carry the WindowGroupLimit
+        pushdown (map-side partial top-k), like grouped_topk."""
+        import io
+        import re
+        from contextlib import redirect_stdout
+
+        from fugu_spark.resultops import batch_mlt
+
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            batch_mlt(index, max_terms=3, k=4).explain("formatted")
+        assert len(re.findall(r"^\(\d+\) WindowGroupLimit", buf.getvalue(), re.M)) >= 2
