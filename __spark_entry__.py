@@ -949,12 +949,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "seed", "cand", F.round("score", 6).alias("score"), "rank"
         )
 
+    def hybrid_batch_q(spark, sf_dir):
+        """Many-query hybrid retrieval in one job: batch BM25 over the
+        segment index + batch cosine over the embeddings, fused per
+        query by RRF (fugu_spark/hybrid.py batch_rrf_fuse)."""
+        from fugu_spark.analytics.similarity import batch_cosine_topk
+        from fugu_spark.batch import batch_search_segments
+        from fugu_spark.hybrid import batch_rrf_fuse
+
+        si = _seg_index(spark, sf_dir)
+        emb = _emb(spark, sf_dir)
+        queries = {0: "merge join", 1: "scan sort", 2: "filter index"}
+        qvecs = {
+            int(r.vec_id): list(r.embedding)
+            for r in emb.filter(F.col("vec_id").isin(0, 1, 2)).collect()
+        }
+        lex = batch_search_segments(si, queries, k=50)
+        sem = batch_cosine_topk(emb, qvecs, k=50).withColumnRenamed("vec_id", "doc_id")
+        out = batch_rrf_fuse([lex, sem], k=10, n_candidates=50)
+        return out.select(
+            "query_id", "doc_id", F.round("score", 6).alias("score"), "rank"
+        )
+
     out = {
         # --- block 1: new this round (never driver-verified) ---
         "match_count": match_count_q,
         "match_count_served": match_count_served_q,
         "hybrid_rrf": _hybrid_q("rrf"),
         "hybrid_weighted": _hybrid_q("weighted"),
+        "hybrid_batch": hybrid_batch_q,
         "batch_mlt": batch_mlt_q,
         "bm25_grouped_lang": grouped_lang_q,
         "more_like_this": mlt_q,
@@ -1005,11 +1028,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": quality,
         "search_facets_src1": search_facets_src1,
         "suggestions": suggestions_q,
-        # suggestions/token_stats/winnow_fps sit at positions 51-53:
-        # with 26 new round-5 entries ahead of this block, the driver's
-        # 50-entry cap reaches only 24 of the 27 r03-stale rows. These
-        # three keep their r03 driver rows + this round's local
-        # re-verification (CORRECTNESS_LOCAL_r05.json).
+        # search_facets_src1/suggestions/token_stats/winnow_fps sit at
+        # positions 51-54: with 27 new round-5 entries ahead of this
+        # block, the driver's 50-entry cap reaches only 23 of the 27
+        # r03-stale rows. These four keep their r03 driver rows + this
+        # round's local re-verification (CORRECTNESS_LOCAL_r05.json).
         "token_stats": token_stats,
         "winnow_fps": lambda spark, sf_dir: textstats.winnow_fingerprints(_docs(spark, sf_dir)),
         # --- block 3: regression core (fills to the 50 cap) ---
@@ -2144,11 +2167,48 @@ topk AS (
 )
 SELECT seed, cand, round(score, 6) AS score, rank
 FROM topk WHERE rank <= 3 ORDER BY seed, rank"""
+    hybrid_batch_sql = f"""WITH {_TOK}, {_SCORED},
+qt(query_id, term) AS (VALUES
+  (0, 'merge'), (0, 'join'), (1, 'scan'), (1, 'sort'),
+  (2, 'filter'), (2, 'index')),
+bm AS (
+  SELECT qt.query_id, sc.doc_id, sum(sc.sc) AS s
+  FROM qt JOIN scored sc USING (term) GROUP BY 1, 2
+),
+bmr AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id ASC) AS rank
+  FROM bm QUALIFY rank <= 50
+),
+qv AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id IN (0, 1, 2)),
+cos AS (
+  SELECT qv.query_id, e.vec_id AS doc_id,
+         sum(e.embedding[i]::DOUBLE * qv.qe[i]::DOUBLE)
+           / (sqrt(sum(e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))
+              * sqrt(sum(qv.qe[i]::DOUBLE * qv.qe[i]::DOUBLE))) AS s
+  FROM embeddings e, qv, unnest(generate_series(1, len(e.embedding))) t(i)
+  GROUP BY 1, 2
+),
+cosr AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id ASC) AS rank
+  FROM cos QUALIFY rank <= 50
+),
+u AS (SELECT * FROM bmr UNION ALL SELECT * FROM cosr),
+f AS (SELECT query_id, doc_id, sum(1.0 / (60.0 + rank)) AS score FROM u GROUP BY 1, 2),
+topk AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM f
+)
+SELECT query_id, doc_id, round(score, 6) AS score, rank
+FROM topk WHERE rank <= 10 ORDER BY query_id, rank"""
     return {
         "match_count": match_count_sql,
         "match_count_served": match_count_sql,
         "hybrid_rrf": hybrid_rrf_sql,
         "hybrid_weighted": hybrid_weighted_sql,
+        "hybrid_batch": hybrid_batch_sql,
         "batch_mlt": batch_mlt_sql,
         "bm25_grouped_lang": grouped_lang_sql,
         "more_like_this": mlt_sql,

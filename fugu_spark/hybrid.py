@@ -56,6 +56,46 @@ def rrf_fuse(
     return top_k(fused, k=k)
 
 
+def batch_rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 10,
+    c: float = RRF_C,
+    n_candidates: int = 100,
+) -> DataFrame:
+    """RRF for MANY queries in one job: each input is a
+    (query_id, doc_id, score) candidate frame (the shape
+    ``batch_search_segments`` / ``batch_cosine_topk`` emit) →
+    DataFrame(query_id, doc_id, score, rank ≤ k).
+
+    Ranks are recomputed per query (score DESC, doc_id ASC) so inputs
+    from engines with different rank conventions fuse identically. Both
+    the rank assignment and the final per-query top-k are row_number
+    windows keyed by query_id — Catalyst applies WindowGroupLimit, so
+    each map task ships at most n_candidates (resp. k) rows per query
+    it saw; width scales with the query count, never the corpus."""
+
+    def ranked(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            df.select("query_id", "doc_id", "score")
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= n_candidates)
+            .select("query_id", "doc_id", "rank")
+        )
+
+    u = reduce(lambda a, b: a.unionByName(b), [ranked(df) for df in rankings])
+    fused = u.groupBy("query_id", "doc_id").agg(
+        F.sum(1.0 / (F.lit(float(c)) + F.col("rank"))).alias("score")
+    )
+    w_k = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w_k))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
 def weighted_fuse(
     lexical: DataFrame,
     semantic: DataFrame,

@@ -91,3 +91,42 @@ class TestHybridSearch:
         emb = spark.createDataFrame([(0, [0.0])], "vec_id long, embedding array<float>")
         with pytest.raises(ValueError):
             hybrid_search(index, emb, "merge", [0.0], fusion="nope")
+
+
+class TestBatchRRF:
+    def test_matches_per_query_rrf(self, spark):
+        """batch_rrf_fuse must equal rrf_fuse run per query."""
+        from fugu_spark.hybrid import batch_rrf_fuse
+
+        lex = spark.createDataFrame(
+            [(0, 1, 9.0), (0, 2, 5.0), (1, 3, 4.0), (1, 1, 2.0)],
+            "query_id long, doc_id long, score double",
+        )
+        sem = spark.createDataFrame(
+            [(0, 2, 0.9), (0, 4, 0.8), (1, 3, 0.7)],
+            "query_id long, doc_id long, score double",
+        )
+        got = batch_rrf_fuse([lex, sem], k=10).collect()
+        for qid in (0, 1):
+            single = rrf_fuse(
+                [df.filter(F.col("query_id") == qid).drop("query_id") for df in (lex, sem)],
+                k=10,
+            ).collect()
+            batch_q = [r for r in got if r.query_id == qid]
+            assert [(r.doc_id, pytest.approx(r.score, abs=1e-12)) for r in single] == [
+                (r.doc_id, r.score) for r in batch_q
+            ]
+            assert [r.rank for r in batch_q] == list(range(1, len(batch_q) + 1))
+
+    def test_plan_group_limit_per_query(self, spark):
+        import io
+        import re
+        from contextlib import redirect_stdout
+
+        from fugu_spark.hybrid import batch_rrf_fuse
+
+        a = spark.createDataFrame([(0, 1, 1.0)], "query_id long, doc_id long, score double")
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            batch_rrf_fuse([a, a], k=3).explain("formatted")
+        assert len(re.findall(r"^\(\d+\) WindowGroupLimit", buf.getvalue(), re.M)) >= 2
