@@ -971,6 +971,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "query_id", "doc_id", F.round("score", 6).alias("score"), "rank"
         )
 
+    def spell_suggest_q(spark, sf_dir):
+        """'Did you mean' for three misspellings: closest dictionary
+        terms (distance ASC, df DESC, term ASC) —
+        fugu_spark/resultops.py spell_suggest."""
+        from functools import reduce
+
+        from fugu_spark.resultops import spell_suggest
+
+        _, idx = _index(spark, sf_dir)
+        parts = [
+            spell_suggest(idx, miss, n=5).withColumn("input", F.lit(miss))
+            for miss in ("mergd", "scon", "rown")
+        ]
+        return reduce(lambda a, b: a.unionByName(b), parts).select(
+            "input", "term", "distance", F.col("df").cast("long").alias("df")
+        )
+
     out = {
         # --- block 1: new this round (never driver-verified) ---
         "match_count": match_count_q,
@@ -979,6 +996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_weighted": _hybrid_q("weighted"),
         "hybrid_batch": hybrid_batch_q,
         "batch_mlt": batch_mlt_q,
+        "spell_suggest": spell_suggest_q,
         "bm25_grouped_lang": grouped_lang_q,
         "more_like_this": mlt_q,
         "percolate": percolate_q,
@@ -1028,11 +1046,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": quality,
         "search_facets_src1": search_facets_src1,
         "suggestions": suggestions_q,
-        # search_facets_src1/suggestions/token_stats/winnow_fps sit at
-        # positions 51-54: with 27 new round-5 entries ahead of this
-        # block, the driver's 50-entry cap reaches only 23 of the 27
-        # r03-stale rows. These four keep their r03 driver rows + this
-        # round's local re-verification (CORRECTNESS_LOCAL_r05.json).
+        # quality/search_facets_src1/suggestions/token_stats/winnow_fps
+        # sit at positions 51-55: with 28 new round-5 entries ahead of
+        # this block, the driver's 50-entry cap reaches only 22 of the
+        # 27 r03-stale rows. These five keep their r03 driver rows +
+        # this round's local re-verification (CORRECTNESS_LOCAL_r05.json).
         "token_stats": token_stats,
         "winnow_fps": lambda spark, sf_dir: textstats.winnow_fingerprints(_docs(spark, sf_dir)),
         # --- block 3: regression core (fills to the 50 cap) ---
@@ -2210,6 +2228,18 @@ FROM topk WHERE rank <= 10 ORDER BY query_id, rank"""
         "hybrid_weighted": hybrid_weighted_sql,
         "hybrid_batch": hybrid_batch_sql,
         "batch_mlt": batch_mlt_sql,
+        "spell_suggest": f"""WITH {_TOK},
+miss(input) AS (VALUES ('mergd'), ('scon'), ('rown')),
+c AS (
+  SELECT m.input, t.term, levenshtein(t.term, m.input) AS distance, t.df,
+         row_number() OVER (
+           PARTITION BY m.input
+           ORDER BY levenshtein(t.term, m.input) ASC, t.df DESC, t.term ASC
+         ) AS rn
+  FROM tstat t, miss m
+  WHERE t.term <> m.input AND levenshtein(t.term, m.input) <= 2
+)
+SELECT input, term, distance, df FROM c WHERE rn <= 5""",
         "bm25_grouped_lang": grouped_lang_sql,
         "more_like_this": mlt_sql,
         # percolation is BOOLEAN matching — per standing query: all

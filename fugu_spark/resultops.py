@@ -116,6 +116,36 @@ def mlt_terms(
     return [r["term"] for r in ranked.collect()]  # bounded: ≤ max_terms rows
 
 
+def spell_suggest(
+    index: InvertedIndex,
+    term: str,
+    n: int = 5,
+    max_distance: int = 2,
+) -> DataFrame:
+    """'Did you mean' (Lucene DirectSpellChecker shape): the dictionary
+    terms closest to a possibly-misspelled input →
+    DataFrame(term, distance, df), ordered (distance ASC, df DESC,
+    term ASC), the input itself excluded.
+
+    One parallel pass over the term dictionary with a length-band
+    prefilter + JVM ``levenshtein`` — the same distributed shape as
+    fuzzy-leaf expansion (queryparse Q14); the dictionary is the only
+    input, so cost scales with vocabulary, never the corpus."""
+    t = term.lower()
+    cand = index.terms.filter(
+        (F.length("term") >= len(t) - max_distance)
+        & (F.length("term") <= len(t) + max_distance)
+        & (F.col("term") != t)
+    )
+    return (
+        cand.withColumn("distance", F.levenshtein(F.col("term"), F.lit(t)))
+        .filter(F.col("distance") <= max_distance)
+        .select("term", "distance", "df")
+        .orderBy(F.asc("distance"), F.desc("df"), F.asc("term"))
+        .limit(n)
+    )
+
+
 def batch_mlt(
     index: InvertedIndex,
     max_terms: int = 5,

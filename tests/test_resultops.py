@@ -156,3 +156,23 @@ class TestBatchMLT:
         with redirect_stdout(buf):
             batch_mlt(index, max_terms=3, k=4).explain("formatted")
         assert len(re.findall(r"^\(\d+\) WindowGroupLimit", buf.getvalue(), re.M)) >= 2
+
+
+class TestSpellSuggest:
+    def test_orders_by_distance_then_df(self, index):
+        from fugu_spark.resultops import spell_suggest
+
+        got = spell_suggest(index, "merg", n=5).collect()
+        assert got, "no suggestions for 'merg'"
+        # 'merge' is distance 1 and frequent; it must lead
+        assert got[0].term == "merge" and got[0].distance == 1
+        keys = [(r.distance, -r.df, r.term) for r in got]
+        assert keys == sorted(keys)
+
+    def test_excludes_exact_and_respects_cap(self, index):
+        from fugu_spark.resultops import spell_suggest
+
+        got = spell_suggest(index, "merge", n=3).collect()
+        assert all(r.term != "merge" for r in got)
+        assert len(got) <= 3
+        assert all(r.distance <= 2 for r in got)
