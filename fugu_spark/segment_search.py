@@ -255,29 +255,49 @@ def _warn_spark_fallback(what: str, exc: Exception) -> None:
     )
 
 
+def _terms_dataset(si: SegmentIndex, refresh: bool = False):
+    """Cached pyarrow dataset over the terms dictionary. ``refresh``
+    drops the cached file listing — an incremental dictionary merge
+    swaps the terms directory in place (write-new → rmtree → rename,
+    segments.py merge_dictionary_incremental), which strands any
+    dataset opened before the swap."""
+    import pyarrow.dataset as pads
+
+    from .fsio import as_local
+
+    dset = None if refresh else getattr(si, "_terms_ds", None)
+    if dset is None:
+        dset = pads.dataset(
+            os.path.join(as_local(si.index_dir), "terms"), format="parquet"
+        )
+        si._terms_ds = dset
+    return dset
+
+
 def _term_meta(si: SegmentIndex, terms: list[str]) -> dict[str, dict]:
     """Dictionary lookup for the query's terms.
 
     Hot path reads the terms parquet driver-side through pyarrow with a
     pushed-down term filter (row-group min/max pruning; no Spark job —
-    queries should launch exactly one job). Falls back to a Spark scan —
-    with a RuntimeWarning, never silently — if the dictionary isn't
-    reachable as a pyarrow dataset (exotic FS, empty/corrupt terms dir)."""
+    queries should launch exactly one job). A FileNotFoundError means
+    the dictionary was swapped under a cached listing (in-place
+    incremental merge) — re-open once and retry. Falls back to a Spark
+    scan — with a RuntimeWarning, never silently — if the dictionary
+    isn't reachable as a pyarrow dataset (exotic FS, empty/corrupt
+    terms dir)."""
     rows: list[dict] = []
     if not terms:
         return {}
     try:
         import pyarrow.dataset as pads
 
-        dset = getattr(si, "_terms_ds", None)
-        if dset is None:
-            from .fsio import as_local
-
-            dset = pads.dataset(
-                os.path.join(as_local(si.index_dir), "terms"), format="parquet"
+        flt = pads.field("term").isin(terms)
+        try:
+            tbl = _terms_dataset(si).to_table(columns=_META_COLS, filter=flt)
+        except FileNotFoundError:
+            tbl = _terms_dataset(si, refresh=True).to_table(
+                columns=_META_COLS, filter=flt
             )
-            si._terms_ds = dset
-        tbl = dset.to_table(columns=_META_COLS, filter=pads.field("term").isin(terms))
         rows = tbl.to_pylist()
     except Exception as e:
         _warn_spark_fallback("terms dictionary lookup", e)
@@ -308,19 +328,15 @@ def _dict_prefix_terms(si: SegmentIndex, prefix: str) -> list[str]:
     try:
         import pyarrow.dataset as pads
 
-        dset = getattr(si, "_terms_ds", None)
-        if dset is None:
-            from .fsio import as_local
-
-            dset = pads.dataset(
-                os.path.join(as_local(si.index_dir), "terms"), format="parquet"
-            )
-            si._terms_ds = dset
         flt = pads.field("term") >= prefix
         ub = _prefix_upper_bound(prefix)
         if ub is not None:
             flt = flt & (pads.field("term") < ub)
-        terms = sorted(dset.to_table(columns=["term"], filter=flt)["term"].to_pylist())
+        try:
+            tbl = _terms_dataset(si).to_table(columns=["term"], filter=flt)
+        except FileNotFoundError:
+            tbl = _terms_dataset(si, refresh=True).to_table(columns=["term"], filter=flt)
+        terms = sorted(tbl["term"].to_pylist())
     except Exception as e:
         _warn_spark_fallback("prefix expansion dictionary read", e)
         rows = (

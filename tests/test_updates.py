@@ -135,3 +135,23 @@ def test_upsert_bucket_layout_survives_sparse_buckets(spark, tmp_path):
         build_index(docs, id_col="doc_id", text_col="content").postings
     )
     assert live == fresh
+
+
+def test_stale_terms_dataset_reopens_after_swap(spark, si):
+    """A SegmentIndex opened BEFORE an in-place dictionary swap (the
+    incremental merge's write-new → rmtree → rename) must transparently
+    re-open its cached pyarrow dataset — one retry, no RuntimeWarning,
+    no silent Spark-scan downgrade of the serving fast path."""
+    import warnings
+
+    # warm the cached pyarrow dataset on the pre-upsert handle
+    assert search_segments(si, "merge", k=5).count() > 0
+    assert getattr(si, "_terms_ds", None) is not None
+    batch = spark.createDataFrame(UPSERT, "doc_id long, content string")
+    si2 = upsert_segments(si, batch, id_col="doc_id", text_col="content")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)  # any fallback = fail
+        got = {r.doc_id for r in search_segments(si, "vector", k=10).collect()}
+    # the old handle sees the post-swap dictionary (new terms resolvable)
+    assert got == {0, 4}
+    assert {r.doc_id for r in search_segments(si2, "vector", k=10).collect()} == got
