@@ -971,6 +971,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "query_id", "doc_id", F.round("score", 6).alias("score"), "rank"
         )
 
+    def mlt_served_q(spark, sf_dir):
+        """MoreLikeThis at serving latency (LocalSearcher.more_like_this
+        over the doc_store + dictionary sidecars) — same semantics as
+        the distributed more_like_this entry, same oracle."""
+        from fugu_spark.serve import LocalSearcher
+
+        eng = _engine(spark, sf_dir)
+        pdf = LocalSearcher(eng.si.index_dir).more_like_this(42, max_terms=5, k=10)
+        pdf["score"] = pdf["score"].round(6)
+        return spark.createDataFrame(pdf, "doc_id long, score double")
+
     def spell_suggest_q(spark, sf_dir):
         """'Did you mean' for three misspellings: closest dictionary
         terms (distance ASC, df DESC, term ASC) —
@@ -996,6 +1007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_weighted": _hybrid_q("weighted"),
         "hybrid_batch": hybrid_batch_q,
         "batch_mlt": batch_mlt_q,
+        "more_like_this_served": mlt_served_q,
         "spell_suggest": spell_suggest_q,
         "bm25_grouped_lang": grouped_lang_q,
         "more_like_this": mlt_q,
@@ -1046,11 +1058,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": quality,
         "search_facets_src1": search_facets_src1,
         "suggestions": suggestions_q,
-        # quality/search_facets_src1/suggestions/token_stats/winnow_fps
-        # sit at positions 51-55: with 28 new round-5 entries ahead of
-        # this block, the driver's 50-entry cap reaches only 22 of the
-        # 27 r03-stale rows. These five keep their r03 driver rows +
-        # this round's local re-verification (CORRECTNESS_LOCAL_r05.json).
+        # The last six of this block (ngram_jaccard … winnow_fps) sit at
+        # positions 51-56: with 29 new round-5 entries ahead, the
+        # driver's 50-entry cap reaches only 21 of the 27 r03-stale
+        # rows. Those six keep their r03 driver rows + this round's
+        # local re-verification (CORRECTNESS_LOCAL_r05.json).
         "token_stats": token_stats,
         "winnow_fps": lambda spark, sf_dir: textstats.winnow_fingerprints(_docs(spark, sf_dir)),
         # --- block 3: regression core (fills to the 50 cap) ---
@@ -2228,6 +2240,7 @@ FROM topk WHERE rank <= 10 ORDER BY query_id, rank"""
         "hybrid_weighted": hybrid_weighted_sql,
         "hybrid_batch": hybrid_batch_sql,
         "batch_mlt": batch_mlt_sql,
+        "more_like_this_served": mlt_sql,
         "spell_suggest": f"""WITH {_TOK},
 miss(input) AS (VALUES ('mergd'), ('scon'), ('rown')),
 c AS (

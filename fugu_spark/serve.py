@@ -708,6 +708,19 @@ class LocalSearcher:
                 "fuzzy/range query leaves are not locally servable — "
                 "route to search_segments"
             )
+        return self._execute_local(plan, k, offset, max_postings, filters, date_ranges)
+
+    def _execute_local(
+        self,
+        plan,
+        k: int,
+        offset: int = 0,
+        max_postings: int | None = None,
+        filters: list | None = None,
+        date_ranges: dict | None = None,
+    ) -> pd.DataFrame:
+        """Serve an already-parsed (and expanded) plan — the shared body
+        behind ``search`` and plan-constructing callers (MLT)."""
         allowed = self._allowed_docs(filters) if filters else None
         if date_ranges:
             dallowed = self._allowed_dates(date_ranges)
@@ -804,6 +817,48 @@ class LocalSearcher:
         out = out.sort_values(
             ["score", "doc_id"], ascending=[False, True], kind="mergesort"
         ).iloc[offset : offset + k]
+        return out.reset_index(drop=True)
+
+    def more_like_this(
+        self,
+        seed_doc_id: int,
+        max_terms: int = 10,
+        k: int = 10,
+        text_col: str = "text",
+        max_postings: int | None = None,
+    ) -> pd.DataFrame:
+        """MoreLikeThis at serving latency (the distributed analog is
+        resultops.more_like_this): seed text from the doc_store sidecar,
+        tokenized driver-side with the index's analyzer; terms ranked by
+        seed-tf × idf via ONE dictionary probe; the top ``max_terms``
+        served as an OR plan through the standard local pipeline, seed
+        excluded → pandas DataFrame(doc_id, score)."""
+        from collections import Counter
+
+        from .queryparse import Leaf, QueryPlan
+        from .tokenizer import tokenize_py
+
+        pdf = self.get_docs([seed_doc_id])
+        empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                              "score": pd.Series([], dtype="float64")})
+        if not len(pdf):
+            return empty
+        if text_col not in pdf.columns:
+            raise ValueError(
+                f"doc_store has no column {text_col!r} (columns: {list(pdf.columns)})"
+            )
+        tf = Counter(t for t, _pos in tokenize_py(str(pdf[text_col].iloc[0]), self.mode))
+        meta = self.term_meta(list(tf))
+        ranked = sorted(
+            ((t, tf[t] * meta[t]["idf"]) for t in meta),
+            key=lambda x: (-x[1], x[0]),
+        )[:max_terms]
+        if not ranked:
+            return empty
+        plan = QueryPlan(leaves=[Leaf(terms=(t,)) for t, _w in ranked])
+        # over-fetch by one: the seed itself usually ranks first
+        out = self._execute_local(plan, k=k + 1, max_postings=max_postings)
+        out = out[out["doc_id"] != seed_doc_id].head(k)
         return out.reset_index(drop=True)
 
     def count(

@@ -203,3 +203,31 @@ def test_maybe_compact_triggers(spark, tmp_path):
     assert eng.maybe_compact(max_generations=99, max_delete_ratio=0.25) is True
     got = [r.doc_id for r in eng.search("merge", k=20).collect()]
     assert 0 not in got and 100 in got
+
+
+def test_served_more_like_this_matches_distributed(spark, engine):
+    """LocalSearcher.more_like_this == resultops.more_like_this on the
+    same corpus: identical term selection (tokenize + tf×idf), identical
+    ranks and scores (the serving pipeline is score-identical to the
+    distributed engines)."""
+    from fugu_spark.postings import build_index
+    from fugu_spark.resultops import more_like_this as dist_mlt
+    from fugu_spark.serve import LocalSearcher
+
+    docs = engine.si.spark.read.parquet(f"{engine.si.index_dir}/doc_store").select(
+        F.col("_doc_key").alias("doc_id"), "text"
+    )
+    idx = build_index(docs, id_col="doc_id", text_col="text")
+    ls = LocalSearcher(engine.si.index_dir)
+    for seed in (1, 3):
+        want = [(r.doc_id, r.score) for r in dist_mlt(idx, seed, max_terms=3, k=5).collect()]
+        got = ls.more_like_this(seed, max_terms=3, k=5)
+        assert [(int(d), pytest.approx(s, abs=1e-9)) for d, s in zip(got["doc_id"], got["score"])] == want
+        assert seed not in set(got["doc_id"])
+
+
+def test_served_mlt_missing_doc(engine):
+    from fugu_spark.serve import LocalSearcher
+
+    ls = LocalSearcher(engine.si.index_dir)
+    assert len(ls.more_like_this(99999, k=5)) == 0
