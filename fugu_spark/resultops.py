@@ -150,6 +150,7 @@ def batch_mlt(
     index: InvertedIndex,
     max_terms: int = 5,
     k: int = 5,
+    max_df: int | None = None,
     k1: float = BM25_K1,
     b: float = BM25_B,
 ) -> DataFrame:
@@ -167,14 +168,27 @@ def batch_mlt(
     matters (a stopword never wins a tf×idf slot against any rarer
     term); (3) per-(seed, cand) score = Σ BM25 term contributions —
     partial-aggregated groupBy; (4) per-seed top-k window, which
-    Catalyst rewrites with map-side WindowGroupLimit."""
+    Catalyst rewrites with map-side WindowGroupLimit.
+
+    ``max_df`` (Lucene MoreLikeThis ``maxDocFreq``): exclude terms with
+    df above it from selection. Candidate volume is Σ df over each
+    seed's selected terms, so this is THE scale knob for corpus-wide
+    mining: on a real heavy-tail vocabulary the tf×idf winners are
+    genuinely rare and the default (no cap) is fine, but a corpus whose
+    vocabulary is tiny relative to n_docs (every term common — e.g. a
+    5k-word vocab at 160k docs) degenerates toward all-pairs without
+    it. Set max_df so that n_docs × max_terms × max_df pair-rows fit
+    your cluster."""
     n = index.stats.n_docs
     idf = F.log(1.0 + (F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
     w_sel = Window.partitionBy("doc_id").orderBy(
         F.desc("w"), F.asc("term")
     )
+    term_df = index.terms.select("term", "df")
+    if max_df is not None:
+        term_df = term_df.filter(F.col("df") <= max_df)
     sel = (
-        index.postings.join(index.terms.select("term", "df"), "term")
+        index.postings.join(term_df, "term")
         .withColumn("w", F.col("tf") * idf)
         .withColumn("rn", F.row_number().over(w_sel))
         .filter(F.col("rn") <= max_terms)

@@ -176,3 +176,17 @@ class TestSpellSuggest:
         assert all(r.term != "merge" for r in got)
         assert len(got) <= 3
         assert all(r.distance <= 2 for r in got)
+
+
+def test_batch_mlt_max_df_excludes_common_terms(index):
+    """max_df (Lucene maxDocFreq) drops common terms from selection —
+    the scale knob bounding candidate fan-out."""
+    from fugu_spark.resultops import batch_mlt
+
+    # 'merge' (df 5) is doc 8's only term; with max_df=4 doc 8 selects
+    # nothing and gets no recommendations, while low-df docs still do
+    out = batch_mlt(index, max_terms=3, k=4, max_df=4).collect()
+    seeds = {r.seed for r in out}
+    assert 8 not in seeds
+    default = batch_mlt(index, max_terms=3, k=4).collect()
+    assert 8 in {r.seed for r in default}
