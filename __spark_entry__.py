@@ -971,6 +971,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "query_id", "doc_id", F.round("score", 6).alias("score"), "rank"
         )
 
+    def grouped_served_q(spark, sf_dir):
+        """Field collapsing at serving latency (LocalSearcher.grouped_topk
+        via the filter_index sidecar) — same semantics and oracle as the
+        distributed bm25_grouped_lang entry."""
+        from fugu_spark.serve import LocalSearcher
+
+        eng = _engine(spark, sf_dir)
+        pdf = LocalSearcher(eng.si.index_dir).grouped_topk(
+            "merge join", "lang", k_per_group=3
+        )
+        pdf["score"] = pdf["score"].round(6)
+        return spark.createDataFrame(
+            pdf, "group string, doc_id long, score double, rank_in_group int"
+        )
+
     def mlt_served_q(spark, sf_dir):
         """MoreLikeThis at serving latency (LocalSearcher.more_like_this
         over the doc_store + dictionary sidecars) — same semantics as
@@ -1007,6 +1022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_weighted": _hybrid_q("weighted"),
         "hybrid_batch": hybrid_batch_q,
         "batch_mlt": batch_mlt_q,
+        "bm25_grouped_served": grouped_served_q,
         "more_like_this_served": mlt_served_q,
         "spell_suggest": spell_suggest_q,
         "bm25_grouped_lang": grouped_lang_q,
@@ -1058,10 +1074,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": quality,
         "search_facets_src1": search_facets_src1,
         "suggestions": suggestions_q,
-        # The last six of this block (ngram_jaccard … winnow_fps) sit at
-        # positions 51-56: with 29 new round-5 entries ahead, the
-        # driver's 50-entry cap reaches only 21 of the 27 r03-stale
-        # rows. Those six keep their r03 driver rows + this round's
+        # The last seven of this block (lang_id … winnow_fps) sit at
+        # positions 51-57: with 30 new round-5 entries ahead, the
+        # driver's 50-entry cap reaches only 20 of the 27 r03-stale
+        # rows. Those seven keep their r03 driver rows + this round's
         # local re-verification (CORRECTNESS_LOCAL_r05.json).
         "token_stats": token_stats,
         "winnow_fps": lambda spark, sf_dir: textstats.winnow_fingerprints(_docs(spark, sf_dir)),
@@ -2240,6 +2256,7 @@ FROM topk WHERE rank <= 10 ORDER BY query_id, rank"""
         "hybrid_weighted": hybrid_weighted_sql,
         "hybrid_batch": hybrid_batch_sql,
         "batch_mlt": batch_mlt_sql,
+        "bm25_grouped_served": grouped_lang_sql,
         "more_like_this_served": mlt_sql,
         "spell_suggest": f"""WITH {_TOK},
 miss(input) AS (VALUES ('mergd'), ('scon'), ('rown')),

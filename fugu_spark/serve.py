@@ -861,6 +861,43 @@ class LocalSearcher:
         out = out[out["doc_id"] != seed_doc_id].head(k)
         return out.reset_index(drop=True)
 
+    def grouped_topk(
+        self,
+        query_text: str | None,
+        facet_root: str,
+        k_per_group: int = 3,
+        max_postings: int | None = None,
+    ) -> pd.DataFrame:
+        """Field collapsing at serving latency (distributed analog:
+        resultops.grouped_topk), grouped by a FACET: top ``k_per_group``
+        hits per child value of ``facet_root`` (e.g. 'lang') → pandas
+        DataFrame(group, doc_id, score, rank_in_group).
+
+        Group membership comes from the filter_index sidecar (the
+        ledger enumerates values, the index restricts docs) — no doc
+        fetches, no corpus scan; the decoded-postings LRU makes the
+        per-value passes share one decode of the query's terms."""
+        root = "/" + facet_root.strip("/")
+        frames = []
+        for v in self.filter_values(root)["value"]:
+            pdf = self.search(
+                query_text,
+                k=k_per_group,
+                max_postings=max_postings,
+                filters=[f"{root}/{v}"],
+            )
+            if len(pdf):
+                pdf = pdf.assign(
+                    group=v, rank_in_group=range(1, len(pdf) + 1)
+                )
+                frames.append(pdf[["group", "doc_id", "score", "rank_in_group"]])
+        if not frames:
+            return pd.DataFrame({"group": pd.Series([], dtype="object"),
+                                 "doc_id": pd.Series([], dtype="int64"),
+                                 "score": pd.Series([], dtype="float64"),
+                                 "rank_in_group": pd.Series([], dtype="int64")})
+        return pd.concat(frames, ignore_index=True)
+
     def count(
         self,
         query_text: str | None,

@@ -231,3 +231,24 @@ def test_served_mlt_missing_doc(engine):
 
     ls = LocalSearcher(engine.si.index_dir)
     assert len(ls.more_like_this(99999, k=5)) == 0
+
+
+def test_served_grouped_topk_matches_filtered_searches(engine):
+    """Served collapse (facet-grouped top-k) assembles per-value
+    filtered searches; groups with no hits are absent; ranks contiguous."""
+    from fugu_spark.serve import LocalSearcher
+
+    ls = LocalSearcher(engine.si.index_dir)
+    out = ls.grouped_topk("merge", "lang", k_per_group=2)
+    assert len(out), "no grouped hits"
+    by_group: dict[str, list] = {}
+    for r in out.itertuples():
+        by_group.setdefault(r.group, []).append(r)
+    # the original corpus guarantees at least the py and rs merge docs
+    assert {"py", "rs"} <= set(by_group)
+    for v, rows in by_group.items():
+        assert [r.rank_in_group for r in rows] == list(range(1, len(rows) + 1))
+        single = ls.search("merge", k=2, filters=[f"/lang/{v}"])
+        assert [(r.doc_id, r.score) for r in rows] == list(
+            zip(single["doc_id"], single["score"])
+        )
