@@ -1016,6 +1016,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out = {
         # --- block 1: new this round (never driver-verified) ---
+        "bm25_regex": _search_q("/s.*o.*/", 10),
+        "bm25_regex_served": _serving_q("/s.*o.*/ merge", 10),
         "match_count": match_count_q,
         "match_count_served": match_count_served_q,
         "hybrid_rrf": _hybrid_q("rrf"),
@@ -2250,6 +2252,10 @@ topk AS (
 SELECT query_id, doc_id, round(score, 6) AS score, rank
 FROM topk WHERE rank <= 10 ORDER BY query_id, rank"""
     return {
+        "bm25_regex": _topk_sql("regexp_full_match(term, 's.*o.*')"),
+        "bm25_regex_served": _topk_sql(
+            "regexp_full_match(term, 's.*o.*') OR term = 'merge'"
+        ),
         "match_count": match_count_sql,
         "match_count_served": match_count_sql,
         "hybrid_rrf": hybrid_rrf_sql,

@@ -135,7 +135,7 @@ def compile_queries(
         if not plan.has_positive():
             raise ValueError(f"query {qid}: MustNot-only query cannot be percolated")
         for leaf in plan.leaves:
-            if leaf.prefix_last or leaf.fuzzy or leaf.rng is not None:
+            if leaf.prefix_last or leaf.fuzzy or leaf.regex or leaf.rng is not None:
                 raise ValueError(
                     f"query {qid}: dictionary expansions / term ranges need an "
                     "index and cannot be percolated over a raw doc stream"

@@ -34,6 +34,7 @@ _TOKEN_RE = re.compile(
     r"""
       (?P<psign>[+\-])?(?:(?P<pfield>[A-Za-z_][\w.]*):)?"(?P<phrase>[^"]*)"(?P<pstar>\*)?(?:~(?P<slop>\d+))?(?:\^(?P<pboost>\d+(?:\.\d+)?))?
     | (?P<rsign>[+\-])?(?:(?P<rfield>[A-Za-z_][\w.]*):)?(?P<lo_b>[\[\{])(?P<rlo>[^\s\]\}]+)\s+TO\s+(?P<rhi>[^\s\]\}]+)(?P<rhi_b>[\]\}])(?:\^(?P<rngboost>\d+(?:\.\d+)?))?
+    | (?P<xsign>[+\-])?(?:(?P<xfield>[A-Za-z_][\w.]*):)?/(?P<rx>(?:[^/\\\s]|\\.)+)/(?:\^(?P<rxboost>\d+(?:\.\d+)?))?(?=[\s()]|$)
     | (?P<lparen>\()
     | (?P<rparen>\))(?:\^(?P<gboost>\d+(?:\.\d+)?))?
     | (?P<word>[^\s()]+)
@@ -100,6 +101,16 @@ class Leaf:
     # similarity-boosted blending documented here. Single-term leaves
     # only; a fuzzy suffix on a multi-token word stays a plain phrase.
     fuzzy: int = 0
+    # '/pattern/' — Lucene RegexpQuery syntax for Tantivy's programmatic
+    # RegexQuery (reachable in the reference only via code, not its
+    # parser; surfaced here through Lucene's slash syntax, documented
+    # extension). The single entry of ``terms`` is the RAW pattern —
+    # not analyzed, not lowercased (Lucene behaviour; index terms are
+    # lowercase, so case-sensitive patterns simply miss). Matches the
+    # WHOLE term (fullmatch). Expanded at execution time exactly like
+    # prefix_last/fuzzy: an OR-group of up to PREFIX_MAX_EXPANSIONS
+    # dictionary terms in dictionary order, each BM25-scored.
+    regex: bool = False
     # '[a TO b]' / '{a TO b}' over a TEXT field (date fields are extracted
     # pre-parse): (lo, hi, incl_lo, incl_hi), lowercased bounds, None =
     # open side. Pinned Lucene/Tantivy semantics: CONSTANT score — a doc
@@ -291,6 +302,26 @@ def _parse_group(tokens: list, pos: int, mode: str, depth: int, fields: frozense
             pending = None
             pos += 1
             continue
+        if kind == "regex":
+            pattern, boost, xfield, sign = val
+            fld = _resolve_field(xfield, fields)
+            # unescape '\/' (the only delimiter escape the syntax needs);
+            # a pattern that does not compile is a parse error, which the
+            # reference answers by stripping specials and retrying —
+            # '/' survives the strip (not in Tantivy's escape set), so
+            # the fallback tokenizes the slashed text as ordinary words
+            pattern = pattern.replace("\\/", "/")
+            try:
+                re.compile(pattern)
+            except re.error as e:
+                raise QueryParseError(f"bad regex {pattern!r}: {e}") from None
+            occur = {"+": "must", "-": "must_not"}.get(sign) or pending or "should"
+            children.append(
+                (occur, Leaf(terms=(pattern,), boost=boost, fld=fld, regex=True))
+            )
+            pending = None
+            pos += 1
+            continue
         if kind == "range":
             rfield, lo, hi, incl_lo, incl_hi, boost, sign = val
             fld = _resolve_field(rfield, fields)
@@ -436,6 +467,18 @@ def _parse_once(query: str, mode: str, fields: frozenset | None = None) -> Query
                     ),
                 )
             )
+        elif m.group("rx") is not None:
+            tokens.append(
+                (
+                    "regex",
+                    (
+                        m.group("rx"),
+                        float(m.group("rxboost") or 1.0),
+                        m.group("xfield"),
+                        m.group("xsign"),
+                    ),
+                )
+            )
         else:
             tokens.append(("word", m.group("word")))
     children, _ = _parse_group(tokens, 0, mode, 0, fields)
@@ -457,7 +500,23 @@ def _parse_once(query: str, mode: str, fields: frozenset | None = None) -> Query
 
 
 def needs_expansion(plan: QueryPlan) -> bool:
-    return any(l.prefix_last or l.fuzzy for l in plan.leaves)
+    return any(l.prefix_last or l.fuzzy or l.regex for l in plan.leaves)
+
+
+def regex_literal_prefix(pattern: str) -> str:
+    """Longest literal prefix of an anchored regex — the dictionary-scan
+    prune key (Lucene's RegexpQuery extracts the same from its automaton).
+    Stops at the first metacharacter; backs off one char when the next
+    metachar is a quantifier ('ab?c' can match 'a...')."""
+    metas = set(".*+?[]{}()|^$\\")
+    lit = []
+    for c in pattern:
+        if c in metas:
+            if c in "*?{" and lit:  # quantifier applies to the previous atom
+                lit.pop()
+            break
+        lit.append(c)
+    return "".join(lit)
 
 
 def expand_plan(
@@ -484,7 +543,7 @@ def expand_plan(
     def xf(node: "Leaf | BoolNode") -> "Leaf | BoolNode":
         if isinstance(node, BoolNode):
             return BoolNode(tuple((occ, xf(c)) for occ, c in node.children))
-        if not (node.prefix_last or node.fuzzy):
+        if not (node.prefix_last or node.fuzzy or node.regex):
             return node
         exps = list(expander(node))[:max_expansions]
         return BoolNode(
@@ -497,6 +556,7 @@ def expand_plan(
                         occur="should",
                         prefix_last=False,
                         fuzzy=0,
+                        regex=False,
                     ),
                 )
                 for e in exps

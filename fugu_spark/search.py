@@ -75,6 +75,16 @@ def dict_expander(indexes: dict):
         for idx in idxs:
             if leaf.prefix_last:
                 cond = F.col("term").startswith(t)
+            elif leaf.regex:
+                # Tantivy RegexQuery analog: anchored (whole-term) match,
+                # literal-prefix prune so the clustered dictionary scan
+                # stays O(matching row groups) when the pattern has one
+                from .queryparse import regex_literal_prefix
+
+                cond = F.col("term").rlike("^(?:" + t + ")$")
+                lit = regex_literal_prefix(t)
+                if lit:
+                    cond = F.col("term").startswith(lit) & cond
             else:
                 cond = (
                     (F.length("term") >= len(t) - leaf.fuzzy)
@@ -390,7 +400,7 @@ def execute_plan(
 ) -> DataFrame:
     """Boolean-combine the plan into DataFrame(doc_id, score)."""
     spark = index.postings.sparkSession
-    if any(l.prefix_last or l.fuzzy for l in plan.leaves):
+    if any(l.prefix_last or l.fuzzy or l.regex for l in plan.leaves):
         raise ValueError(
             "plan contains unexpanded prefix/fuzzy leaves — run "
             "queryparse.expand_plan with the index dictionary first "
@@ -651,7 +661,7 @@ def execute_plan_fields(
     fields with per-field stats (Lucene/Tantivy multi-field semantics)."""
     first = next(iter(indexes.values()))
     spark = first.postings.sparkSession
-    if any(l.prefix_last or l.fuzzy for l in plan.leaves):
+    if any(l.prefix_last or l.fuzzy or l.regex for l in plan.leaves):
         raise ValueError(
             "plan contains unexpanded prefix/fuzzy leaves — run "
             "queryparse.expand_plan with the index dictionary first "

@@ -371,12 +371,59 @@ def _dict_fuzzy_terms(si: SegmentIndex, term: str, n: int) -> list[str]:
     return [r["term"] for r in rows]
 
 
+def _dict_regex_terms(si: SegmentIndex, pattern: str) -> list[str]:
+    """Regex expansion for ``/pattern/`` (Tantivy RegexQuery analog):
+    anchored whole-term match. The pattern's literal prefix prunes the
+    range-clustered dictionary read to its row groups (Lucene extracts
+    the same prefix from the query automaton); a prefix-free pattern
+    ('/.*x/') is an honest full dictionary column scan — same as
+    Lucene's automaton walk over the whole FST. Capped at
+    PREFIX_MAX_EXPANSIONS in dictionary order."""
+    import re as _re
+
+    from .queryparse import regex_literal_prefix
+    from .serve import _prefix_upper_bound
+
+    rx = _re.compile(pattern)
+    lit = regex_literal_prefix(pattern)
+    try:
+        import pyarrow.dataset as pads
+
+        flt = None
+        if lit:
+            flt = pads.field("term") >= lit
+            ub = _prefix_upper_bound(lit)
+            if ub is not None:
+                flt = flt & (pads.field("term") < ub)
+        try:
+            tbl = _terms_dataset(si).to_table(columns=["term"], filter=flt)
+        except FileNotFoundError:
+            tbl = _terms_dataset(si, refresh=True).to_table(columns=["term"], filter=flt)
+        terms = sorted(t for t in tbl["term"].to_pylist() if rx.fullmatch(t))
+    except Exception as e:
+        _warn_spark_fallback("regex expansion dictionary read", e)
+        cond = F.col("term").rlike("^(?:" + pattern + ")$")
+        if lit:
+            cond = F.col("term").startswith(lit) & cond
+        rows = (
+            si.terms.filter(cond)
+            .select("term")
+            .orderBy("term")
+            .limit(PREFIX_MAX_EXPANSIONS)
+            .collect()
+        )
+        terms = [r["term"] for r in rows]
+    return terms[:PREFIX_MAX_EXPANSIONS]
+
+
 def _segment_expander(si: SegmentIndex):
     """queryparse.expand_plan expander over the segment dictionary."""
 
     def exp(leaf) -> list[str]:
         if leaf.prefix_last:
             return _dict_prefix_terms(si, leaf.terms[-1])
+        if leaf.regex:
+            return _dict_regex_terms(si, leaf.terms[-1])
         return _dict_fuzzy_terms(si, leaf.terms[-1], leaf.fuzzy)
 
     return exp

@@ -163,24 +163,39 @@ class LocalSearcher:
     # ------------------------------------------------------------- lookups
 
     def _prefix_expander(self):
-        """queryparse.expand_plan expander over the local dictionary:
-        [prefix, successor) pyarrow read, row-group pruned by the
-        range-clustered terms layout; cap = Tantivy's max_expansions."""
+        """queryparse.expand_plan expander over the local dictionary for
+        prefix AND regex leaves: [prefix, successor) pyarrow read,
+        row-group pruned by the range-clustered terms layout (a regex
+        prunes by its literal prefix; prefix-free patterns scan the
+        dictionary column, Lucene's FST-walk analog); cap = Tantivy's
+        max_expansions."""
+        import re as _re
+
         import pyarrow.dataset as pads
 
-        from .queryparse import PREFIX_MAX_EXPANSIONS
+        from .queryparse import PREFIX_MAX_EXPANSIONS, regex_literal_prefix
 
         def exp(leaf) -> list[str]:
-            prefix = leaf.terms[-1]
-            flt = pads.field("term") >= prefix
-            ub = _prefix_upper_bound(prefix)
-            if ub is not None:
-                flt = flt & (pads.field("term") < ub)
+            rx = None
+            if leaf.regex:
+                rx = _re.compile(leaf.terms[-1])
+                prefix = regex_literal_prefix(leaf.terms[-1])
+            else:
+                prefix = leaf.terms[-1]
+            flt = None
+            if prefix:
+                flt = pads.field("term") >= prefix
+                ub = _prefix_upper_bound(prefix)
+                if ub is not None:
+                    flt = flt & (pads.field("term") < ub)
             try:
                 tbl = self._terms.to_table(columns=["term"], filter=flt)
             except Exception:
                 return []
-            return sorted(tbl["term"].to_pylist())[:PREFIX_MAX_EXPANSIONS]
+            terms = tbl["term"].to_pylist()
+            if rx is not None:
+                terms = [t for t in terms if rx.fullmatch(t)]
+            return sorted(terms)[:PREFIX_MAX_EXPANSIONS]
 
         return exp
 
@@ -692,11 +707,13 @@ class LocalSearcher:
         OOMing the driver — callers fall back to the distributed engine.
         """
         plan = parse_query(query_text, mode=self.mode)
-        if any(l.prefix_last for l in plan.leaves):
-            # prefix leaves ('term*', '"a b"*') serve locally: expansion
-            # is a [prefix, successor) byte-range read of the
-            # range-clustered dictionary — O(matching row groups) at any
-            # vocab size — and the expanded plan is an ordinary OR-group
+        if any(l.prefix_last or l.regex for l in plan.leaves):
+            # prefix leaves ('term*', '"a b"*') and regex leaves
+            # ('/pat/') serve locally: expansion is a [prefix, successor)
+            # byte-range read of the range-clustered dictionary —
+            # O(matching row groups) at any vocab size (regex prunes by
+            # its literal prefix) — and the expanded plan is an ordinary
+            # OR-group
             from .queryparse import expand_plan
 
             plan = expand_plan(plan, self._prefix_expander())
