@@ -1018,6 +1018,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- block 1: new this round (never driver-verified) ---
         "bm25_regex": _search_q("/s.*o.*/", 10),
         "bm25_regex_served": _serving_q("/s.*o.*/ merge", 10),
+        "bm25_wildcard_term": _search_q("s?an*", 10),
+        "bm25_wildcard_served": _serving_q("merge jo?n*", 10),
         "match_count": match_count_q,
         "match_count_served": match_count_served_q,
         "hybrid_rrf": _hybrid_q("rrf"),
@@ -2255,6 +2257,10 @@ FROM topk WHERE rank <= 10 ORDER BY query_id, rank"""
         "bm25_regex": _topk_sql("regexp_full_match(term, 's.*o.*')"),
         "bm25_regex_served": _topk_sql(
             "regexp_full_match(term, 's.*o.*') OR term = 'merge'"
+        ),
+        "bm25_wildcard_term": _topk_sql("regexp_full_match(term, 's.an.*')"),
+        "bm25_wildcard_served": _topk_sql(
+            "regexp_full_match(term, 'jo.n.*') OR term = 'merge'"
         ),
         "match_count": match_count_sql,
         "match_count_served": match_count_sql,

@@ -393,10 +393,27 @@ def _parse_group(tokens: list, pos: int, mode: str, depth: int, fields: frozense
             continue
         prefix_last = False
         fuzzy = 0
-        if text.endswith("*") and len(text) > 1:
-            # trailing star = dictionary-prefix term ('merge*'); inner
-            # stars stay escape chars (tokenizer splits on them)
+        if text.endswith("*") and len(text) > 1 and not re.search(r"[*?]", text[:-1]):
+            # trailing star = dictionary-prefix term ('merge*')
             text, prefix_last = text[:-1], True
+        elif re.search(r"[*?]", text) and text.strip("*?"):
+            # Lucene WildcardQuery ('te?m', 't*m*'): '?' = exactly one
+            # char, '*' = any run — translated to an anchored regex leaf
+            # and expanded through the same dictionary machinery as
+            # '/pattern/' (literal-prefix pruned; a leading wildcard is
+            # allowed and is an honest full dictionary scan). Lowercased
+            # like Lucene's lowercase_expanded_terms (index terms are
+            # lowercase), unlike raw regex which stays case-sensitive.
+            pat = "".join(
+                ".*" if c == "*" else "." if c == "?" else re.escape(c)
+                for c in text.lower()
+            )
+            children.append(
+                (pending or "should", Leaf(terms=(pat,), boost=boost, fld=fld, regex=True))
+            )
+            pending = None
+            pos += 1
+            continue
         else:
             fm2 = re.match(r"^(.+)~([12])$", text)
             if fm2:

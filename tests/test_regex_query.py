@@ -176,3 +176,62 @@ def test_regex_percolate_rejected():
 
     with pytest.raises(ValueError):
         compile_queries({1: "/jo.*/"})
+
+
+# ------------------------------------------------------------- wildcards
+# Lucene WildcardQuery ('te?m', 't*m*') — translated at parse time to an
+# anchored regex leaf (lowercased, Lucene lowercase_expanded_terms) and
+# expanded through the identical machinery.
+
+
+def test_wildcard_translates_to_regex_leaf():
+    plan = parse_query("jo?n*")
+    assert len(plan.leaves) == 1
+    l = plan.leaves[0]
+    assert l.regex and l.terms == ("jo.n.*",)
+    # lowercased, metachars in literals escaped
+    plan = parse_query("Jo?N")
+    assert plan.leaves[0].terms == ("jo.n",)
+
+
+def test_trailing_star_stays_prefix_leaf():
+    plan = parse_query("mer*")
+    assert plan.leaves[0].prefix_last and not plan.leaves[0].regex
+
+
+def test_bare_wildcards_do_not_leaf():
+    # '*' alone = AllQuery; '??' has no literal char → dropped
+    assert parse_query("*").is_all
+    assert parse_query("??").is_all
+
+
+def test_wildcard_equals_regex(corpus):
+    docs, idx = corpus
+    got = _ranks(search(idx, "jo*n*", k=10, docs=docs))
+    want = _ranks(search(idx, "/jo.*n.*/", k=10, docs=docs))
+    assert got == want and len(got) > 0
+
+
+def test_leading_wildcard_full_scan(corpus):
+    docs, idx = corpus
+    # '*oin*' has no literal prefix — full dictionary scan, matches the
+    # jo- family ('join', 'joiner', ...) via substring
+    got = _ranks(search(idx, "*oin*", k=10, docs=docs))
+    want = _ranks(search(idx, "/.*oin.*/", k=10, docs=docs))
+    assert got == want and len(got) > 0
+
+
+def test_wildcard_served_parity(spark, corpus, tmp_path):
+    from fugu_spark.segment_search import search_segments
+    from fugu_spark.segments import build_segments
+    from fugu_spark.serve import LocalSearcher
+
+    docs, idx = corpus
+    si = build_segments(docs, str(tmp_path / "wc"), id_col="doc_id", text_col="text")
+    ls = LocalSearcher(si.index_dir)
+    for q in ("jo?n", "s?rt merge", "merge AND jo*n*"):
+        mem = _ranks(search(idx, q, k=10, docs=docs))
+        seg = _ranks(search_segments(si, q, k=10, docs=docs))
+        pdf = ls.search(q, k=10)
+        srv = [(int(r.doc_id), round(r.score, 9)) for r in pdf.itertuples()]
+        assert mem == seg == srv, q
