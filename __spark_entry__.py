@@ -232,7 +232,7 @@ def _bm25_streamed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.round("score", 6).alias("score"))
 
 
-def _serving_q(query: str, k: int = 10):
+def _serving_q(query: str, k: int = 10, msm: int = 0):
     """Driver-side serving engine over the same segment files (serve.py);
     wrapped back into a Spark DataFrame for the oracle comparison."""
 
@@ -240,7 +240,7 @@ def _serving_q(query: str, k: int = 10):
         from fugu_spark.serve import LocalSearcher
 
         si = _seg_index(spark, sf_dir)
-        pdf = LocalSearcher(si.index_dir).search(query, k=k)
+        pdf = LocalSearcher(si.index_dir).search(query, k=k, min_should_match=msm)
         pdf["score"] = pdf["score"].round(6)
         return spark.createDataFrame(pdf, "doc_id long, score double")
 
@@ -298,11 +298,11 @@ def _eng_search_q(query: str, k: int = 10, offset: int = 0, filters=None, min_sc
     return run
 
 
-def _search_q(query: str, k: int = 10, lang: str | None = None):
+def _search_q(query: str, k: int = 10, lang: str | None = None, msm: int = 0):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, idx = _index(spark, sf_dir)
         flt = (F.col("lang") == lang) if lang else None
-        out = search(idx, query, k=k, doc_filter=flt, docs=docs)
+        out = search(idx, query, k=k, doc_filter=flt, docs=docs, min_should_match=msm)
         return out.select("doc_id", F.round("score", 6).alias("score"))
 
     return run
@@ -1020,6 +1020,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_regex_served": _serving_q("/s.*o.*/ merge", 10),
         "bm25_wildcard_term": _search_q("s?an*", 10),
         "bm25_wildcard_served": _serving_q("merge jo?n*", 10),
+        "bm25_msm2": _search_q("merge join scan", 10, msm=2),
+        "bm25_msm2_served": _serving_q("merge join scan", 10, msm=2),
         "match_count": match_count_q,
         "match_count_served": match_count_served_q,
         "hybrid_rrf": _hybrid_q("rrf"),
@@ -2261,6 +2263,14 @@ FROM topk WHERE rank <= 10 ORDER BY query_id, rank"""
         "bm25_wildcard_term": _topk_sql("regexp_full_match(term, 's.an.*')"),
         "bm25_wildcard_served": _topk_sql(
             "regexp_full_match(term, 'jo.n.*') OR term = 'merge'"
+        ),
+        "bm25_msm2": _topk_sql(
+            "term IN ('merge','join','scan')",
+            having="HAVING count(DISTINCT term) >= 2",
+        ),
+        "bm25_msm2_served": _topk_sql(
+            "term IN ('merge','join','scan')",
+            having="HAVING count(DISTINCT term) >= 2",
         ),
         "match_count": match_count_sql,
         "match_count_served": match_count_sql,

@@ -404,9 +404,14 @@ class FuguSparkEngine:
         filters: list[str] | None = None,
         min_score: float | None = None,
         date_ranges: dict[str, tuple[str | None, str | None]] | None = None,
+        min_should_match: int = 0,
     ) -> DataFrame:
         """Scored search with facet filters; per_page clamp like the
         reference ((0,100] → 20, src/server/handlers/search.rs:370-374).
+
+        ``min_should_match`` — Lucene minimumNumberShouldMatch on the
+        top-level boolean (see search.execute_plan); served locally and
+        distributed with identical semantics.
 
         ``date_ranges`` maps a date column (e.g. ``date_created``) to an
         RFC3339 ``(start, end)`` half-open range (X5). The query string
@@ -442,6 +447,7 @@ class FuguSparkEngine:
                 max_postings=self.serve_max_postings,
                 filters=filters,
                 date_ranges=date_ranges,
+                min_should_match=min_should_match,
             )
             if min_score is not None and len(pdf):
                 pdf = pdf[pdf["score"] >= min_score]
@@ -465,6 +471,7 @@ class FuguSparkEngine:
             k1=self.k1,
             b=self.b,
             filter_paths=filters or None,
+            min_should_match=min_should_match,
         )
         if min_score is not None:
             out = out.filter(F.col("score") >= min_score)

@@ -311,10 +311,14 @@ def _execute_node(
     all_docs,
     k1: float,
     b: float,
+    msm: int = 0,
 ) -> DataFrame | None:
     """Recursive boolean execution for nested plans → DataFrame(doc_id,
     score) of MATCHING docs, or None when the node can't match anything
-    (absent term). Lucene/Tantivy BooleanQuery semantics per level."""
+    (absent term). Lucene/Tantivy BooleanQuery semantics per level.
+    ``msm`` (minimumNumberShouldMatch) applies at THIS level only — the
+    engine-level parameter targets the top-level boolean, as Lucene's
+    does; recursive calls pass 0."""
     spark = cand.sparkSession
     stats = index.stats
     if isinstance(node, Leaf):
@@ -348,19 +352,32 @@ def _execute_node(
             if f is not None:
                 shoulds.append(f.select("doc_id", "score", F.lit(ci).alias("_ci")))
 
+    # Lucene BooleanWeight: minimumNumberShouldMatch above the number of
+    # live optional clauses → nothing can match (null scorers — absent
+    # terms — are excluded from the optional list)
+    if msm > len(shoulds):
+        return spark.createDataFrame([], "doc_id long, score double")
+
     def _sum_shoulds(frames: list[DataFrame]) -> DataFrame:
         # deterministic f64 fold: sort by child index before summing, the
-        # same trick as the flat combiner's array_sort(collect_list(...))
-        return (
+        # same trick as the flat combiner's array_sort(collect_list(...));
+        # msm > 0 filters on the distinct-child count derived from the
+        # SAME collected array (a projection — no second aggregate, no
+        # Expand, no extra shuffle)
+        out = (
             reduce(DataFrame.unionByName, frames)
             .groupBy("doc_id")
             .agg(F.array_sort(F.collect_list(F.struct("_ci", "score"))).alias("parts"))
-            .select(
-                "doc_id",
-                F.aggregate(
-                    "parts", F.lit(0.0), lambda acc, p: acc + p["score"]
-                ).alias("score"),
+        )
+        if msm > 0:
+            out = out.filter(
+                F.size(F.array_distinct(F.transform("parts", lambda p: p["_ci"]))) >= msm
             )
+        return out.select(
+            "doc_id",
+            F.aggregate(
+                "parts", F.lit(0.0), lambda acc, p: acc + p["score"]
+            ).alias("score"),
         )
 
     if musts:
@@ -374,7 +391,9 @@ def _execute_node(
             )
         if shoulds:
             opt = _sum_shoulds(shoulds).withColumnRenamed("score", "_opt")
-            base = base.join(opt, "doc_id", "left").select(
+            # msm > 0: the should gate is REQUIRED, so the optional sum
+            # becomes an inner join (a doc matching only the musts is out)
+            base = base.join(opt, "doc_id", "left" if msm == 0 else "inner").select(
                 "doc_id",
                 (F.col("score") + F.coalesce(F.col("_opt"), F.lit(0.0))).alias("score"),
             )
@@ -397,16 +416,27 @@ def execute_plan(
     id_col: str = "doc_id",
     k1: float = BM25_K1,
     b: float = BM25_B,
+    min_should_match: int = 0,
 ) -> DataFrame:
-    """Boolean-combine the plan into DataFrame(doc_id, score)."""
+    """Boolean-combine the plan into DataFrame(doc_id, score).
+
+    ``min_should_match`` — Lucene BooleanQuery.setMinimumNumberShouldMatch
+    applied to the TOP-LEVEL boolean (0 = off): a doc must match ≥ that
+    many distinct should clauses besides satisfying every must / no
+    must_not; scoring is unchanged. Pinned Lucene edge: a value above the
+    number of live should clauses matches nothing (even with musts);
+    AllQuery has no boolean → the parameter is ignored."""
     spark = index.postings.sparkSession
     if any(l.prefix_last or l.fuzzy or l.regex for l in plan.leaves):
         raise ValueError(
             "plan contains unexpanded prefix/fuzzy leaves — run "
             "queryparse.expand_plan with the index dictionary first "
-            "(search()/search_fields() do this)"
+            "(search()/search_fields() does this)"
         )
+    msm = max(0, int(min_should_match))
     musts, shoulds, must_nots = set(plan.musts), set(plan.shoulds), set(plan.must_nots)
+    if msm and plan.root is None and not plan.is_all and msm > len(shoulds):
+        return spark.createDataFrame([], "doc_id long, score double")
 
     def all_docs() -> DataFrame:
         if docs is None:
@@ -424,7 +454,7 @@ def execute_plan(
         all_terms_n = plan.all_terms()
         df_map_n = _df_map(index, all_terms_n)
         cand_n = index.postings.filter(F.col("term").isin(all_terms_n))
-        out = _execute_node(plan.root, cand_n, df_map_n, index, all_docs, k1, b)
+        out = _execute_node(plan.root, cand_n, df_map_n, index, all_docs, k1, b, msm=msm)
         if out is None:
             return spark.createDataFrame([], "doc_id long, score double")
         return out
@@ -505,7 +535,7 @@ def execute_plan(
         # positive leaves exist but all reference absent terms → no match
         return spark.createDataFrame([], "doc_id long, score double")
 
-    return _combine_frames(frames, musts, must_nots)
+    return _combine_frames(frames, musts, must_nots, msm=msm, should_ids=tuple(sorted(shoulds)))
 
 
 def _leaf_frame_fields(
@@ -587,10 +617,13 @@ def _execute_node_fields(
     k1: float,
     b: float,
     boosts: dict[str, float],
+    msm: int = 0,
 ) -> DataFrame | None:
     """Nested boolean execution over multiple fields — the multi-field
     mirror of _execute_node (a leaf matches in ANY applicable field,
-    scores sum across fields; boolean combine per level is identical)."""
+    scores sum across fields; boolean combine per level is identical).
+    ``msm`` applies at this level only (top-level call), as in
+    _execute_node."""
     spark = next(iter(indexes.values())).postings.sparkSession
     if isinstance(node, Leaf):
         return _leaf_frame_fields(node, indexes, df_maps, cands, k1, b, boosts)
@@ -609,17 +642,24 @@ def _execute_node_fields(
             if f is not None:
                 shoulds.append(f.select("doc_id", "score", F.lit(ci).alias("_ci")))
 
+    if msm > len(shoulds):
+        return spark.createDataFrame([], "doc_id long, score double")
+
     def _sum_shoulds(frames: list[DataFrame]) -> DataFrame:
-        return (
+        out = (
             reduce(DataFrame.unionByName, frames)
             .groupBy("doc_id")
             .agg(F.array_sort(F.collect_list(F.struct("_ci", "score"))).alias("parts"))
-            .select(
-                "doc_id",
-                F.aggregate("parts", F.lit(0.0), lambda acc, p: acc + p["score"]).alias(
-                    "score"
-                ),
+        )
+        if msm > 0:
+            out = out.filter(
+                F.size(F.array_distinct(F.transform("parts", lambda p: p["_ci"]))) >= msm
             )
+        return out.select(
+            "doc_id",
+            F.aggregate("parts", F.lit(0.0), lambda acc, p: acc + p["score"]).alias(
+                "score"
+            ),
         )
 
     if musts:
@@ -631,7 +671,7 @@ def _execute_node_fields(
             )
         if shoulds:
             opt = _sum_shoulds(shoulds).withColumnRenamed("score", "_opt")
-            base = base.join(opt, "doc_id", "left").select(
+            base = base.join(opt, "doc_id", "left" if msm == 0 else "inner").select(
                 "doc_id",
                 (F.col("score") + F.coalesce(F.col("_opt"), F.lit(0.0))).alias("score"),
             )
@@ -654,11 +694,14 @@ def execute_plan_fields(
     k1: float = BM25_K1,
     b: float = BM25_B,
     field_boosts: dict[str, float] | None = None,
+    min_should_match: int = 0,
 ) -> DataFrame:
     """Multi-field boolean combine (Q9): the reference queries over
     ``[text, name]`` (/root/reference/src/db/search.rs:108-112) — a doc
     satisfies a leaf if it matches in ANY field; leaf scores sum across
-    fields with per-field stats (Lucene/Tantivy multi-field semantics)."""
+    fields with per-field stats (Lucene/Tantivy multi-field semantics).
+    ``min_should_match``: see execute_plan — a should clause counts as
+    matched when it matches in ANY field."""
     first = next(iter(indexes.values()))
     spark = first.postings.sparkSession
     if any(l.prefix_last or l.fuzzy or l.regex for l in plan.leaves):
@@ -667,7 +710,11 @@ def execute_plan_fields(
             "queryparse.expand_plan with the index dictionary first "
             "(search()/search_fields() do this)"
         )
+    msm = max(0, int(min_should_match))
     musts, must_nots = set(plan.musts), set(plan.must_nots)
+    shoulds_set = set(plan.shoulds)
+    if msm and plan.root is None and not plan.is_all and msm > len(shoulds_set):
+        return spark.createDataFrame([], "doc_id long, score double")
     boosts = field_boosts or {}
 
     def all_docs() -> DataFrame:
@@ -697,7 +744,7 @@ def execute_plan_fields(
             for f, idx in indexes.items()
         }
         out = _execute_node_fields(
-            plan.root, indexes, df_maps, cands, all_docs, k1, b, boosts
+            plan.root, indexes, df_maps, cands, all_docs, k1, b, boosts, msm=msm
         )
         if out is None:
             return spark.createDataFrame([], "doc_id long, score double")
@@ -779,11 +826,25 @@ def execute_plan_fields(
     if not frames or not (live_leaf_ids - must_nots):
         return spark.createDataFrame([], "doc_id long, score double")
 
-    return _combine_frames(frames, musts, must_nots)
+    return _combine_frames(
+        frames, musts, must_nots, msm=msm, should_ids=tuple(sorted(shoulds_set))
+    )
 
 
-def _combine_frames(frames: list[DataFrame], musts: set[int], must_nots: set[int]) -> DataFrame:
-    """Shared boolean combine: one shuffle; deterministic score fold."""
+def _combine_frames(
+    frames: list[DataFrame],
+    musts: set[int],
+    must_nots: set[int],
+    msm: int = 0,
+    should_ids: tuple = (),
+) -> DataFrame:
+    """Shared boolean combine: one shuffle; deterministic score fold.
+
+    ``msm`` > 0 adds Lucene's minimumNumberShouldMatch gate: keep only
+    docs matching ≥ msm DISTINCT should clauses (``should_ids``). The
+    count is derived from the already-collected ``parts`` array as a
+    pure projection — a second count_distinct aggregate would trigger
+    Spark's multi-distinct Expand plan and an extra shuffle."""
     union = reduce(DataFrame.unionByName, frames)
     must_ids = sorted(musts)
     mustnot_arr = F.array(*[F.lit(i) for i in sorted(must_nots)]) if must_nots else None
@@ -803,8 +864,20 @@ def _combine_frames(frames: list[DataFrame], musts: set[int], must_nots: set[int
         if must_nots
         else F.col("parts")
     )
+    out = agg.filter((F.col("must_cnt") == len(musts)) & (F.col("excl") == 0))
+    if msm > 0:
+        should_arr = F.array(*[F.lit(i) for i in sorted(should_ids)])
+        should_cnt = F.size(
+            F.array_distinct(
+                F.transform(
+                    F.filter("parts", lambda p: F.array_contains(should_arr, p["leaf_id"])),
+                    lambda p: p["leaf_id"],
+                )
+            )
+        )
+        out = out.filter(should_cnt >= msm)
     return (
-        agg.filter((F.col("must_cnt") == len(musts)) & (F.col("excl") == 0))
+        out
         .withColumn("score", F.aggregate(scoring, F.lit(0.0), lambda acc, p: acc + p["score"]))
         .select("doc_id", "score")
     )
@@ -821,13 +894,15 @@ def search_fields(
     k1: float = BM25_K1,
     b: float = BM25_B,
     field_boosts: dict[str, float] | None = None,
+    min_should_match: int = 0,
 ) -> DataFrame:
     """Multi-field search entry point (fugu queries [text, name]);
     ``field:`` prefixes resolve against the index names supplied here."""
     plan = parse_query(query_text, mode=mode, fields=frozenset(indexes))
     plan = expand_plan(plan, dict_expander(indexes))
     scored = execute_plan_fields(
-        indexes, plan, docs=docs, id_col=id_col, k1=k1, b=b, field_boosts=field_boosts
+        indexes, plan, docs=docs, id_col=id_col, k1=k1, b=b, field_boosts=field_boosts,
+        min_should_match=min_should_match,
     )
     return top_k(scored, k=k, offset=offset)
 
@@ -859,15 +934,20 @@ def search(
     mode: str = DEFAULT_MODE,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    min_should_match: int = 0,
 ) -> DataFrame:
     """Full search entry point → DataFrame(doc_id, score), top-k ordered.
 
     ``doc_filter`` is a predicate over ``docs`` (facet/metadata filters,
     SURVEY.md §2.5); it is applied via semi-join BEFORE top-k.
+    ``min_should_match`` — see execute_plan (Lucene top-level boolean).
     """
     plan = parse_query(query_text, mode=mode)
     plan = expand_plan(plan, dict_expander({None: index}))
-    scored = execute_plan(index, plan, docs=docs, id_col=id_col, k1=k1, b=b)
+    scored = execute_plan(
+        index, plan, docs=docs, id_col=id_col, k1=k1, b=b,
+        min_should_match=min_should_match,
+    )
     if doc_filter is not None:
         if docs is None:
             raise ValueError("doc_filter requires docs")

@@ -660,6 +660,7 @@ def search_segments(
     wand_min_postings: int = 100_000,
     filter_paths: list | None = None,
     date_ranges: dict | None = None,
+    min_should_match: int = 0,
 ) -> DataFrame:
     """Top-k search over the segment index → DataFrame(doc_id, score).
 
@@ -689,6 +690,11 @@ def search_segments(
         and doc_filter is None
         and filter_paths is None
         and date_ranges is None
+        # msm >= 2 changes which docs match a pure-OR query, so the
+        # MaxScore θ-seed is no longer rank-safe (the true k-th score of
+        # the msm-filtered set can sit below the unfiltered θ); msm <= 1
+        # is the default semantics and keeps the pruned path
+        and min_should_match <= 1
     )
     if pure_or and use_wand:
         meta = _term_meta(si, plan.all_terms())
@@ -740,7 +746,10 @@ def search_segments(
         stats=si.stats,
         df_map={t: m["df"] for t, m in meta.items()},
     )
-    scored = execute_plan(idx, plan, docs=docs, id_col=id_col, k1=k1, b=b)
+    scored = execute_plan(
+        idx, plan, docs=docs, id_col=id_col, k1=k1, b=b,
+        min_should_match=min_should_match,
+    )
     if doc_filter is not None:
         if docs is None:
             raise ValueError("doc_filter requires docs")

@@ -697,6 +697,7 @@ class LocalSearcher:
         max_postings: int | None = None,
         filters: list | None = None,
         date_ranges: dict | None = None,
+        min_should_match: int = 0,
     ) -> pd.DataFrame:
         """Top-k → pandas DataFrame(doc_id, score); identical ranks/scores
         to search_segments for locally-servable queries.
@@ -705,6 +706,9 @@ class LocalSearcher:
         terms) this searcher will materialize on one machine; a query over
         hot terms (`the`, `if`, `return` at 10^12 docs) raises instead of
         OOMing the driver — callers fall back to the distributed engine.
+        ``min_should_match`` mirrors search.execute_plan's Lucene gate
+        (top-level boolean; msm ≥ 2 disables the MaxScore block prune —
+        the filtered θ is not rank-safe — conjunctive pruning stays).
         """
         plan = parse_query(query_text, mode=self.mode)
         if any(l.prefix_last or l.regex for l in plan.leaves):
@@ -725,7 +729,10 @@ class LocalSearcher:
                 "fuzzy/range query leaves are not locally servable — "
                 "route to search_segments"
             )
-        return self._execute_local(plan, k, offset, max_postings, filters, date_ranges)
+        return self._execute_local(
+            plan, k, offset, max_postings, filters, date_ranges,
+            min_should_match=min_should_match,
+        )
 
     def _execute_local(
         self,
@@ -735,6 +742,7 @@ class LocalSearcher:
         max_postings: int | None = None,
         filters: list | None = None,
         date_ranges: dict | None = None,
+        min_should_match: int = 0,
     ) -> pd.DataFrame:
         """Serve an already-parsed (and expanded) plan — the shared body
         behind ``search`` and plan-constructing callers (MLT)."""
@@ -745,9 +753,14 @@ class LocalSearcher:
         if allowed is not None and len(allowed) == 0:
             return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                                  "score": pd.Series([], dtype="float64")})
+        msm = max(0, int(min_should_match))
         if plan.root is not None:
-            return self._search_nested(plan, k, offset, max_postings, allowed)
+            return self._search_nested(plan, k, offset, max_postings, allowed, msm=msm)
         musts, must_nots = set(plan.musts), set(plan.must_nots)
+        should_ids = sorted(set(range(len(plan.leaves))) - musts - must_nots)
+        if msm and not plan.is_all and msm > len(should_ids):
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "score": pd.Series([], dtype="float64")})
         if plan.is_all or not any(
             i not in must_nots for i in range(len(plan.leaves))
         ):
@@ -785,6 +798,7 @@ class LocalSearcher:
             pure_or
             and allowed is None  # a filter shrinks true top-k scores below
             # the unfiltered θ seed, so MaxScore pruning is not rank-safe
+            and msm <= 1  # same reason: msm >= 2 filters the matched set
             and len({l.terms[0] for l in plan.leaves if l.terms[0] in meta}) > 1
         ):
             need_pos = False
@@ -827,6 +841,13 @@ class LocalSearcher:
             scores = scores[scores.index.isin(ok_docs)]
         if len(excl_docs):
             scores = scores[~scores.index.isin(excl_docs)]
+        if msm > 0:
+            scnt = (
+                frame[frame["leaf_id"].isin(should_ids)]
+                .groupby("doc_id")["leaf_id"]
+                .nunique()
+            )
+            scores = scores[scores.index.isin(scnt[scnt >= msm].index)]
         if allowed is not None:
             scores = scores[scores.index.isin(allowed)]
         out = scores.reset_index()
@@ -946,9 +967,11 @@ class LocalSearcher:
         offset: int,
         max_postings: int | None,
         allowed: np.ndarray | None = None,
+        msm: int = 0,
     ) -> pd.DataFrame:
         """Nested boolean serving: pandas mirror of search._execute_node
-        (same child order, same f64 arithmetic shape → identical scores)."""
+        (same child order, same f64 arithmetic shape → identical scores);
+        ``msm`` applies at the root level only, as in _execute_node."""
         if not plan.has_positive():
             raise ValueError(
                 "NOT-only queries need the docs table — use search_segments"
@@ -973,7 +996,7 @@ class LocalSearcher:
             need_pos,
             lambda rows: self._prune_blocks_conjunctive(rows, plan, meta),
         )
-        base = self._eval_node(plan.root, meta, postings)
+        base = self._eval_node(plan.root, meta, postings, msm=msm)
         if base is None or not len(base):
             return empty
         if allowed is not None:
@@ -987,9 +1010,10 @@ class LocalSearcher:
         ).iloc[offset : offset + k]
         return out.reset_index(drop=True)
 
-    def _eval_node(self, node, meta: dict, postings: dict) -> pd.Series | None:
+    def _eval_node(self, node, meta: dict, postings: dict, msm: int = 0) -> pd.Series | None:
         """→ Series(score, index=doc_id) of matching docs; None = dead
-        node (absent term). Mirrors search._execute_node exactly."""
+        node (absent term). Mirrors search._execute_node exactly,
+        including the root-level ``msm`` gate (recursion passes 0)."""
         from .queryparse import Leaf
 
         k1, b, avgdl = self.k1, self.b, self.avgdl
@@ -1021,6 +1045,11 @@ class LocalSearcher:
             elif f is not None:
                 shoulds.append(f)
 
+        if msm > len(shoulds):
+            # Lucene: minShouldMatch above the live optional count → no
+            # docs match (dead children are excluded, like null scorers)
+            return pd.Series(dtype="float64")
+
         if musts:
             base = musts[0]
             for f in musts[1:]:
@@ -1028,13 +1057,23 @@ class LocalSearcher:
                 base = base.loc[idx] + f.loc[idx]
             if shoulds and len(base):
                 opt = pd.Series(0.0, index=base.index)
+                cnt = np.zeros(len(base), dtype=np.int64)
                 for f in shoulds:  # child order == Spark's sorted _ci fold
                     opt = opt + f.reindex(base.index, fill_value=0.0)
+                    if msm > 0:
+                        cnt += base.index.isin(f.index)
                 base = base + opt
+                if msm > 0:
+                    base = base[cnt >= msm]
         elif shoulds:
             base = shoulds[0]
             for f in shoulds[1:]:
                 base = base.add(f, fill_value=0.0)
+            if msm > 0:
+                cnt = pd.Series(0, index=base.index, dtype="int64")
+                for f in shoulds:
+                    cnt[cnt.index.isin(f.index)] += 1
+                base = base[cnt >= msm]
         elif nots:
             raise ValueError(
                 "NOT-only group needs the docs table — use search_segments"
