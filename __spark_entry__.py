@@ -1022,6 +1022,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_wildcard_served": _serving_q("merge jo?n*", 10),
         "bm25_msm2": _search_q("merge join scan", 10, msm=2),
         "bm25_msm2_served": _serving_q("merge join scan", 10, msm=2),
+        "grep_lines": lambda spark, sf_dir: __import__(
+            "fugu_spark.analytics.codesearch", fromlist=["grep"]
+        ).grep(_docs(spark, sf_dir), "merge (join|sort)"),
+        "grep_count": lambda spark, sf_dir: __import__(
+            "fugu_spark.analytics.codesearch", fromlist=["grep_count"]
+        ).grep_count(_docs(spark, sf_dir), "value.*hash"),
         "match_count": match_count_q,
         "match_count_served": match_count_served_q,
         "hybrid_rrf": _hybrid_q("rrf"),
@@ -2271,6 +2277,18 @@ FROM topk WHERE rank <= 10 ORDER BY query_id, rank"""
         "bm25_msm2_served": _topk_sql(
             "term IN ('merge','join','scan')",
             having="HAVING count(DISTINCT term) >= 2",
+        ),
+        # documents.text is single-line in the synthetic corpus, so every
+        # match is line 1 / count 1 — the oracle pins the regex-match set
+        # and projection shape; multi-line line numbering is pytest-pinned
+        # (tests/test_codesearch.py)
+        "grep_lines": (
+            "SELECT doc_id, 1 AS line_no, text AS line FROM documents "
+            "WHERE regexp_matches(text, 'merge (join|sort)')"
+        ),
+        "grep_count": (
+            "SELECT doc_id, 1 AS n_matches FROM documents "
+            "WHERE regexp_matches(text, 'value.*hash')"
         ),
         "match_count": match_count_sql,
         "match_count_served": match_count_sql,
