@@ -298,6 +298,17 @@ def _eng_search_q(query: str, k: int = 10, offset: int = 0, filters=None, min_sc
     return run
 
 
+def _sorted_q(query: str, field: str, k: int = 10):
+    """Field-sorted results (Tantivy sort_by_field; search.top_k_by_field)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs, idx = _index(spark, sf_dir)
+        out = search(idx, query, k=k, docs=docs, sort_by=field)
+        return out.select("doc_id", "sort_key", F.round("score", 6).alias("score"))
+
+    return run
+
+
 def _search_q(query: str, k: int = 10, lang: str | None = None, msm: int = 0):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, idx = _index(spark, sf_dir)
@@ -1022,6 +1033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_wildcard_served": _serving_q("merge jo?n*", 10),
         "bm25_msm2": _search_q("merge join scan", 10, msm=2),
         "bm25_msm2_served": _serving_q("merge join scan", 10, msm=2),
+        "bm25_sorted_field": _sorted_q("merge join", "n_chars", 10),
         "grep_lines": lambda spark, sf_dir: __import__(
             "fugu_spark.analytics.codesearch", fromlist=["grep"]
         ).grep(_docs(spark, sf_dir), "merge (join|sort)"),
@@ -2278,6 +2290,14 @@ FROM topk WHERE rank <= 10 ORDER BY query_id, rank"""
             "term IN ('merge','join','scan')",
             having="HAVING count(DISTINCT term) >= 2",
         ),
+        "bm25_sorted_field": f"""WITH {_TOK}, {_SCORED},
+matched AS (
+  SELECT doc_id, round(sum(sc), 6) AS score
+  FROM scored WHERE term IN ('merge','join') GROUP BY doc_id
+)
+SELECT m.doc_id, d.n_chars AS sort_key, m.score
+FROM matched m JOIN documents d USING (doc_id)
+ORDER BY d.n_chars DESC, m.doc_id ASC LIMIT 10""",
         # documents.text is single-line in the synthetic corpus, so every
         # match is line 1 / count 1 — the oracle pins the regex-match set
         # and projection shape; multi-line line numbering is pytest-pinned

@@ -405,6 +405,8 @@ class FuguSparkEngine:
         min_score: float | None = None,
         date_ranges: dict[str, tuple[str | None, str | None]] | None = None,
         min_should_match: int = 0,
+        sort_by: str | None = None,
+        sort_ascending: bool = False,
     ) -> DataFrame:
         """Scored search with facet filters; per_page clamp like the
         reference ((0,100] → 20, src/server/handlers/search.rs:370-374).
@@ -412,6 +414,11 @@ class FuguSparkEngine:
         ``min_should_match`` — Lucene minimumNumberShouldMatch on the
         top-level boolean (see search.execute_plan); served locally and
         distributed with identical semantics.
+
+        ``sort_by`` — order results by this docs column instead of
+        relevance (Tantivy sort_by_field; search.top_k_by_field) →
+        (doc_id, sort_key, score). Runs distributed (the serving sidecars
+        hold no arbitrary doc columns).
 
         ``date_ranges`` maps a date column (e.g. ``date_created``) to an
         RFC3339 ``(start, end)`` half-open range (X5). The query string
@@ -434,6 +441,27 @@ class FuguSparkEngine:
         for col, (start, end) in (date_ranges or {}).items():
             rng = date_range_filter(F.col(col), start, end)
             doc_filter = rng if doc_filter is None else (doc_filter & rng)
+        if sort_by is not None:
+            out = search_segments(
+                self.si,
+                query,
+                k=k + offset,
+                docs=self.docs,
+                id_col=self.id_col,
+                doc_filter=doc_filter,
+                mode=self.mode,
+                k1=self.k1,
+                b=self.b,
+                filter_paths=filters or None,
+                min_should_match=min_should_match,
+                sort_by=sort_by,
+                sort_ascending=sort_ascending,
+                min_score=min_score,
+            )
+            if offset:
+                rows = out.collect()[offset : offset + k]
+                return self.spark.createDataFrame(rows, out.schema)
+            return out
         # serving fast path: LocalSearcher over the same segment +
         # filter-index + date-index files (rank/score-identical; ~ms, no
         # Spark job). min_score applies AFTER the top-(k+offset) slice;

@@ -923,6 +923,45 @@ def top_k(
     return limited
 
 
+def top_k_by_field(
+    scored: DataFrame,
+    docs: DataFrame,
+    field: str,
+    k: int = 10,
+    offset: int = 0,
+    ascending: bool = False,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k of the MATCHED set ordered by a document field instead of
+    relevance (Tantivy ``sort_by_field`` / Lucene Sort over a fast
+    field) → DataFrame(doc_id, sort_key, score), ties broken doc_id ASC.
+
+    Pinned divergence: Tantivy's field-sorted TopDocs reports the field
+    value in place of the score; we keep the BM25 score alongside the
+    sort key (strictly more information, same ordering).
+
+    Scale shape: the field join is against the MATCHED set, not the
+    corpus — Catalyst prunes the docs scan to (id, field) and AQE
+    broadcasts whichever side is small; the ordering compiles to
+    TakeOrderedAndProject (bounded per-partition heap + driver merge),
+    same as the relevance path."""
+    keyed = scored.join(
+        docs.select(
+            F.col(id_col).cast("long").alias("doc_id"), F.col(field).alias("sort_key")
+        ),
+        "doc_id",
+    )
+    order = [
+        F.asc_nulls_last("sort_key") if ascending else F.desc_nulls_last("sort_key"),
+        F.asc("doc_id"),
+    ]
+    limited = keyed.orderBy(*order).limit(offset + k).select("doc_id", "sort_key", "score")
+    if offset:
+        w = F.row_number().over(Window.orderBy(*order))
+        return limited.withColumn("rn", w).filter(F.col("rn") > offset).drop("rn")
+    return limited
+
+
 def search(
     index: InvertedIndex,
     query_text: str | None,
@@ -935,12 +974,16 @@ def search(
     k1: float = BM25_K1,
     b: float = BM25_B,
     min_should_match: int = 0,
+    sort_by: str | None = None,
+    sort_ascending: bool = False,
 ) -> DataFrame:
     """Full search entry point → DataFrame(doc_id, score), top-k ordered.
 
     ``doc_filter`` is a predicate over ``docs`` (facet/metadata filters,
     SURVEY.md §2.5); it is applied via semi-join BEFORE top-k.
     ``min_should_match`` — see execute_plan (Lucene top-level boolean).
+    ``sort_by`` — order the matched set by this docs column instead of
+    relevance (see top_k_by_field); requires ``docs``.
     """
     plan = parse_query(query_text, mode=mode)
     plan = expand_plan(plan, dict_expander({None: index}))
@@ -953,4 +996,11 @@ def search(
             raise ValueError("doc_filter requires docs")
         keep = docs.filter(doc_filter).select(F.col(id_col).cast("long").alias("doc_id"))
         scored = scored.join(keep, "doc_id", "left_semi")
+    if sort_by is not None:
+        if docs is None:
+            raise ValueError("sort_by requires docs")
+        return top_k_by_field(
+            scored, docs, sort_by, k=k, offset=offset,
+            ascending=sort_ascending, id_col=id_col,
+        )
     return top_k(scored, k=k, offset=offset)

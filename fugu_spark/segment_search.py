@@ -661,6 +661,9 @@ def search_segments(
     filter_paths: list | None = None,
     date_ranges: dict | None = None,
     min_should_match: int = 0,
+    sort_by: str | None = None,
+    sort_ascending: bool = False,
+    min_score: float | None = None,
 ) -> DataFrame:
     """Top-k search over the segment index → DataFrame(doc_id, score).
 
@@ -695,6 +698,9 @@ def search_segments(
         # the msm-filtered set can sit below the unfiltered θ); msm <= 1
         # is the default semantics and keeps the pruned path
         and min_should_match <= 1
+        # field-sorted top-k needs the WHOLE matched set (score pruning
+        # would drop docs that win on the sort key)
+        and sort_by is None
     )
     if pure_or and use_wand:
         meta = _term_meta(si, plan.all_terms())
@@ -775,6 +781,19 @@ def search_segments(
         scored = scored.join(matched, "doc_id", "left_semi")
     if date_ranges:
         scored = scored.join(date_index_docs(si, date_ranges), "doc_id", "left_semi")
+    if min_score is not None:
+        # must precede a field-sorted top-k: scores are not monotone in
+        # field order, so slice-then-threshold would under-fill the page
+        # (equivalent on the relevance path, where scores ARE monotone)
+        scored = scored.filter(F.col("score") >= min_score)
+    if sort_by is not None:
+        if docs is None:
+            raise ValueError("sort_by requires docs")
+        from .search import top_k_by_field
+
+        return top_k_by_field(
+            scored, docs, sort_by, k=k, ascending=sort_ascending, id_col=id_col
+        )
     return top_k(scored, k=k)
 
 
