@@ -298,6 +298,25 @@ def _eng_search_q(query: str, k: int = 10, offset: int = 0, filters=None, min_sc
     return run
 
 
+def _explain_q(query: str, doc_id: int):
+    """Per-leaf BM25 breakdown (Lucene explain; fugu_spark/explain.py)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from fugu_spark.explain import explain
+
+        _, idx = _index(spark, sf_dir)
+        out = explain(idx, query, doc_id)
+        return out.select(
+            "term",
+            "tf",
+            "df",
+            F.round("idf", 6).alias("idf"),
+            F.round("contribution", 6).alias("contribution"),
+        )
+
+    return run
+
+
 def _sorted_q(query: str, field: str, k: int = 10):
     """Field-sorted results (Tantivy sort_by_field; search.top_k_by_field)."""
 
@@ -1034,6 +1053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_msm2": _search_q("merge join scan", 10, msm=2),
         "bm25_msm2_served": _serving_q("merge join scan", 10, msm=2),
         "bm25_sorted_field": _sorted_q("merge join", "n_chars", 10),
+        "explain_doc": _explain_q("merge join", 1),
         "grep_lines": lambda spark, sf_dir: __import__(
             "fugu_spark.analytics.codesearch", fromlist=["grep"]
         ).grep(_docs(spark, sf_dir), "merge (join|sort)"),
@@ -2290,6 +2310,14 @@ FROM topk WHERE rank <= 10 ORDER BY query_id, rank"""
             "term IN ('merge','join','scan')",
             having="HAVING count(DISTINCT term) >= 2",
         ),
+        "explain_doc": f"""WITH {_TOK}, {_SCORED}
+SELECT p.term, p.tf, t.df,
+       round(ln(1 + (s.n - t.df + 0.5) / (t.df + 0.5)), 6) AS idf,
+       round(sc, 6) AS contribution
+FROM scored x
+JOIN post p ON x.doc_id = p.doc_id AND x.term = p.term
+JOIN tstat t ON t.term = p.term, stats s
+WHERE p.doc_id = 1 AND p.term IN ('merge','join')""",
         "bm25_sorted_field": f"""WITH {_TOK}, {_SCORED},
 matched AS (
   SELECT doc_id, round(sum(sc), 6) AS score
