@@ -298,6 +298,17 @@ def _eng_search_q(query: str, k: int = 10, offset: int = 0, filters=None, min_sc
     return run
 
 
+def _synonym_q(query: str, synonyms: dict, k: int = 10):
+    """Lucene SynonymQuery blended scoring (queryparse.apply_synonyms)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs, idx = _index(spark, sf_dir)
+        out = search(idx, query, k=k, docs=docs, synonyms=synonyms)
+        return out.select("doc_id", F.round("score", 6).alias("score"))
+
+    return run
+
+
 def _explain_q(query: str, doc_id: int):
     """Per-leaf BM25 breakdown (Lucene explain; fugu_spark/explain.py)."""
 
@@ -1054,6 +1065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_msm2_served": _serving_q("merge join scan", 10, msm=2),
         "bm25_sorted_field": _sorted_q("merge join", "n_chars", 10),
         "explain_doc": _explain_q("merge join", 1),
+        "bm25_synonym": _synonym_q("merge", {"merge": ["join", "sort"]}, 10),
         "grep_lines": lambda spark, sf_dir: __import__(
             "fugu_spark.analytics.codesearch", fromlist=["grep"]
         ).grep(_docs(spark, sf_dir), "merge (join|sort)"),
@@ -2310,6 +2322,21 @@ FROM topk WHERE rank <= 10 ORDER BY query_id, rank"""
             "term IN ('merge','join','scan')",
             having="HAVING count(DISTINCT term) >= 2",
         ),
+        # Lucene SynonymQuery blend: idf from the group's MAX df, tf
+        # summed per doc across {merge, join, sort}, one BM25 term
+        "bm25_synonym": f"""WITH {_TOK},
+grp AS (
+  SELECT doc_id, sum(tf) AS tf
+  FROM post WHERE term IN ('merge','join','sort') GROUP BY doc_id
+),
+bdf AS (
+  SELECT max(df) AS df FROM tstat WHERE term IN ('merge','join','sort')
+)
+SELECT g.doc_id,
+       round(ln(1 + (s.n - b.df + 0.5) / (b.df + 0.5)) * g.tf * 2.2
+             / (g.tf + 1.2 * (0.25 + 0.75 * d.doc_len / s.avgdl)), 6) AS score
+FROM grp g JOIN dl d USING (doc_id), stats s, bdf b
+ORDER BY 2 DESC, g.doc_id ASC LIMIT 10""",
         "explain_doc": f"""WITH {_TOK}, {_SCORED}
 SELECT p.term, p.tf, t.df,
        round(ln(1 + (s.n - t.df + 0.5) / (t.df + 0.5)), 6) AS idf,

@@ -407,6 +407,7 @@ class FuguSparkEngine:
         min_should_match: int = 0,
         sort_by: str | None = None,
         sort_ascending: bool = False,
+        synonyms: dict | None = None,
     ) -> DataFrame:
         """Scored search with facet filters; per_page clamp like the
         reference ((0,100] → 20, src/server/handlers/search.rs:370-374).
@@ -457,6 +458,7 @@ class FuguSparkEngine:
                 sort_by=sort_by,
                 sort_ascending=sort_ascending,
                 min_score=min_score,
+                synonyms=synonyms,
             )
             if offset:
                 rows = out.collect()[offset : offset + k]
@@ -476,6 +478,7 @@ class FuguSparkEngine:
                 filters=filters,
                 date_ranges=date_ranges,
                 min_should_match=min_should_match,
+                synonyms=synonyms,
             )
             if min_score is not None and len(pdf):
                 pdf = pdf[pdf["score"] >= min_score]
@@ -500,6 +503,7 @@ class FuguSparkEngine:
             b=self.b,
             filter_paths=filters or None,
             min_should_match=min_should_match,
+            synonyms=synonyms,
         )
         if min_score is not None:
             out = out.filter(F.col("score") >= min_score)

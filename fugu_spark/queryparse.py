@@ -101,6 +101,14 @@ class Leaf:
     # similarity-boosted blending documented here. Single-term leaves
     # only; a fuzzy suffix on a multi-token word stays a plain phrase.
     fuzzy: int = 0
+    # Lucene SynonymQuery (set by queryparse.apply_synonyms, never by the
+    # parser): ``terms`` holds the whole synonym group, scored as ONE
+    # pseudo-term with blended statistics — idf from the group's MAX df,
+    # tf = per-doc SUM over the group's terms (Lucene SynonymWeight /
+    # SynonymScorer). Group members are alternatives: the leaf is live if
+    # ANY member is in the dictionary, and a Must synonym leaf never
+    # anchors conjunctive block pruning.
+    synonym: bool = False
     # '/pattern/' — Lucene RegexpQuery syntax for Tantivy's programmatic
     # RegexQuery (reachable in the reference only via code, not its
     # parser; surfaced here through Lucene's slash syntax, documented
@@ -129,7 +137,7 @@ class Leaf:
 
     @property
     def is_phrase(self) -> bool:
-        return len(self.terms) > 1
+        return len(self.terms) > 1 and not self.synonym
 
 
 @dataclass(frozen=True)
@@ -586,6 +594,70 @@ def expand_plan(
         root = BoolNode(tuple((l.occur, xf(l)) for l in plan.leaves))
     out = QueryPlan(root=root)
     out.leaves = _flatten(root)
+    return out
+
+
+def apply_synonyms(plan: QueryPlan, synonyms: dict, mode: str = DEFAULT_MODE) -> QueryPlan:
+    """Lucene SynonymQuery rewriting (engine-level, like Lucene's — no
+    query syntax exists for it): every plain term leaf whose term has an
+    entry in ``synonyms`` ({term: [alternatives...]}) becomes ONE
+    synonym leaf over (term, *alternatives), scored with blended stats
+    (Leaf.synonym docstring). Keys and alternatives run through the same
+    analyzer as the query; entries that do not analyze to exactly one
+    token are skipped (synonym graphs over phrases are out of scope,
+    as in Lucene's SynonymQuery which is term-level). Apply AFTER
+    expand_plan — pattern-expanded concrete terms then pick up their
+    synonyms like hand-typed ones."""
+    import dataclasses
+
+    from .tokenizer import tokenize_py
+
+    if plan.is_all or not synonyms:
+        return plan
+    norm: dict[str, tuple[str, ...]] = {}
+    for key, alts in synonyms.items():
+        kt = [t for t, _ in tokenize_py(key, mode)]
+        if len(kt) != 1:
+            continue
+        group: list[str] = []
+        for a in alts:
+            at = [t for t, _ in tokenize_py(a, mode)]
+            if len(at) == 1 and at[0] != kt[0] and at[0] not in group:
+                group.append(at[0])
+        if group:
+            norm[kt[0]] = tuple(group)
+    if not norm:
+        return plan
+
+    def xl(leaf: Leaf) -> Leaf:
+        if (
+            leaf.is_phrase
+            or leaf.rng is not None
+            or leaf.prefix_last
+            or leaf.fuzzy
+            or leaf.regex
+            or leaf.synonym
+            or not leaf.terms
+        ):
+            return leaf
+        t = leaf.terms[0]
+        if t not in norm:
+            return leaf
+        return dataclasses.replace(leaf, terms=(t,) + norm[t], synonym=True)
+
+    if plan.root is not None:
+
+        def xf2(node: "Leaf | BoolNode") -> "Leaf | BoolNode":
+            if isinstance(node, BoolNode):
+                return BoolNode(tuple((occ, xf2(c)) for occ, c in node.children))
+            return xl(node)
+
+        root = xf2(plan.root)
+        out = QueryPlan(root=root)
+        out.leaves = _flatten(root)
+        return out
+    out = QueryPlan()
+    out.leaves = [xl(l) for l in plan.leaves]
     return out
 
 

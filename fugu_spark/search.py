@@ -265,6 +265,62 @@ def _term_leaves_frame(
     )
 
 
+def _synonym_leaves_frame(
+    index: InvertedIndex,
+    syn_leaves: list[tuple[int, Leaf]],
+    df_map: dict[str, int],
+    k1: float,
+    b: float,
+    extra_mult: float = 1.0,
+) -> DataFrame | None:
+    """ALL synonym leaves in ONE scan + ONE (doc, leaf) pre-combine —
+    Lucene SynonymQuery blended stats: idf from the group's MAX df, tf
+    summed per doc across the group's terms, then ONE BM25 contribution.
+    The tf sum must happen BEFORE tf normalization (BM25 is nonlinear in
+    tf), hence the dedicated groupBy(doc_id, leaf_id) — one extra
+    exchange total regardless of how many synonym leaves the query has."""
+    per_term: dict[str, list[int]] = {}
+    idf_mult: dict[int, float] = {}
+    for i, leaf in syn_leaves:
+        group = [t for t in leaf.terms if t in df_map]
+        if not group:
+            continue
+        max_df = max(df_map[t] for t in group)
+        idf_mult[i] = idf_py(max_df, index.stats.n_docs) * leaf.boost * extra_mult
+        for t in group:
+            per_term.setdefault(t, []).append(i)
+    if not idf_mult:
+        return None
+    cand = index.postings.filter(F.col("term").isin(list(per_term)))
+    chain = None
+    for t, ids in per_term.items():
+        arr = F.array(*[F.lit(i) for i in ids])
+        chain = F.when(F.col("term") == t, arr) if chain is None else chain.when(
+            F.col("term") == t, arr
+        )
+    mult_chain = None
+    for i, m in idf_mult.items():
+        mult_chain = (
+            F.when(F.col("leaf_id") == i, F.lit(m))
+            if mult_chain is None
+            else mult_chain.when(F.col("leaf_id") == i, F.lit(m))
+        )
+    summed = (
+        cand.select(
+            "doc_id", F.explode(chain).alias("leaf_id"), "tf", "doc_len"
+        )
+        .groupBy("doc_id", "leaf_id")
+        .agg(F.sum("tf").alias("tf"), F.first("doc_len").alias("doc_len"))
+    )
+    return summed.select(
+        "doc_id",
+        "leaf_id",
+        (
+            mult_chain * _tf_norm(F.col("tf"), F.col("doc_len"), index.stats.avgdl, k1, b)
+        ).alias("score"),
+    )
+
+
 def leaf_score_frames(
     index: InvertedIndex, plan: QueryPlan, k1: float = BM25_K1, b: float = BM25_B
 ) -> list[tuple[int, DataFrame | None]]:
@@ -326,6 +382,24 @@ def _execute_node(
             return _range_frame(index.postings, node)
         if node.is_phrase:
             return _phrase_frame(cand, node, df_map, stats, k1, b)
+        if node.synonym:
+            group = [t for t in node.terms if t in df_map]
+            if not group:
+                return None
+            idf = idf_py(max(df_map[t] for t in group), stats.n_docs)
+            return (
+                cand.filter(F.col("term").isin(group))
+                .groupBy("doc_id")
+                .agg(F.sum("tf").alias("tf"), F.first("doc_len").alias("doc_len"))
+                .select(
+                    "doc_id",
+                    (
+                        F.lit(idf)
+                        * _tf_norm(F.col("tf"), F.col("doc_len"), stats.avgdl, k1, b)
+                        * F.lit(node.boost)
+                    ).alias("score"),
+                )
+            )
         t = node.terms[0]
         if t not in df_map:
             return None
@@ -464,20 +538,30 @@ def execute_plan(
     cand = index.postings.filter(F.col("term").isin(all_terms))
 
     term_leaves = [
-        (i, l) for i, l in enumerate(plan.leaves) if not l.is_phrase and l.rng is None
+        (i, l)
+        for i, l in enumerate(plan.leaves)
+        if not l.is_phrase and l.rng is None and not l.synonym
     ]
+    syn_leaves = [(i, l) for i, l in enumerate(plan.leaves) if l.synonym]
     phrase_leaves = [(i, l) for i, l in enumerate(plan.leaves) if l.is_phrase]
     range_leaves = [(i, l) for i, l in enumerate(plan.leaves) if l.rng is not None]
 
-    # A Must leaf on an absent term means nothing can match.
+    # A Must leaf on an absent term means nothing can match (a synonym
+    # group's members are alternatives — dead only when ALL are absent).
     for i, leaf in enumerate(plan.leaves):
-        if i in musts and any(t not in df_map for t in leaf.terms):
+        dead = (
+            all(t not in df_map for t in leaf.terms)
+            if leaf.synonym
+            else any(t not in df_map for t in leaf.terms)
+        )
+        if i in musts and dead:
             return spark.createDataFrame([], "doc_id long, score double")
 
     if (
         len(plan.leaves) == 1
         and not plan.leaves[0].is_phrase
         and plan.leaves[0].rng is None
+        and not plan.leaves[0].synonym
         and not must_nots
     ):
         # single-term fast path: one posting row per doc, nothing to
@@ -502,6 +586,10 @@ def execute_plan(
     fused = _term_leaves_frame(index, term_leaves, df_map, k1, b)
     if fused is not None:
         frames.append(fused)
+    if syn_leaves:
+        sf = _synonym_leaves_frame(index, syn_leaves, df_map, k1, b)
+        if sf is not None:
+            frames.append(sf)
     for i, leaf in phrase_leaves:
         pf = _phrase_frame(cand, leaf, df_map, index.stats, k1, b)
         if pf is not None:
@@ -517,7 +605,11 @@ def execute_plan(
     live_leaf_ids = {
         i
         for i, l in enumerate(plan.leaves)
-        if all(t in df_map for t in l.terms)
+        if (
+            any(t in df_map for t in l.terms)
+            if l.synonym
+            else all(t in df_map for t in l.terms)
+        )
     }
     if not plan_has_positive:
         base = all_docs()  # pinned divergence: NOT-only query = AllQuery minus exclusions
@@ -527,6 +619,8 @@ def execute_plan(
                 excl = _range_frame(index.postings, leaf)
             elif leaf.is_phrase:
                 excl = _phrase_frame(cand, leaf, df_map, index.stats, k1, b)
+            elif leaf.synonym:
+                excl = cand.filter(F.col("term").isin(list(leaf.terms)))
             else:
                 excl = cand.filter(F.col("term") == leaf.terms[0])
             base = base.join(excl.select("doc_id"), "doc_id", "left_anti")
@@ -555,9 +649,17 @@ def _leaf_frame_fields(
         if leaf.fld not in (None, f):
             continue
         dm = df_maps[f]
-        if any(t not in dm for t in leaf.terms):
+        if leaf.synonym:
+            if all(t not in dm for t in leaf.terms):
+                continue
+        elif any(t not in dm for t in leaf.terms):
             continue
         mult = boosts.get(f, 1.0)
+        if leaf.synonym:
+            sf = _synonym_leaves_frame(idx, [(0, leaf)], dm, k1, b, extra_mult=mult)
+            if sf is not None:
+                frames.append(sf.select("doc_id", "score", F.lit(fi).alias("_ci")))
+            continue
         if leaf.rng is not None:
             frames.append(
                 _range_frame(idx.postings, leaf, mult).select(
@@ -751,17 +853,27 @@ def execute_plan_fields(
         return out
 
     term_leaves = [
-        (i, l) for i, l in enumerate(plan.leaves) if not l.is_phrase and l.rng is None
+        (i, l)
+        for i, l in enumerate(plan.leaves)
+        if not l.is_phrase and l.rng is None and not l.synonym
     ]
+    syn_leaves = [(i, l) for i, l in enumerate(plan.leaves) if l.synonym]
     phrase_leaves = [(i, l) for i, l in enumerate(plan.leaves) if l.is_phrase]
     range_leaves = [(i, l) for i, l in enumerate(plan.leaves) if l.rng is not None]
 
     def live_in_any_field(leaf: Leaf) -> bool:
-        # a field-qualified leaf ('name:foo') lives only in its field
+        # a field-qualified leaf ('name:foo') lives only in its field;
+        # a synonym group is live when ANY member is (members are
+        # alternatives)
+        def live_in(dm) -> bool:
+            if leaf.synonym:
+                return any(t in dm for t in leaf.terms)
+            return all(t in dm for t in leaf.terms)
+
         if leaf.fld is not None:
             dm = df_maps.get(leaf.fld)
-            return dm is not None and all(t in dm for t in leaf.terms)
-        return any(all(t in dm for t in leaf.terms) for dm in df_maps.values())
+            return dm is not None and live_in(dm)
+        return any(live_in(dm) for dm in df_maps.values())
 
     for i, leaf in enumerate(plan.leaves):
         if i in musts and not live_in_any_field(leaf):
@@ -779,6 +891,13 @@ def execute_plan_fields(
         )
         if fused is not None:
             frames.append(fused)
+        syn_here = [(i, l) for i, l in syn_leaves if l.fld in (None, f)]
+        if syn_here:
+            sf = _synonym_leaves_frame(
+                idx, syn_here, df_maps[f], k1, b, extra_mult=boosts.get(f, 1.0)
+            )
+            if sf is not None:
+                frames.append(sf)
         cand = idx.postings.filter(F.col("term").isin(all_terms))
         for i, leaf in phrase_leaves:
             if leaf.fld not in (None, f):
@@ -895,11 +1014,16 @@ def search_fields(
     b: float = BM25_B,
     field_boosts: dict[str, float] | None = None,
     min_should_match: int = 0,
+    synonyms: dict | None = None,
 ) -> DataFrame:
     """Multi-field search entry point (fugu queries [text, name]);
     ``field:`` prefixes resolve against the index names supplied here."""
     plan = parse_query(query_text, mode=mode, fields=frozenset(indexes))
     plan = expand_plan(plan, dict_expander(indexes))
+    if synonyms:
+        from .queryparse import apply_synonyms
+
+        plan = apply_synonyms(plan, synonyms, mode=mode)
     scored = execute_plan_fields(
         indexes, plan, docs=docs, id_col=id_col, k1=k1, b=b, field_boosts=field_boosts,
         min_should_match=min_should_match,
@@ -976,6 +1100,7 @@ def search(
     min_should_match: int = 0,
     sort_by: str | None = None,
     sort_ascending: bool = False,
+    synonyms: dict | None = None,
 ) -> DataFrame:
     """Full search entry point → DataFrame(doc_id, score), top-k ordered.
 
@@ -984,9 +1109,16 @@ def search(
     ``min_should_match`` — see execute_plan (Lucene top-level boolean).
     ``sort_by`` — order the matched set by this docs column instead of
     relevance (see top_k_by_field); requires ``docs``.
+    ``synonyms`` — {term: [alternatives...]} Lucene SynonymQuery
+    rewriting (queryparse.apply_synonyms; blended max-df/summed-tf
+    scoring).
     """
     plan = parse_query(query_text, mode=mode)
     plan = expand_plan(plan, dict_expander({None: index}))
+    if synonyms:
+        from .queryparse import apply_synonyms
+
+        plan = apply_synonyms(plan, synonyms, mode=mode)
     scored = execute_plan(
         index, plan, docs=docs, id_col=id_col, k1=k1, b=b,
         min_should_match=min_should_match,

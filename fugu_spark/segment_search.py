@@ -499,7 +499,7 @@ def conjunctive_anchor(plan: QueryPlan, meta: dict[str, dict]) -> str | None:
         required = [
             t
             for occ, child in plan.root.children
-            if occ == "must" and isinstance(child, _Leaf)
+            if occ == "must" and isinstance(child, _Leaf) and not child.synonym
             for t in child.terms
         ]
         required = [t for t in required if t in meta]
@@ -507,7 +507,9 @@ def conjunctive_anchor(plan: QueryPlan, meta: dict[str, dict]) -> str | None:
             return None
         anchor = min(required, key=lambda t: meta[t]["df"])
         return anchor if meta[anchor]["df"] <= ANCHOR_MAX_DF else None
-    required = [t for l in plan.leaves if l.occur == "must" for t in l.terms]
+    # a synonym group's members are alternatives — none is individually
+    # required, so a Must synonym leaf can never anchor block pruning
+    required = [t for l in plan.leaves if l.occur == "must" and not l.synonym for t in l.terms]
     if not required:
         positive = [l for l in plan.leaves if l.occur != "must_not"]
         if len(positive) == 1 and positive[0].is_phrase:
@@ -664,6 +666,7 @@ def search_segments(
     sort_by: str | None = None,
     sort_ascending: bool = False,
     min_score: float | None = None,
+    synonyms: dict | None = None,
 ) -> DataFrame:
     """Top-k search over the segment index → DataFrame(doc_id, score).
 
@@ -680,6 +683,10 @@ def search_segments(
     plan = parse_query(query_text, mode=mode)
     if needs_expansion(plan):
         plan = expand_plan(plan, _segment_expander(si))
+    if synonyms:
+        from .queryparse import apply_synonyms
+
+        plan = apply_synonyms(plan, synonyms, mode=mode)
     spark = si.spark
 
     pure_or = (
@@ -687,7 +694,7 @@ def search_segments(
         and plan.root is None
         and plan.leaves
         and all(
-            l.occur == "should" and not l.is_phrase and l.rng is None
+            l.occur == "should" and not l.is_phrase and l.rng is None and not l.synonym
             for l in plan.leaves
         )
         and doc_filter is None

@@ -476,6 +476,11 @@ class LocalSearcher:
         k1, b, avgdl = self.k1, self.b, self.avgdl
         parts = []
         for i, leaf in enumerate(plan.leaves):
+            if leaf.synonym:
+                part = self._synonym_part(leaf, meta, postings)
+                if part is not None:
+                    parts.append((part[0], i, part[1]))
+                continue
             if any(t not in meta for t in leaf.terms):
                 continue
             if leaf.is_phrase:
@@ -499,6 +504,30 @@ class LocalSearcher:
                 )
                 parts.append((p["doc_ids"], i, score))
         return parts
+
+    def _synonym_part(self, leaf, meta: dict, postings: dict):
+        """Lucene SynonymQuery blended scoring over decoded postings:
+        idf from the group's MAX df, tf summed per doc across the
+        group's member terms — numpy unique + bincount, no Python loop
+        over docs. → (doc_ids, scores) or None when every member is
+        absent. Mirrors search._synonym_leaves_frame exactly."""
+        from .bm25 import idf_py
+
+        group = [t for t in leaf.terms if t in meta]
+        if not group:
+            return None
+        live = [t for t in group if postings.get(t) is not None]
+        if not live:
+            return None
+        idf = idf_py(max(int(meta[t]["df"]) for t in group), self.n_docs)
+        docs_c = np.concatenate([postings[t]["doc_ids"] for t in live])
+        tfs_c = np.concatenate([postings[t]["tfs"] for t in live]).astype(np.float64)
+        dls_c = np.concatenate([postings[t]["doc_lens"] for t in live]).astype(np.float64)
+        uniq, first_idx, inv = np.unique(docs_c, return_index=True, return_inverse=True)
+        tf_sum = np.bincount(inv, weights=tfs_c)
+        dls = dls_c[first_idx]
+        score = idf * _tf_norm(tf_sum, dls, self.avgdl, self.k1, self.b) * leaf.boost
+        return uniq, score
 
     def _phrase_freq(self, terms: list[str], postings: dict, slop: int = 0):
         """Adjacency-chain phrase tf per doc (pre-filter ordinals).
@@ -698,6 +727,7 @@ class LocalSearcher:
         filters: list | None = None,
         date_ranges: dict | None = None,
         min_should_match: int = 0,
+        synonyms: dict | None = None,
     ) -> pd.DataFrame:
         """Top-k → pandas DataFrame(doc_id, score); identical ranks/scores
         to search_segments for locally-servable queries.
@@ -729,6 +759,10 @@ class LocalSearcher:
                 "fuzzy/range query leaves are not locally servable — "
                 "route to search_segments"
             )
+        if synonyms:
+            from .queryparse import apply_synonyms
+
+            plan = apply_synonyms(plan, synonyms, mode=self.mode)
         return self._execute_local(
             plan, k, offset, max_postings, filters, date_ranges,
             min_should_match=min_should_match,
@@ -778,18 +812,31 @@ class LocalSearcher:
                 )
         empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                               "score": pd.Series([], dtype="float64")})
-        # a Must leaf on an absent term means nothing can match
+        # a Must leaf on an absent term means nothing can match (synonym
+        # groups: members are alternatives — dead only when ALL absent)
         for i, leaf in enumerate(plan.leaves):
-            if i in musts and any(t not in meta for t in leaf.terms):
+            dead = (
+                all(t not in meta for t in leaf.terms)
+                if leaf.synonym
+                else any(t not in meta for t in leaf.terms)
+            )
+            if i in musts and dead:
                 return empty
         live_leaf_ids = {
-            i for i, l in enumerate(plan.leaves) if all(t in meta for t in l.terms)
+            i
+            for i, l in enumerate(plan.leaves)
+            if (
+                any(t in meta for t in l.terms)
+                if l.synonym
+                else all(t in meta for t in l.terms)
+            )
         }
         if not (live_leaf_ids - must_nots):
             return empty
 
         pure_or = all(
-            l.occur == "should" and not l.is_phrase for l in plan.leaves
+            l.occur == "should" and not l.is_phrase and not l.synonym
+            for l in plan.leaves
         ) and len(plan.leaves) > 0
         need_pos = any(l.is_phrase for l in plan.leaves)
         live_terms = sorted({t for i in live_leaf_ids | must_nots for t in plan.leaves[i].terms if t in meta})
@@ -1018,6 +1065,11 @@ class LocalSearcher:
 
         k1, b, avgdl = self.k1, self.b, self.avgdl
         if isinstance(node, Leaf):
+            if node.synonym:
+                part = self._synonym_part(node, meta, postings)
+                if part is None:
+                    return None
+                return pd.Series(part[1], index=part[0], dtype="float64")
             if any(t not in meta for t in node.terms):
                 return None
             if node.is_phrase:
