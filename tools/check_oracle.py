@@ -112,4 +112,8 @@ if __name__ == "__main__":
     if args and args[0] == "--json":
         jout = args[1]
         args = args[2:]
-    sys.exit(main(only=args or None, json_out=jout))
+    sf = "/root/testdata/sf0.01"
+    if args and args[0].startswith("/"):
+        sf = args[0]
+        args = args[1:]
+    sys.exit(main(sf_dir=sf, only=args or None, json_out=jout))
