@@ -298,6 +298,24 @@ def _eng_search_q(query: str, k: int = 10, offset: int = 0, filters=None, min_sc
     return run
 
 
+def _batch_syn_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch retrieval with engine-level synonyms (query expansion at
+    batch volume): blended-stats synonym leaves inside the one-job batch
+    path (fugu_spark/batch.py), rank-identical to the single engine."""
+    from fugu_spark.batch import batch_search_segments
+
+    si = _seg_index(spark, sf_dir)
+    out = batch_search_segments(
+        si, {0: "merge scan", 1: "+merge sort"}, k=5, synonyms={"merge": ["join"]}
+    )
+    return out.select(
+        "query_id",
+        "doc_id",
+        F.round("score", 6).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def _synonym_q(query: str, synonyms: dict, k: int = 10):
     """Lucene SynonymQuery blended scoring (queryparse.apply_synonyms)."""
 
@@ -1066,6 +1084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_sorted_field": _sorted_q("merge join", "n_chars", 10),
         "explain_doc": _explain_q("merge join", 1),
         "bm25_synonym": _synonym_q("merge", {"merge": ["join", "sort"]}, 10),
+        "batch_search_syn": _batch_syn_q,
         "grep_lines": lambda spark, sf_dir: __import__(
             "fugu_spark.analytics.codesearch", fromlist=["grep"]
         ).grep(_docs(spark, sf_dir), "merge (join|sort)"),
@@ -2322,6 +2341,35 @@ FROM topk WHERE rank <= 10 ORDER BY query_id, rank"""
             "term IN ('merge','join','scan')",
             having="HAVING count(DISTINCT term) >= 2",
         ),
+        # batch path with synonyms: q0 = syn-group(merge,join) OR scan;
+        # q1 = +syn-group +sort (both must)
+        "batch_search_syn": f"""WITH {_TOK}, {_SCORED},
+grp AS (SELECT doc_id, sum(tf) AS tf FROM post WHERE term IN ('merge','join') GROUP BY doc_id),
+bdf AS (SELECT max(df) AS df FROM tstat WHERE term IN ('merge','join')),
+synsc AS (
+  SELECT g.doc_id,
+         ln(1 + (s.n - b.df + 0.5) / (b.df + 0.5)) * g.tf * 2.2
+           / (g.tf + 1.2 * (0.25 + 0.75 * d.doc_len / s.avgdl)) AS sc
+  FROM grp g JOIN dl d USING (doc_id), stats s, bdf b
+),
+q0 AS (
+  SELECT 0 AS query_id, doc_id, sum(sc) AS score FROM (
+    SELECT doc_id, sc FROM synsc
+    UNION ALL
+    SELECT doc_id, sc FROM scored WHERE term = 'scan'
+  ) GROUP BY doc_id
+),
+q1 AS (
+  SELECT 1 AS query_id, y.doc_id, y.sc + z.sc AS score
+  FROM synsc y JOIN (SELECT doc_id, sc FROM scored WHERE term = 'sort') z USING (doc_id)
+),
+u AS (SELECT * FROM q0 UNION ALL SELECT * FROM q1),
+r AS (
+  SELECT query_id, doc_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM u
+)
+SELECT query_id, doc_id, score, rank FROM r WHERE rank <= 5""",
         # Lucene SynonymQuery blend: idf from the group's MAX df, tf
         # summed per doc across {merge, join, sort}, one BM25 term
         "bm25_synonym": f"""WITH {_TOK},

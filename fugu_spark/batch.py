@@ -29,10 +29,14 @@ field-qualified batches) is pinned by tests.
 
 v2 scope (VERDICT r4 Next #1): terms, AND/OR/NOT, boosts, phrases
 (including ``"a b"~N`` slop), nested boolean groups, dictionary
-expansions (``term*``, ``"a b"*``, ``term~N`` — expanded driver-side
-with the same dictionary reads as the single-query engines), and —
-through :func:`batch_search_fields` — field-qualified leaves and
-field-scoped groups. Still unsupported (callers fall back to per-query
+expansions (``term*``, ``"a b"*``, ``term~N``, ``/regex/``, wildcards —
+expanded driver-side with the same dictionary reads as the single-query
+engines), and — through :func:`batch_search_fields` — field-qualified
+leaves and field-scoped groups. The engine-level knobs batch too:
+``min_should_match`` (parts-array count projection in the flat fold,
+root gate in the tree kernel) and ``synonyms`` (blended leaves
+pre-combined per (query, leaf, field, doc) so tf sums before the
+nonlinear tf-norm). Still unsupported (callers fall back to per-query
 search): AllQuery, NOT-only plans or groups (need the doc universe),
 and lexicographic term ranges / ``field:*`` (their decode is a
 segment-scan predicate, not a leaf table).
@@ -163,8 +167,11 @@ def _batch_expander(sources: dict):
 
 def _leaf_live_fields(leaf: Leaf, fields: list[str], metas: dict) -> list[str]:
     """Fields this leaf can score in (its own when qualified, else all),
-    restricted to fields whose dictionary contains every leaf term."""
+    restricted to fields whose dictionary contains every leaf term —
+    ANY member term for a synonym group (members are alternatives)."""
     cand = [leaf.fld] if leaf.fld is not None else fields
+    if leaf.synonym:
+        return [f for f in cand if f in metas and any(t in metas[f] for t in leaf.terms)]
     return [f for f in cand if f in metas and all(t in metas[f] for t in leaf.terms)]
 
 
@@ -197,14 +204,15 @@ def _check_no_not_only_groups(node, fields, metas, qid) -> bool:
     return False
 
 
-def _tree_kernel(trees: dict):
+def _tree_kernel(trees: dict, msm: int = 0):
     """applyInPandas combiner for nested plans: per query, fold the plan
     tree over (leaf_id, ci, score) contribution rows — vectorized over
     the doc axis, Python only over the (tiny) tree structure. Fold
     orders mirror search._execute_node / _execute_node_fields exactly
     (musts in child order, shoulds from 0.0 in child order, per-leaf
     cross-field fold from 0.0 in field order) so scores are
-    bit-identical to the single-query engines."""
+    bit-identical to the single-query engines. ``msm`` applies at the
+    tree ROOT, mirroring _execute_node's top-level gate."""
     import numpy as np
     import pandas as pd
 
@@ -269,6 +277,15 @@ def _tree_kernel(trees: dict):
             return matched, score
 
         matched, score = ev(tree)
+        if msm > 0:
+            # root-level minimumNumberShouldMatch: count matched should
+            # children (ev recomputation is a cheap vectorized pass)
+            cnt = np.zeros(n, dtype=np.int64)
+            for occ, child in tree[1]:
+                if occ not in ("must", "must_not"):
+                    m, _ = ev(child)
+                    cnt += m
+            matched = matched & (cnt >= msm)
         return pd.DataFrame(
             {
                 "query_id": np.int64(qid),
@@ -307,6 +324,8 @@ def _batch_execute(
     b: float,
     field_boosts: dict[str, float] | None,
     parse_fields,
+    min_should_match: int = 0,
+    synonyms: dict | None = None,
 ) -> DataFrame:
     if isinstance(queries, dict):
         queries = list(queries.items())
@@ -335,8 +354,13 @@ def _batch_execute(
             if expander is None:
                 expander = _batch_expander(sources)
             plan = expand_plan(plan, expander)
+        if synonyms:
+            from .queryparse import apply_synonyms
+
+            plan = apply_synonyms(plan, synonyms, mode=mode)
         _compile_checks(plan, qid)
         plans.append((qid, plan))
+    msm = max(0, int(min_should_match))
 
     # ---- per-field term needs + dictionary lookups (one per field) ----
     need: dict[str, set[str]] = {f: set() for f in fields}
@@ -360,6 +384,7 @@ def _batch_execute(
     #               is_must, is_not)
     # sig rows:    (sig_id, field, slop, t0..t_{L-1})
     term_rows: list[tuple] = []
+    syn_rows: list[tuple] = []  # synonym-group member rows (blended mult)
     phrase_rows: list[tuple] = []
     sig_ids: dict[tuple, int] = {}
     n_musts: dict[int, int] = {}
@@ -383,13 +408,30 @@ def _batch_execute(
                 phrase_rows.append(
                     (qid, i, ci, sig, idf_sum, float(leaf.boost), fmult, is_must, is_not)
                 )
+                live_fields_by_f[f].update(leaf.terms)
+            elif leaf.synonym:
+                # Lucene SynonymQuery blend: ONE mult from the group's
+                # max df, shared by every member row; tf sums per doc in
+                # the pre-combine before the nonlinear tf-norm
+                group = [t for t in leaf.terms if t in metas[f]]
+                mult = (
+                    idf_py(
+                        max(metas[f][t]["df"] for t in group),
+                        sources[f].stats.n_docs,
+                    )
+                    * leaf.boost
+                    * fmult
+                )
+                for t in group:
+                    syn_rows.append((qid, i, ci, t, mult, is_must, is_not))
+                live_fields_by_f[f].update(group)
             else:
                 t = leaf.terms[0]
                 # python fold identical to search._term_leaves_frame:
                 # (idf * boost) * field_mult
                 mult = metas[f][t]["idf"] * leaf.boost * fmult
                 term_rows.append((qid, i, ci, t, mult, is_must, is_not))
-            live_fields_by_f[f].update(leaf.terms)
+                live_fields_by_f[f].update(leaf.terms)
         return True
 
     for qid, plan in plans:
@@ -405,8 +447,9 @@ def _batch_execute(
             continue
         # flat plan — mirror of the v1 path + search._combine_frames
         dead = False
-        rows_before = (len(term_rows), len(phrase_rows))
+        rows_before = (len(term_rows), len(phrase_rows), len(syn_rows))
         nm = 0
+        n_live_shoulds = 0
         any_positive_live = False
         for i, leaf in enumerate(plan.leaves):
             is_must = 1 if leaf.occur == "must" else 0
@@ -418,18 +461,23 @@ def _batch_execute(
                     break
                 continue  # absent should/not leaves drop
             nm += is_must
+            if not is_must and not is_not:
+                n_live_shoulds += 1
             if not is_not:
                 any_positive_live = True
-        if dead or not any_positive_live:
+        # Lucene: minShouldMatch above the live optional count → the
+        # query matches nothing (same rule as execute_plan's early exit)
+        if dead or not any_positive_live or (msm > 0 and msm > n_live_shoulds):
             # roll back this query's rows
             del term_rows[rows_before[0] :]
             del phrase_rows[rows_before[1] :]
+            del syn_rows[rows_before[2] :]
             continue
         n_musts[qid] = nm
         flat_qids.add(qid)
 
     out_schema = "query_id long, doc_id long, score double, rank int"
-    if not term_rows and not phrase_rows:
+    if not term_rows and not phrase_rows and not syn_rows:
         return spark.createDataFrame([], out_schema)
 
     # ---- one decode per field ----------------------------------------
@@ -480,6 +528,43 @@ def _batch_execute(
                 )
             )
 
+    # synonym contributions: decoded ⋈ member rows, then ONE
+    # (query, leaf, field, doc) pre-combine summing tf BEFORE the
+    # nonlinear tf-norm (Lucene SynonymScorer's freq sum)
+    if syn_rows:
+        syn_df = spark.createDataFrame(
+            syn_rows,
+            "query_id long, leaf_id int, ci int, term string, mult double, "
+            "is_must int, is_not int",
+        )
+        for fi, f in enumerate(fields):
+            if f not in decoded:
+                continue
+            rows_f = syn_df.filter(F.col("ci") == fi)
+            pre = (
+                decoded[f]
+                .join(F.broadcast(rows_f), "term")
+                .groupBy("query_id", "leaf_id", "ci", "doc_id")
+                .agg(
+                    F.sum("tf").alias("tf"),
+                    F.first("doc_len").alias("doc_len"),
+                    F.first("mult").alias("mult"),
+                    F.first("is_must").alias("is_must"),
+                    F.first("is_not").alias("is_not"),
+                )
+            )
+            contribs.append(
+                pre.select(
+                    "query_id",
+                    "leaf_id",
+                    "ci",
+                    "doc_id",
+                    (F.col("mult") * tfn(f)).alias("score"),
+                    "is_must",
+                    "is_not",
+                )
+            )
+
     # phrase contributions: one chain join per distinct signature length
     if phrase_rows:
         pdf_leaves = spark.createDataFrame(
@@ -519,17 +604,34 @@ def _batch_execute(
             [(q, n_musts[q]) for q in sorted(flat_qids)], "query_id long, n_musts int"
         )
         agg = fc.groupBy("query_id", "doc_id").agg(
-            F.array_sort(F.collect_list(F.struct("leaf_id", "score", "is_not"))).alias(
-                "parts"
-            ),
+            F.array_sort(
+                F.collect_list(F.struct("leaf_id", "score", "is_not", "is_must"))
+            ).alias("parts"),
             F.count_distinct(
                 F.when(F.col("is_must") == 1, F.col("leaf_id"))
             ).alias("must_cnt"),
             F.max("is_not").alias("excl"),
         )
+        gated = agg.join(F.broadcast(nmdf), "query_id").filter(
+            (F.col("must_cnt") == F.col("n_musts")) & (F.col("excl") == 0)
+        )
+        if msm > 0:
+            # same projection trick as search._combine_frames: the count
+            # comes from the already-collected parts, no extra aggregate
+            should_cnt = F.size(
+                F.array_distinct(
+                    F.transform(
+                        F.filter(
+                            "parts",
+                            lambda p: (p["is_not"] == 0) & (p["is_must"] == 0),
+                        ),
+                        lambda p: p["leaf_id"],
+                    )
+                )
+            )
+            gated = gated.filter(should_cnt >= msm)
         scored_parts.append(
-            agg.join(F.broadcast(nmdf), "query_id")
-            .filter((F.col("must_cnt") == F.col("n_musts")) & (F.col("excl") == 0))
+            gated
             .withColumn(
                 "score",
                 F.aggregate(
@@ -548,7 +650,8 @@ def _batch_execute(
             nc.select("query_id", "leaf_id", "ci", "doc_id", "score")
             .groupBy("query_id")
             .applyInPandas(
-                _tree_kernel(nested_trees), "query_id long, doc_id long, score double"
+                _tree_kernel(nested_trees, msm),
+                "query_id long, doc_id long, score double",
             )
         )
 
@@ -654,14 +757,20 @@ def batch_search_segments(
     mode: str = DEFAULT_MODE,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    min_should_match: int = 0,
+    synonyms: dict | None = None,
 ) -> DataFrame:
     """→ DataFrame(query_id, doc_id, score, rank) — top-k per query over
     one segment index (single default field; ``field:`` prefixes strip,
     as in single-index search). ``queries``: (query_id, query_text)
     pairs — parsing happens driver-side (queries are metadata-scale even
-    at millions; the tables they produce are broadcast)."""
+    at millions; the tables they produce are broadcast).
+    ``min_should_match`` / ``synonyms`` apply to EVERY query in the
+    batch (the engine-level knobs, same semantics as search/
+    search_segments — the offline query-expansion shape)."""
     return _batch_execute(
-        {"": _FieldSource(si)}, queries, k, mode, k1, b, None, None
+        {"": _FieldSource(si)}, queries, k, mode, k1, b, None, None,
+        min_should_match=min_should_match, synonyms=synonyms,
     )
 
 
@@ -673,6 +782,8 @@ def batch_search_fields(
     k1: float = BM25_K1,
     b: float = BM25_B,
     field_boosts: dict[str, float] | None = None,
+    min_should_match: int = 0,
+    synonyms: dict | None = None,
 ) -> DataFrame:
     """Multi-field batch retrieval (the batch mirror of
     :func:`search.search_fields`): a leaf scores in ANY applicable field
@@ -688,4 +799,6 @@ def batch_search_fields(
         b,
         field_boosts,
         frozenset(indexes),
+        min_should_match=min_should_match,
+        synonyms=synonyms,
     )
