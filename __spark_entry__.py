@@ -889,6 +889,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("doc_id").cast("long"), F.col("query_id").cast("long")
         )
 
+    def percolate_knobs_q(spark, sf_dir):
+        """Percolation with the engine-level knobs: q1 runs with
+        synonyms (merge → {merge, join, sort}: group matches ⇔ any
+        member present) AND min_should_match=2 over shoulds
+        {syn-group, scan} — docs containing a group member AND scan."""
+        from fugu_spark.percolate import compile_queries, percolate
+
+        out = percolate(
+            _docs(spark, sf_dir),
+            compile_queries({1: "merge scan"}, synonyms={"merge": ["join", "sort"]}),
+            text_col="text",
+            min_should_match=2,
+        )
+        return out.orderBy("doc_id", "query_id").select(
+            F.col("doc_id").cast("long"), F.col("query_id").cast("long")
+        )
+
     def code_tokens_q(spark, sf_dir):
         """Code-analyzer postings over the derived camelized corpus
         (see _code_index): (term, doc_id, tf) must equal plain
@@ -1085,6 +1102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "explain_doc": _explain_q("merge join", 1),
         "bm25_synonym": _synonym_q("merge", {"merge": ["join", "sort"]}, 10),
         "batch_search_syn": _batch_syn_q,
+        "percolate_knobs": percolate_knobs_q,
         "grep_lines": lambda spark, sf_dir: __import__(
             "fugu_spark.analytics.codesearch", fromlist=["grep"]
         ).grep(_docs(spark, sf_dir), "merge (join|sort)"),
@@ -1124,6 +1142,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_term_range": _search_q("merge [scan TO sort]", 10),
         "bm25_segments_prefix": _seg_search_q("s*", 10),
         # --- block 2: last driver-verified in r03 (refresh their rows) ---
+        # Round-5 grew block 1 to 42 never-verified entries, so only the
+        # first ~8 of these 27 fit the driver's 50-entry window this
+        # round; the remainder (bm25_wildcard_filter .. winnow_fps) must
+        # LEAD the r06 ordering (they'll be 3 rounds stale otherwise).
+        # All are green in CORRECTNESS_LOCAL_r05.json regardless.
         "all_filter_paths": all_filter_paths_q,
         "ann_cosine_all": ann_cosine_all,
         "ann_ivf_top10": _ann_ivf_top10,
@@ -2341,6 +2364,13 @@ FROM topk WHERE rank <= 10 ORDER BY query_id, rank"""
             "term IN ('merge','join','scan')",
             having="HAVING count(DISTINCT term) >= 2",
         ),
+        # percolation with synonyms + msm=2: docs containing any of
+        # {merge, join, sort} AND 'scan'
+        "percolate_knobs": f"""WITH {_TOK}
+SELECT g.doc_id, 1 AS query_id
+FROM (SELECT DISTINCT doc_id FROM tok WHERE term IN ('merge','join','sort')) g
+JOIN (SELECT DISTINCT doc_id FROM tok WHERE term = 'scan') s USING (doc_id)
+ORDER BY g.doc_id""",
         # batch path with synonyms: q0 = syn-group(merge,join) OR scan;
         # q1 = +syn-group +sort (both must)
         "batch_search_syn": f"""WITH {_TOK}, {_SCORED},

@@ -109,12 +109,58 @@ class CompiledQueries:
         return list(seen)
 
 
+def _degroup_synonyms(plan):
+    """Rewrite synonym leaves into should-groups of their member terms —
+    boolean-equivalent for matching (a group matches ⇔ any member
+    present), which is all percolation needs. The rewritten plan is
+    nested, so it compiles to the mask-tree path."""
+    import dataclasses
+
+    from .queryparse import BoolNode, QueryPlan, _flatten
+
+    if not any(l.synonym for l in plan.leaves):
+        return plan
+
+    def conv(node):
+        if isinstance(node, BoolNode):
+            return BoolNode(tuple((o, conv(c)) for o, c in node.children))
+        if node.synonym:
+            return BoolNode(
+                tuple(
+                    (
+                        "should",
+                        dataclasses.replace(
+                            node, terms=(t,), synonym=False, occur="should"
+                        ),
+                    )
+                    for t in node.terms
+                )
+            )
+        return node
+
+    if plan.root is not None:
+        root = conv(plan.root)
+    else:
+        root = BoolNode(tuple((l.occur, conv(l)) for l in plan.leaves))
+    out = QueryPlan(root=root)
+    out.leaves = _flatten(root)
+    return out
+
+
 def compile_queries(
-    queries: dict[int, str] | list[tuple[int, str]], mode: str = DEFAULT_MODE
+    queries: dict[int, str] | list[tuple[int, str]],
+    mode: str = DEFAULT_MODE,
+    synonyms: dict | None = None,
 ) -> CompiledQueries:
     """Parse + validate a standing-query set. Raises ``ValueError`` for
     duplicate ids and for query shapes outside the percolation scope
-    (AllQuery, nested groups, dictionary expansions, term ranges)."""
+    (AllQuery, nested groups, dictionary expansions, term ranges).
+
+    ``synonyms`` ({term: [alternatives...]}) applies Lucene SynonymQuery
+    rewriting to every standing query. Percolation is boolean matching
+    (no scores), so a synonym group is EXACTLY a should-group of its
+    member terms — compiled as one, which routes the query through the
+    nested mask-tree path."""
     pairs = list(queries.items()) if isinstance(queries, dict) else list(queries)
     seen_q: set[int] = set()
     term_rows: dict[tuple[str, int, int], None] = {}
@@ -130,6 +176,11 @@ def compile_queries(
             raise ValueError(f"duplicate query_id {qid!r} in standing-query set")
         seen_q.add(qid)
         plan = parse_query(qstr, mode)
+        if synonyms:
+            from .queryparse import apply_synonyms
+
+            plan = apply_synonyms(plan, synonyms, mode=mode)
+            plan = _degroup_synonyms(plan)
         if plan.is_all:
             raise ValueError(f"query {qid}: AllQuery (empty) cannot be percolated")
         if not plan.has_positive():
@@ -189,6 +240,7 @@ def percolate(
     id_col: str = "doc_id",
     text_col: str = "text",
     broadcast_queries: bool = True,
+    min_should_match: int = 0,
 ) -> DataFrame:
     """Match a doc batch against the compiled standing queries.
 
@@ -196,8 +248,15 @@ def percolate(
     pair. Pure DataFrame ops: composable under ``foreachBatch`` (see
     :func:`start_percolate_stream`, which also releases the internal
     cache per micro-batch) or directly over a 100-TB batch.
+
+    ``min_should_match`` — the Lucene gate, applied to every standing
+    query's top level: a doc must match ≥ that many distinct should
+    clauses (besides musts / no nots) to count as a match.
     """
-    out, _ = _percolate_frames(docs, compiled, id_col, text_col, broadcast_queries)
+    out, _ = _percolate_frames(
+        docs, compiled, id_col, text_col, broadcast_queries,
+        msm=max(0, int(min_should_match)),
+    )
     return out
 
 
@@ -207,6 +266,7 @@ def _percolate_frames(
     id_col: str,
     text_col: str,
     broadcast_queries: bool,
+    msm: int = 0,
 ) -> tuple[DataFrame, DataFrame | None]:
     """(matches, persisted-postings-or-None) — the second element lets a
     per-batch caller (the streaming sink) unpersist after materializing,
@@ -273,12 +333,17 @@ def _percolate_frames(
             F.max(F.when(F.col("occur") == _OCC_NOT, 1).otherwise(0)).alias("not_hit"),
         )
         qm = spark.createDataFrame(list(compiled.qmeta), "query_id long, n_musts int")
+        gate = (
+            (F.col("should_hits") >= msm)
+            if msm > 0
+            else ((F.col("n_musts") > 0) | (F.col("should_hits") > 0))
+        )
         outs.append(
             agg.join(F.broadcast(qm), "query_id")
             .filter(
                 (F.col("not_hit") == 0)
                 & (F.col("must_hits") == F.col("n_musts"))
-                & ((F.col("n_musts") > 0) | (F.col("should_hits") > 0))
+                & gate
             )
             .select("doc_id", "query_id")
         )
@@ -312,7 +377,7 @@ def _percolate_frames(
         )
         outs.append(
             masks.mapInPandas(
-                _mask_tree_eval(dict(compiled.trees)), "doc_id long, query_id long"
+                _mask_tree_eval(dict(compiled.trees), msm), "doc_id long, query_id long"
             )
         )
 
@@ -370,12 +435,13 @@ def _batched_sig_match(spark, posts: DataFrame, sigs) -> DataFrame:
     ).select("doc_id", "sig_id")
 
 
-def _mask_tree_eval(trees: dict[int, tuple]):
+def _mask_tree_eval(trees: dict[int, tuple], msm: int = 0):
     """mapInPandas evaluator for nested standing queries: rows are
     (doc_id, query_id, mask) candidate pairs; per query the plan tree
     folds over numpy bool arrays (leaf i matched ⇔ bit i set). Fold
     semantics mirror search._execute_node: all musts, ≥1 should when
-    mustless, nots exclude, a must-not-only group matches nothing."""
+    mustless, nots exclude, a must-not-only group matches nothing.
+    ``msm`` gates the tree ROOT (count of matched should children)."""
     import numpy as np
     import pandas as pd
 
@@ -413,6 +479,12 @@ def _mask_tree_eval(trees: dict[int, tuple]):
                     return m
 
                 sel = ev(tree)
+                if msm > 0:
+                    cnt = np.zeros(len(mask), dtype=np.int64)
+                    for occ, child in tree[1]:
+                        if occ not in ("must", "must_not"):
+                            cnt += ev(child)
+                    sel = sel & (cnt >= msm)
                 if sel.any():
                     outs.append(
                         pd.DataFrame(
@@ -439,6 +511,7 @@ def start_percolate_stream(
     text_col: str = "text",
     fmt: str = "parquet",
     available_now: bool = True,
+    min_should_match: int = 0,
 ):
     """Percolate a file-source stream; matches append to ``out_dir`` as
     parquet ``(doc_id, query_id)``. Same drop-folder shape as
@@ -453,7 +526,8 @@ def start_percolate_stream(
         if batch.isEmpty():
             return
         matches, persisted = _percolate_frames(
-            batch, compiled, id_col, text_col, broadcast_queries=True
+            batch, compiled, id_col, text_col, broadcast_queries=True,
+            msm=max(0, int(min_should_match)),
         )
         try:
             matches.write.mode("append").parquet(out_dir)
