@@ -373,6 +373,100 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# aggregations (fugu_spark/aggs.py — ES/Tantivy aggregation surface)
+# --------------------------------------------------------------------------
+
+
+def _matched_set(spark: SparkSession, sf_dir: str, qtext: str) -> DataFrame:
+    """A query's full matched set (doc_id, score) — what ES scopes aggs to."""
+    from fugu_spark.queryparse import expand_plan, parse_query
+    from fugu_spark.search import dict_expander, execute_plan
+
+    _, idx = _index(spark, sf_dir)
+    plan = expand_plan(parse_query(qtext), dict_expander({None: idx}))
+    return execute_plan(idx, plan)
+
+
+def _agg_terms_stats(spark, sf_dir):
+    """terms(lang) bucket agg with a stats(n_chars) sub-agg — ONE groupBy
+    (metrics fold into the bucket aggregate; plan pinned in test_aggs)."""
+    from fugu_spark.aggs import Stats, terms_agg
+
+    return terms_agg(_docs(spark, sf_dir), "lang", size=10, metrics=[Stats("n_chars")])
+
+
+def _agg_histogram(spark, sf_dir):
+    """histogram(n_chars, interval=100): fixed-interval buckets keyed by
+    lower bound (ES bucketing)."""
+    from fugu_spark.aggs import histogram_agg
+
+    return histogram_agg(_docs(spark, sf_dir), "n_chars", interval=100)
+
+
+def _agg_date_histogram(spark, sf_dir):
+    """date_histogram(calendar month) over a deterministically derived
+    DATE column (epoch 2024-01-01 + doc_id%365 days — pure calendar
+    arithmetic, no timestamps, so the oracle is timezone-free)."""
+    from fugu_spark.aggs import date_histogram_agg
+
+    d = _docs(spark, sf_dir).withColumn(
+        "d", F.date_add(F.lit("2024-01-01").cast("date"), (F.col("doc_id") % 365).cast("int"))
+    )
+    out = date_histogram_agg(d, "d", "month")
+    return out
+
+
+def _agg_range(spark, sf_dir):
+    """range agg on n_chars: half-open [from, to) buckets with ES key
+    strings; values outside every range drop (ES semantics)."""
+    from fugu_spark.aggs import range_agg
+
+    return range_agg(_docs(spark, sf_dir), "n_chars", [(None, 200), (200, 400), (400, None)])
+
+
+def _agg_percentiles(spark, sf_dir):
+    """Exact percentiles of n_chars (linear interpolation — DuckDB
+    quantile_cont recomputes the identical definition). The approx
+    (t-digest) mode is the at-scale path, bounds-tested in pytest."""
+    from fugu_spark.aggs import percentiles_agg
+
+    return percentiles_agg(_docs(spark, sf_dir), "n_chars", (0.25, 0.5, 0.75, 0.95))
+
+
+def _agg_cardinality(spark, sf_dir):
+    """Query-scoped cardinality: distinct sources among docs matching
+    'merge' (ES query + cardinality agg). Exact mode for the oracle;
+    HLL++ mode is the scale path (bounds-tested in pytest)."""
+    from fugu_spark.aggs import cardinality_agg
+
+    return cardinality_agg(
+        _docs(spark, sf_dir), "source", matched=_matched_set(spark, sf_dir, "merge")
+    )
+
+
+def _agg_query_terms(spark, sf_dir):
+    """The full ES query+aggs shape: terms(lang) bucket counts over the
+    matched set of the OR-query 'merge scan'."""
+    from fugu_spark.aggs import terms_agg
+
+    return terms_agg(
+        _docs(spark, sf_dir), "lang", size=10,
+        matched=_matched_set(spark, sf_dir, "merge scan"),
+    )
+
+
+def _agg_top_hits(spark, sf_dir):
+    """terms(source) with a top_hits(size=2) sub-agg for query 'merge':
+    the 2 best-scoring hits per source bucket (WindowGroupLimit bounds
+    map-side state; plan pinned in test_aggs)."""
+    from fugu_spark.aggs import top_hits_agg
+
+    return top_hits_agg(
+        _matched_set(spark, sf_dir, "merge"), _docs(spark, sf_dir), "source", size=2
+    )
+
+
+# --------------------------------------------------------------------------
 # Spark-side queries
 # --------------------------------------------------------------------------
 
@@ -1092,6 +1186,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out = {
         # --- block 1: new this round (never driver-verified) ---
+        # ES/Tantivy aggregation surface (fugu_spark/aggs.py)
+        "agg_terms_stats": _agg_terms_stats,
+        "agg_histogram": _agg_histogram,
+        "agg_date_histogram": _agg_date_histogram,
+        "agg_range": _agg_range,
+        "agg_percentiles": _agg_percentiles,
+        "agg_cardinality": _agg_cardinality,
+        "agg_query_terms": _agg_query_terms,
+        "agg_top_hits": _agg_top_hits,
         "bm25_regex": _search_q("/s.*o.*/", 10),
         "bm25_regex_served": _serving_q("/s.*o.*/ merge", 10),
         "bm25_wildcard_term": _search_q("s?an*", 10),
@@ -2348,6 +2451,54 @@ topk AS (
 SELECT query_id, doc_id, round(score, 6) AS score, rank
 FROM topk WHERE rank <= 10 ORDER BY query_id, rank"""
     return {
+        # --- aggregations (fugu_spark/aggs.py) ---
+        "agg_terms_stats": """
+            SELECT lang AS key, count(*) AS doc_count,
+                   count(n_chars) AS n_chars_count,
+                   min(n_chars) AS n_chars_min, max(n_chars) AS n_chars_max,
+                   sum(n_chars)::BIGINT AS n_chars_sum,
+                   round(avg(n_chars), 6) AS n_chars_avg
+            FROM documents GROUP BY lang
+            ORDER BY doc_count DESC, key ASC LIMIT 10""",
+        "agg_histogram": """
+            SELECT floor(n_chars / 100.0) * 100.0 AS key, count(*) AS doc_count
+            FROM documents GROUP BY 1 ORDER BY 1""",
+        "agg_date_histogram": """
+            SELECT CAST(date_trunc('month', DATE '2024-01-01' + (doc_id % 365)::INT) AS DATE)
+                     AS key,
+                   count(*) AS doc_count
+            FROM documents GROUP BY 1 ORDER BY 1""",
+        "agg_range": """
+            WITH r AS (
+              SELECT CASE WHEN n_chars < 200 THEN '*-200'
+                          WHEN n_chars >= 200 AND n_chars < 400 THEN '200-400'
+                          WHEN n_chars >= 400 THEN '400-*' END AS key
+              FROM documents)
+            SELECT key, count(*) AS doc_count FROM r
+            WHERE key IS NOT NULL GROUP BY 1 ORDER BY 1""",
+        "agg_percentiles": """
+            WITH q AS (SELECT quantile_cont(n_chars, [0.25, 0.5, 0.75, 0.95]) AS v
+                       FROM documents)
+            SELECT p.percent::DOUBLE AS percent, round(q.v[p.i], 6) AS value
+            FROM q, (VALUES (1, 0.25), (2, 0.5), (3, 0.75), (4, 0.95)) AS p(i, percent)
+            ORDER BY percent""",
+        "agg_cardinality": f"""WITH {_TOK}
+            SELECT count(DISTINCT source) AS source_cardinality FROM documents
+            WHERE doc_id IN (SELECT doc_id FROM tok WHERE term = 'merge')""",
+        "agg_query_terms": f"""WITH {_TOK}
+            SELECT lang AS key, count(*) AS doc_count FROM documents
+            WHERE doc_id IN (SELECT doc_id FROM tok WHERE term IN ('merge', 'scan'))
+            GROUP BY lang ORDER BY doc_count DESC, key ASC LIMIT 10""",
+        "agg_top_hits": f"""WITH {_TOK}, {_SCORED},
+            sc AS (SELECT doc_id, sum(sc) AS score FROM scored
+                   WHERE term = 'merge' GROUP BY 1),
+            g AS (
+              SELECT d.source AS key, s.doc_id, round(s.score, 6) AS score,
+                     row_number() OVER (PARTITION BY d.source
+                                        ORDER BY s.score DESC, s.doc_id ASC) AS hit_rank
+              FROM sc s JOIN documents d USING (doc_id))
+            SELECT key, doc_id, score, hit_rank FROM g
+            WHERE hit_rank <= 2 ORDER BY key, hit_rank""",
         "bm25_regex": _topk_sql("regexp_full_match(term, 's.*o.*')"),
         "bm25_regex_served": _topk_sql(
             "regexp_full_match(term, 's.*o.*') OR term = 'merge'"

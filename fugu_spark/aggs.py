@@ -1,0 +1,366 @@
+"""Search aggregations: ES-shape bucket + metric aggs, query-scopable.
+
+The reference serves facet counts, trees, and value listings
+(src/db/facets.rs via routes.rs:29-84); its index library, Tantivy,
+additionally ships an elasticsearch-compatible aggregations module
+(bucket: terms / histogram / date_histogram / range; metric: stats /
+percentiles / cardinality / top_hits) reachable by embedders. This
+module re-expresses that aggregation surface Spark-first, over the same
+docs frames the rest of the engine uses, optionally scoped to a query's
+matched set (the ES `query` + `aggs` request shape).
+
+Plan shapes (audited in PLANS.md):
+
+- A bucket agg with ANY number of metric sub-aggs compiles to ONE
+  ``groupBy`` — a single shuffle with map-side partial aggregation for
+  every metric at once. Adding a metric never adds a shuffle.
+- Query scoping is a semi/inner join of the matched set (doc_id, score)
+  into the docs scan BEFORE the aggregate; AQE broadcast-sizes it when
+  the matched set is small.
+- ``top_hits`` is the one sub-agg that cannot fold into the groupBy: it
+  is a rank window per bucket, and Spark's WindowGroupLimit pushes the
+  per-group limit below the exchange (bounded map-side state even for a
+  bucket holding most of the corpus).
+- percentiles / cardinality have exact and approximate modes. Exact
+  (`percentile`, `count_distinct`) is what the DuckDB oracles verify;
+  approximate (`percentile_approx` t-digest, `approx_count_distinct`
+  HLL) is the bounded-memory 100-TB path — both are single-pass
+  sketches that fold into the same groupBy.
+
+All bucket keys sort deterministically (count DESC, key ASC for terms;
+key ASC for histogram/range) so results are stable under re-partitioning.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "Stats",
+    "Percentiles",
+    "Cardinality",
+    "terms_agg",
+    "histogram_agg",
+    "date_histogram_agg",
+    "range_agg",
+    "stats_agg",
+    "percentiles_agg",
+    "cardinality_agg",
+    "top_hits_agg",
+    "scope_to_matches",
+]
+
+
+# --------------------------------------------------------------------------
+# metric sub-aggs — each yields named aggregate Columns that fold into the
+# enclosing bucket groupBy (or a global agg) without extra shuffles
+# --------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Stats:
+    """ES `stats` metric: count / min / max / sum / avg of a field."""
+
+    field: str
+
+    def exprs(self) -> list[Column]:
+        c = F.col(self.field)
+        p = self.field
+        return [
+            F.count(c).alias(f"{p}_count"),
+            F.min(c).alias(f"{p}_min"),
+            F.max(c).alias(f"{p}_max"),
+            F.sum(c).alias(f"{p}_sum"),
+            F.round(F.avg(c), 6).alias(f"{p}_avg"),
+        ]
+
+
+@dataclass(frozen=True)
+class Percentiles:
+    """ES `percentiles` metric. ``exact=True`` uses `percentile` (linear
+    interpolation on the sorted values — what the oracle can recompute);
+    ``exact=False`` uses the `percentile_approx` sketch (bounded memory,
+    the at-scale default in ES too)."""
+
+    field: str
+    percents: tuple = (0.25, 0.5, 0.75, 0.95)
+    exact: bool = True
+    accuracy: int = 10000
+
+    def exprs(self) -> list[Column]:
+        c = F.col(self.field)
+        arr = F.array(*[F.lit(float(p)) for p in self.percents])
+        if self.exact:
+            agg = F.percentile(c, arr)
+        else:
+            agg = F.percentile_approx(c, arr, F.lit(self.accuracy))
+        return [
+            F.round(F.element_at(agg, i + 1), 6).alias(
+                f"{self.field}_p{_pct_name(p)}"
+            )
+            for i, p in enumerate(self.percents)
+        ]
+
+
+@dataclass(frozen=True)
+class Cardinality:
+    """ES `cardinality` metric. Exact ``count_distinct`` for parity;
+    ``exact=False`` is the HLL++ sketch (`approx_count_distinct`) — at
+    scale the exact mode costs an Expand (one duplicated stream per
+    distinct-field) while HLL folds into the partial aggregate."""
+
+    field: str
+    exact: bool = True
+    rsd: float = 0.05
+
+    def exprs(self) -> list[Column]:
+        c = F.col(self.field)
+        if self.exact:
+            return [F.count_distinct(c).alias(f"{self.field}_cardinality")]
+        return [F.approx_count_distinct(c, self.rsd).alias(f"{self.field}_cardinality")]
+
+
+def _pct_name(p: float) -> str:
+    # 0.25 -> "25", 0.995 -> "99_5" (column-name-safe)
+    s = f"{p * 100:g}"
+    return s.replace(".", "_")
+
+
+def _metric_exprs(metrics: Sequence) -> list[Column]:
+    out: list[Column] = []
+    for m in metrics:
+        out.extend(m.exprs())
+    return out
+
+
+# --------------------------------------------------------------------------
+# query scoping
+# --------------------------------------------------------------------------
+
+
+def scope_to_matches(
+    docs: DataFrame, matched: DataFrame | None, id_col: str = "doc_id"
+) -> DataFrame:
+    """Restrict ``docs`` to a query's matched set (the ES query+aggs
+    shape). ``matched`` is any frame with a doc_id column — e.g.
+    ``search.execute_plan``'s output. Semi-join keyed on the id: the
+    aggregate below it still gets map-side partials, and AQE broadcasts
+    the matched side when it is small."""
+    if matched is None:
+        return docs
+    keys = matched.select(F.col("doc_id").cast("long").alias("__match_id")).distinct()
+    return docs.join(
+        keys, docs[id_col].cast("long") == keys["__match_id"], "left_semi"
+    )
+
+
+# --------------------------------------------------------------------------
+# bucket aggs — one groupBy each; metrics fold in
+# --------------------------------------------------------------------------
+
+
+def terms_agg(
+    docs: DataFrame,
+    field: str,
+    size: int = 10,
+    metrics: Sequence = (),
+    matched: DataFrame | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES `terms` bucket agg: top ``size`` values of ``field`` by
+    doc_count (ties broken key ASC), with metric sub-aggs folded into
+    the same groupBy. The final top-``size`` is a
+    TakeOrderedAndProject — no second shuffle."""
+    scoped = scope_to_matches(docs, matched, id_col)
+    aggs = [F.count(F.lit(1)).alias("doc_count"), *_metric_exprs(metrics)]
+    return (
+        scoped.groupBy(F.col(field).alias("key"))
+        .agg(*aggs)
+        .orderBy(F.desc("doc_count"), F.asc("key"))
+        .limit(size)
+    )
+
+
+def histogram_agg(
+    docs: DataFrame,
+    field: str,
+    interval: float,
+    metrics: Sequence = (),
+    matched: DataFrame | None = None,
+    min_doc_count: int = 1,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES `histogram` bucket agg: fixed-interval numeric buckets keyed
+    by their lower bound (floor(v / interval) * interval, ES bucketing).
+    Buckets below ``min_doc_count`` are dropped (ES default 0 keeps
+    empties only within [min,max] — at 100 TB materializing empty
+    buckets is driver work, so the Spark-first default is 1)."""
+    scoped = scope_to_matches(docs, matched, id_col)
+    key = (F.floor(F.col(field) / F.lit(float(interval))) * F.lit(float(interval))).alias(
+        "key"
+    )
+    aggs = [F.count(F.lit(1)).alias("doc_count"), *_metric_exprs(metrics)]
+    out = scoped.groupBy(key).agg(*aggs)
+    if min_doc_count > 0:
+        out = out.filter(F.col("doc_count") >= min_doc_count)
+    return out.orderBy("key")
+
+
+_CAL_INTERVALS = ("day", "week", "month", "quarter", "year")
+
+
+def date_histogram_agg(
+    docs: DataFrame,
+    field: str,
+    calendar_interval: str = "month",
+    metrics: Sequence = (),
+    matched: DataFrame | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES `date_histogram` with a calendar interval: buckets are
+    `date_trunc(interval, ts)` (the same function DuckDB exposes, so the
+    oracle recomputes keys exactly). Key column is a DATE for stable
+    cross-engine hashing."""
+    if calendar_interval not in _CAL_INTERVALS:
+        raise ValueError(
+            f"calendar_interval must be one of {_CAL_INTERVALS}, got {calendar_interval!r}"
+        )
+    scoped = scope_to_matches(docs, matched, id_col)
+    key = F.date_trunc(calendar_interval, F.col(field)).cast("date").alias("key")
+    aggs = [F.count(F.lit(1)).alias("doc_count"), *_metric_exprs(metrics)]
+    return scoped.groupBy(key).agg(*aggs).orderBy("key")
+
+
+def range_agg(
+    docs: DataFrame,
+    field: str,
+    ranges: Sequence[tuple],
+    metrics: Sequence = (),
+    matched: DataFrame | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES `range` bucket agg: explicit half-open [from, to) buckets.
+    ``ranges`` is a list of (lo, hi) with None for an open end; keys are
+    the ES strings "lo-hi" / "*-hi" / "lo-*". A value landing in no
+    range is dropped (ES semantics). One CASE projection + one groupBy."""
+    if not ranges:
+        raise ValueError("range_agg requires at least one range")
+    c = F.col(field)
+    expr = None
+    for lo, hi in ranges:
+        lo_s = "*" if lo is None else f"{lo:g}"
+        hi_s = "*" if hi is None else f"{hi:g}"
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (c >= F.lit(float(lo)))
+        if hi is not None:
+            cond = cond & (c < F.lit(float(hi)))
+        label = F.lit(f"{lo_s}-{hi_s}")
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    key = expr.alias("key")  # a value in no range stays NULL → dropped below
+    scoped = scope_to_matches(docs, matched, id_col)
+    aggs = [F.count(F.lit(1)).alias("doc_count"), *_metric_exprs(metrics)]
+    return (
+        scoped.select(key, "*")
+        .filter(F.col("key").isNotNull())
+        .groupBy("key")
+        .agg(*aggs)
+        .orderBy("key")
+    )
+
+
+# --------------------------------------------------------------------------
+# global (bucketless) metric aggs
+# --------------------------------------------------------------------------
+
+
+def stats_agg(
+    docs: DataFrame,
+    field: str,
+    matched: DataFrame | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Global `stats` over (optionally) the matched set → one row."""
+    return scope_to_matches(docs, matched, id_col).agg(*Stats(field).exprs())
+
+
+def percentiles_agg(
+    docs: DataFrame,
+    field: str,
+    percents: Sequence[float] = (0.25, 0.5, 0.75, 0.95),
+    exact: bool = True,
+    matched: DataFrame | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Global `percentiles` → long form (percent, value) rows, ordered
+    by percent (clean cross-engine hashing; ES returns the same map)."""
+    scoped = scope_to_matches(docs, matched, id_col)
+    spec = Percentiles(field, tuple(percents), exact=exact)
+    wide = scoped.agg(*spec.exprs())
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(float(p)).alias("percent"),
+                F.col(f"{field}_p{_pct_name(p)}").alias("value"),
+            )
+            for p in percents
+        ]
+    )
+    return (
+        wide.select(F.explode(pairs).alias("kv"))
+        .select("kv.percent", "kv.value")
+        .orderBy("percent")
+    )
+
+
+def cardinality_agg(
+    docs: DataFrame,
+    field: str,
+    exact: bool = True,
+    matched: DataFrame | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Global `cardinality` → one row (value)."""
+    scoped = scope_to_matches(docs, matched, id_col)
+    return scoped.agg(*Cardinality(field, exact=exact).exprs())
+
+
+# --------------------------------------------------------------------------
+# top_hits — the per-bucket hit sample (needs scores, so it takes the
+# matched frame directly rather than scoping docs)
+# --------------------------------------------------------------------------
+
+
+def top_hits_agg(
+    matched: DataFrame,
+    docs: DataFrame,
+    group_field: str,
+    size: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES `top_hits` under a terms bucket: the ``size`` best-scoring
+    matched docs per value of ``docs.group_field`` →
+    (key, doc_id, score, hit_rank). One window shuffle keyed by the
+    bucket; WindowGroupLimit bounds map-side state to ``size`` rows per
+    bucket per task (same plan shape as resultops.grouped_topk, pinned
+    there)."""
+    joined = matched.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "score"
+    ).join(
+        docs.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(group_field).alias("key"),
+        ),
+        "doc_id",
+    )
+    w = Window.partitionBy("key").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        joined.withColumn("hit_rank", F.row_number().over(w))
+        .filter(F.col("hit_rank") <= size)
+        .select("key", "doc_id", F.round("score", 6).alias("score"), "hit_rank")
+        .orderBy("key", "hit_rank")
+    )

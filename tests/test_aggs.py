@@ -1,0 +1,226 @@
+"""Aggregations (fugu_spark/aggs.py): ES-shape bucket + metric aggs over
+the 12-doc fixture corpus — hand-derived bucket answers, exact-vs-approx
+mode agreement bounds, query-scoped (ES query+aggs) shapes, and plan
+pins (single Exchange per bucket agg regardless of metric count)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fugu_spark.aggs import (
+    Cardinality,
+    Percentiles,
+    Stats,
+    cardinality_agg,
+    date_histogram_agg,
+    histogram_agg,
+    percentiles_agg,
+    range_agg,
+    stats_agg,
+    terms_agg,
+    top_hits_agg,
+)
+from fugu_spark.postings import build_index
+from fugu_spark.queryparse import parse_query
+from fugu_spark.search import dict_expander, execute_plan
+from fugu_spark.queryparse import expand_plan
+
+from .test_search import DOCS
+
+LANGS = ["py", "rs", "go"]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    rows = [
+        (i, t, LANGS[i % 3], len(t), f"2024-{(i % 4) + 1:02d}-15 00:00:00")
+        for i, t in DOCS.items()
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, content string, lang string, n_chars long, ts string"
+    )
+    return df.withColumn("ts", F.to_timestamp("ts"))
+
+
+@pytest.fixture(scope="module")
+def index(spark, docs_df):
+    return build_index(docs_df)
+
+
+@pytest.fixture(scope="module")
+def merge_matched(index):
+    plan = expand_plan(parse_query("merge"), dict_expander({None: index}))
+    return execute_plan(index, plan)
+
+
+MERGE_DOCS = {0, 2, 4, 8, 9}
+
+
+class TestTerms:
+    def test_counts_and_order(self, docs_df):
+        rows = terms_agg(docs_df, "lang", size=10).collect()
+        # 12 docs, 3 langs round-robin -> 4 each; ties break key ASC
+        assert [(r.key, r.doc_count) for r in rows] == [
+            ("go", 4),
+            ("py", 4),
+            ("rs", 4),
+        ]
+
+    def test_size_truncates(self, docs_df):
+        assert terms_agg(docs_df, "lang", size=2).count() == 2
+
+    def test_metrics_fold_in(self, docs_df):
+        rows = terms_agg(
+            docs_df, "lang", metrics=[Stats("n_chars"), Cardinality("doc_id")]
+        ).collect()
+        by_key = {r.key: r for r in rows}
+        py_lens = [len(DOCS[i]) for i in DOCS if i % 3 == 1]
+        assert by_key["rs"].n_chars_min == min(py_lens)
+        assert by_key["rs"].n_chars_max == max(py_lens)
+        assert by_key["rs"].n_chars_sum == sum(py_lens)
+        assert by_key["rs"].doc_id_cardinality == 4
+
+    def test_single_exchange(self, docs_df):
+        # metric sub-aggs must NOT add shuffles: exactly one Exchange
+        # (plus the limit's single-partition collect) in the plan
+        plan = terms_agg(
+            docs_df, "lang", metrics=[Stats("n_chars")]
+        )._jdf.queryExecution().executedPlan().toString()
+        n_ex = plan.count("Exchange hashpartitioning")
+        assert n_ex == 1, plan
+
+    def test_query_scoped(self, docs_df, merge_matched):
+        rows = terms_agg(docs_df, "lang", matched=merge_matched).collect()
+        want = {}
+        for d in MERGE_DOCS:
+            want[LANGS[d % 3]] = want.get(LANGS[d % 3], 0) + 1
+        assert {r.key: r.doc_count for r in rows} == want
+
+
+class TestHistogram:
+    def test_buckets(self, docs_df):
+        rows = histogram_agg(docs_df, "n_chars", interval=10).collect()
+        want = {}
+        for t in DOCS.values():
+            b = (len(t) // 10) * 10
+            want[b] = want.get(b, 0) + 1
+        assert {int(r.key): r.doc_count for r in rows} == want
+        # ordered by key ascending
+        keys = [r.key for r in rows]
+        assert keys == sorted(keys)
+
+    def test_min_doc_count_zero_keeps_all(self, docs_df):
+        n1 = histogram_agg(docs_df, "n_chars", 10, min_doc_count=0).count()
+        n2 = histogram_agg(docs_df, "n_chars", 10, min_doc_count=1).count()
+        assert n1 == n2  # no empty buckets materialized in either mode
+
+
+class TestDateHistogram:
+    def test_month_buckets(self, docs_df):
+        rows = date_histogram_agg(docs_df, "ts", "month").collect()
+        want = {}
+        for i in DOCS:
+            m = (i % 4) + 1
+            want[f"2024-0{m}-01"] = want.get(f"2024-0{m}-01", 0) + 1
+        assert {str(r.key): r.doc_count for r in rows} == want
+
+    def test_bad_interval_rejected(self, docs_df):
+        with pytest.raises(ValueError):
+            date_histogram_agg(docs_df, "ts", "fortnight")
+
+
+class TestRange:
+    def test_half_open_buckets(self, docs_df):
+        rows = range_agg(
+            docs_df, "n_chars", [(None, 25), (25, 35), (35, None)]
+        ).collect()
+        want = {"*-25": 0, "25-35": 0, "35-*": 0}
+        for t in DOCS.values():
+            n = len(t)
+            if n < 25:
+                want["*-25"] += 1
+            elif n < 35:
+                want["25-35"] += 1
+            else:
+                want["35-*"] += 1
+        got = {r.key: r.doc_count for r in rows}
+        assert got == {k: v for k, v in want.items() if v > 0}
+
+    def test_uncovered_values_dropped(self, docs_df):
+        rows = range_agg(docs_df, "n_chars", [(0, 1)]).collect()
+        assert rows == []
+
+    def test_empty_ranges_rejected(self, docs_df):
+        with pytest.raises(ValueError):
+            range_agg(docs_df, "n_chars", [])
+
+
+class TestGlobalMetrics:
+    def test_stats(self, docs_df):
+        r = stats_agg(docs_df, "n_chars").collect()[0]
+        lens = [len(t) for t in DOCS.values()]
+        assert (r.n_chars_count, r.n_chars_min, r.n_chars_max, r.n_chars_sum) == (
+            len(lens),
+            min(lens),
+            max(lens),
+            sum(lens),
+        )
+        assert r.n_chars_avg == round(sum(lens) / len(lens), 6)
+
+    def test_stats_scoped(self, docs_df, merge_matched):
+        r = stats_agg(docs_df, "n_chars", matched=merge_matched).collect()[0]
+        assert r.n_chars_count == len(MERGE_DOCS)
+        assert r.n_chars_sum == sum(len(DOCS[d]) for d in MERGE_DOCS)
+
+    def test_percentiles_exact_interpolation(self, docs_df):
+        rows = percentiles_agg(docs_df, "n_chars", (0.5,)).collect()
+        lens = sorted(len(t) for t in DOCS.values())
+        # linear interpolation at p=0.5 over 12 values: mean of 6th/7th
+        want = (lens[5] + lens[6]) / 2
+        assert rows[0].percent == 0.5
+        assert rows[0].value == pytest.approx(want)
+
+    def test_percentiles_approx_close(self, docs_df):
+        exact = {
+            r.percent: r.value
+            for r in percentiles_agg(docs_df, "n_chars", (0.25, 0.5, 0.75)).collect()
+        }
+        approx = {
+            r.percent: r.value
+            for r in percentiles_agg(
+                docs_df, "n_chars", (0.25, 0.5, 0.75), exact=False
+            ).collect()
+        }
+        lens = sorted(len(t) for t in DOCS.values())
+        for p, v in approx.items():
+            # approx returns an actual data value within one rank of exact
+            assert lens[0] <= v <= lens[-1]
+            assert abs(v - exact[p]) <= (lens[-1] - lens[0]) / 2
+
+    def test_cardinality_exact_and_hll(self, docs_df):
+        exact = cardinality_agg(docs_df, "lang").collect()[0].lang_cardinality
+        hll = cardinality_agg(docs_df, "lang", exact=False).collect()[0].lang_cardinality
+        assert exact == 3
+        assert abs(hll - 3) <= 1  # tiny-n HLL++ is exact in practice
+
+
+class TestTopHits:
+    def test_per_bucket_topk(self, docs_df, index, merge_matched):
+        rows = top_hits_agg(merge_matched, docs_df, "lang", size=1).collect()
+        # one best hit per lang bucket that has any merge match
+        langs_with_match = {LANGS[d % 3] for d in MERGE_DOCS}
+        assert {r.key for r in rows} == langs_with_match
+        assert all(r.hit_rank == 1 for r in rows)
+        # the winner of each bucket has the max score within its bucket
+        scored = {r.doc_id: r.score for r in merge_matched.collect()}
+        for r in rows:
+            bucket = [d for d in MERGE_DOCS if LANGS[d % 3] == r.key]
+            best = max(bucket, key=lambda d: (scored[d], -d))
+            assert r.doc_id == best
+
+    def test_window_group_limit_pushed(self, docs_df, merge_matched):
+        plan = top_hits_agg(
+            merge_matched, docs_df, "lang", size=2
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" in plan, plan
