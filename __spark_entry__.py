@@ -466,6 +466,70 @@ def _agg_top_hits(spark, sf_dir):
     )
 
 
+def _search_after_q(spark, sf_dir):
+    """Cursor pagination (ES search_after / Lucene searchAfter): page 2
+    of 'merge join' fetched via the (score, doc_id) cursor from page 1 —
+    must equal rank-based OFFSET paging (the oracle), but the plan is
+    O(k) at any depth (plain filter below the bounded top-k heap; no
+    row_number window, no offset-deep per-partition heaps)."""
+    _, idx = _index(spark, sf_dir)
+    first = search(idx, "merge join", k=10).collect()  # bounded: k rows
+    cursor = (first[-1].score, first[-1].doc_id)
+    out = search(idx, "merge join", k=10, search_after=cursor)
+    return out.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def _search_after_served_q(spark, sf_dir):
+    """The same cursor page through the driver-side serving path
+    (LocalSearcher) — rank/score identity with the table path and the
+    OFFSET oracle."""
+    from fugu_spark.serve import LocalSearcher
+
+    si = _seg_index(spark, sf_dir)
+    ls = LocalSearcher(si.index_dir)
+    first = ls.search("merge join", k=10)
+    cursor = (float(first["score"].iloc[-1]), int(first["doc_id"].iloc[-1]))
+    pdf = ls.search("merge join", k=10, search_after=cursor)
+    pdf["score"] = pdf["score"].round(6)
+    return spark.createDataFrame(pdf, "doc_id long, score double")
+
+
+def _dismax_q(spark, sf_dir):
+    """DisjunctionMax multi-field scoring (Lucene DisjunctionMaxQuery /
+    ES multi_match best_fields, tie_breaker=0.3): per leaf, field scores
+    fold max + 0.3 × (sum − max) instead of summing. Fields: text (BM25)
+    and source (one-token field → leaf score = idf)."""
+    docs, idx_text = _index(spark, sf_dir)
+    key = sf_dir + "#srcfield"
+    if key not in _CACHE:
+        _CACHE[key] = (docs, P.build_index(docs, id_col="doc_id", text_col="source"))
+    _, idx_src = _CACHE[key]
+    out = search_fields(
+        {"text": idx_text, "source": idx_src}, "merge src1", k=10, docs=docs,
+        tie_breaker=0.3,
+    )
+    return out.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def _semdedup_q(spark, sf_dir):
+    """SemDeDup (arXiv:2303.09540) in exact mode: n_centroids=1
+    degenerates the within-cluster pair join to ALL pairs, so the greedy
+    lower-id survivor rule has a direct SQL oracle (same trick as
+    ann_ivf_top10). τ=0.4 drops ~10% of the synthetic embeddings."""
+    return similarity.semdedup(
+        _emb(spark, sf_dir), threshold=0.4, n_centroids=1
+    ).select("vec_id", "keep")
+
+
+def _semdedup_clustered_q(spark, sf_dir):
+    """The real clustered path (n_centroids=8): k-means assignment is
+    deterministic but not SQL-expressible — rows-only driver check; the
+    superset-of-exact invariant is pinned in tests/test_semdedup.py."""
+    return similarity.semdedup(
+        _emb(spark, sf_dir), threshold=0.4, n_centroids=8
+    ).select("vec_id", "keep")
+
+
 # --------------------------------------------------------------------------
 # Spark-side queries
 # --------------------------------------------------------------------------
@@ -1195,6 +1259,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_cardinality": _agg_cardinality,
         "agg_query_terms": _agg_query_terms,
         "agg_top_hits": _agg_top_hits,
+        "bm25_search_after": _search_after_q,
+        "bm25_search_after_served": _search_after_served_q,
+        "multifield_dismax": _dismax_q,
+        "semdedup_exact": _semdedup_q,
+        "semdedup_clustered": _semdedup_clustered_q,
         "bm25_regex": _search_q("/s.*o.*/", 10),
         "bm25_regex_served": _serving_q("/s.*o.*/ merge", 10),
         "bm25_wildcard_term": _search_q("s?an*", 10),
@@ -2499,6 +2568,57 @@ FROM topk WHERE rank <= 10 ORDER BY query_id, rank"""
               FROM sc s JOIN documents d USING (doc_id))
             SELECT key, doc_id, score, hit_rank FROM g
             WHERE hit_rank <= 2 ORDER BY key, hit_rank""",
+        # SemDeDup greedy rule, all-pairs (the n_centroids=1 degeneracy):
+        # x dropped iff some lower-id y has cos(x, y) >= τ
+        "semdedup_exact": """
+            WITH pairs AS (
+              SELECT b.vec_id AS ib,
+                     sum(a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)
+                       / (sqrt(sum(a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))
+                          * sqrt(sum(b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))) AS cos
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id,
+                   unnest(generate_series(1, len(a.embedding))) t(i)
+              GROUP BY b.vec_id, a.vec_id
+            ),
+            drops AS (SELECT DISTINCT ib FROM pairs WHERE cos >= 0.4)
+            SELECT e.vec_id, (d.ib IS NULL) AS keep
+            FROM embeddings e LEFT JOIN drops d ON e.vec_id = d.ib""",
+        # search_after cursor == rank-based deep paging, by definition of
+        # the (score DESC, doc_id ASC) total order
+        "bm25_search_after": f"""WITH {_TOK}, {_SCORED},
+r AS (SELECT doc_id, sum(sc) AS s FROM scored
+      WHERE term IN ('merge', 'join') GROUP BY doc_id)
+SELECT doc_id, round(s, 6) AS score FROM r
+ORDER BY s DESC, doc_id ASC LIMIT 10 OFFSET 10""",
+        "bm25_search_after_served": f"""WITH {_TOK}, {_SCORED},
+r AS (SELECT doc_id, sum(sc) AS s FROM scored
+      WHERE term IN ('merge', 'join') GROUP BY doc_id)
+SELECT doc_id, round(s, 6) AS score FROM r
+ORDER BY s DESC, doc_id ASC LIMIT 10 OFFSET 10""",
+        # dis_max tie=0.3: leaf 'merge' lives only in text (no source is
+        # named 'merge'); leaf 'src1' lives in both → per doc
+        # max(txt,src) + 0.3*(sum-max); leaves sum
+        "multifield_dismax": f"""WITH {_TOK}, {_SCORED},
+txt_m AS (SELECT doc_id, sum(sc) AS s FROM scored WHERE term = 'merge' GROUP BY 1),
+txt_s AS (SELECT doc_id, sum(sc) AS s FROM scored WHERE term = 'src1' GROUP BY 1),
+sstat AS (SELECT source, count(*) AS df FROM documents GROUP BY source),
+src_s AS (
+  SELECT d.doc_id, ln(1 + (s.n - st.df + 0.5) / (st.df + 0.5)) AS s
+  FROM documents d JOIN sstat st ON d.source = st.source, stats s
+  WHERE d.source = 'src1'),
+ids AS (SELECT doc_id FROM txt_m UNION SELECT doc_id FROM txt_s
+        UNION SELECT doc_id FROM src_s),
+l AS (
+  SELECT i.doc_id,
+         COALESCE(m.s, 0) AS leaf_merge,
+         greatest(COALESCE(ts.s, 0), COALESCE(ss.s, 0))
+           + 0.3 * (COALESCE(ts.s, 0) + COALESCE(ss.s, 0)
+                    - greatest(COALESCE(ts.s, 0), COALESCE(ss.s, 0))) AS leaf_src1
+  FROM ids i LEFT JOIN txt_m m USING (doc_id)
+             LEFT JOIN txt_s ts USING (doc_id)
+             LEFT JOIN src_s ss USING (doc_id))
+SELECT doc_id, round(leaf_merge + leaf_src1, 6) AS score FROM l
+ORDER BY leaf_merge + leaf_src1 DESC, doc_id ASC LIMIT 10""",
         "bm25_regex": _topk_sql("regexp_full_match(term, 's.*o.*')"),
         "bm25_regex_served": _topk_sql(
             "regexp_full_match(term, 's.*o.*') OR term = 'merge'"

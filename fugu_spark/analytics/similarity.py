@@ -446,3 +446,58 @@ def embedding_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def semdedup(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication for training corpora — k-means-cluster the embedding
+    space, then inside each cluster drop every point that has a
+    LOWER-ID near-duplicate (cosine ≥ ``threshold``). Returns the input
+    rows plus a ``keep`` boolean.
+
+    Deterministic greedy rule (one pass, SQL-expressible): x is dropped
+    iff ∃ y in x's cluster with id_y < id_x and cos(x, y) ≥ τ. The
+    paper keeps the point farthest from the centroid per dup-group;
+    ranking by id instead makes the survivor set reproducible across
+    partitionings and engines (pinned divergence).
+
+    Scale shape: clustering reuses :func:`build_ivf_index`'s
+    deterministic Lloyd pass (bounded driver sample + one vectorized
+    Arrow assignment scan). The pair join shuffles BOTH sides once on
+    ``ivf_cell`` — quadratic only within a cluster, so ``n_centroids``
+    should grow with the corpus (the paper uses ~0.1% of n; E[cluster]
+    stays bounded). n_centroids=1 degenerates to exact all-pairs
+    semantics — that is the oracle-verified entry; pytest pins that
+    clustered survivor sets are supersets of the exact one (clusters
+    only REMOVE candidate pairs)."""
+    indexed, _ = build_ivf_index(
+        embeddings, n_centroids=n_centroids, iters=iters, seed=seed,
+        id_col=id_col, vec_col=vec_col,
+    )
+    a = indexed.select(
+        F.col(id_col).alias("_id_a"), F.col(vec_col).alias("_va"), "ivf_cell"
+    )
+    b = indexed.select(
+        F.col(id_col).alias("_id_b"), F.col(vec_col).alias("_vb"), "ivf_cell"
+    )
+    drops = (
+        a.join(b, "ivf_cell")
+        .filter(F.col("_id_a") < F.col("_id_b"))
+        .filter(cosine_expr(F.col("_va"), F.col("_vb")) >= F.lit(float(threshold)))
+        .select(F.col("_id_b").alias("_drop_id"))
+        .distinct()
+    )
+    return (
+        indexed.drop("ivf_cell")
+        .join(drops, indexed[id_col] == drops["_drop_id"], "left")
+        .withColumn("keep", F.col("_drop_id").isNull())
+        .drop("_drop_id")
+    )

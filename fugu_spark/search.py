@@ -640,10 +640,13 @@ def _leaf_frame_fields(
     k1: float,
     b: float,
     boosts: dict[str, float],
+    tie_breaker: float | None = None,
 ) -> DataFrame | None:
     """One leaf scored across its applicable fields (its own field when
     qualified, every field otherwise); per-field scores sum in field
-    order (deterministic f64 fold). None = dead in every field."""
+    order (deterministic f64 fold), or — with ``tie_breaker`` — combine
+    as Lucene DisjunctionMax: max + tie_breaker × (sum − max).
+    None = dead in every field."""
     frames: list[DataFrame] = []
     for fi, (f, idx) in enumerate(indexes.items()):
         if leaf.fld not in (None, f):
@@ -697,17 +700,18 @@ def _leaf_frame_fields(
         return None
     if len(frames) == 1:
         return frames[0].drop("_ci")
-    return (
+    agg = (
         reduce(DataFrame.unionByName, frames)
         .groupBy("doc_id")
         .agg(F.array_sort(F.collect_list(F.struct("_ci", "score"))).alias("parts"))
-        .select(
-            "doc_id",
-            F.aggregate("parts", F.lit(0.0), lambda acc, p: acc + p["score"]).alias(
-                "score"
-            ),
-        )
     )
+    if tie_breaker is None:
+        score = F.aggregate("parts", F.lit(0.0), lambda acc, p: acc + p["score"])
+    else:
+        ss = F.aggregate("parts", F.lit(0.0), lambda acc, p: acc + p["score"])
+        mx = F.array_max(F.transform("parts", lambda p: p["score"]))
+        score = mx + F.lit(float(tie_breaker)) * (ss - mx)
+    return agg.select("doc_id", score.alias("score"))
 
 
 def _execute_node_fields(
@@ -720,19 +724,26 @@ def _execute_node_fields(
     b: float,
     boosts: dict[str, float],
     msm: int = 0,
+    tie_breaker: float | None = None,
 ) -> DataFrame | None:
     """Nested boolean execution over multiple fields — the multi-field
     mirror of _execute_node (a leaf matches in ANY applicable field,
     scores sum across fields; boolean combine per level is identical).
     ``msm`` applies at this level only (top-level call), as in
-    _execute_node."""
+    _execute_node. ``tie_breaker`` — DisjunctionMax cross-field fold at
+    every leaf (see _leaf_frame_fields)."""
     spark = next(iter(indexes.values())).postings.sparkSession
     if isinstance(node, Leaf):
-        return _leaf_frame_fields(node, indexes, df_maps, cands, k1, b, boosts)
+        return _leaf_frame_fields(
+            node, indexes, df_maps, cands, k1, b, boosts, tie_breaker=tie_breaker
+        )
 
     musts, shoulds, nots = [], [], []
     for ci, (occ, child) in enumerate(node.children):
-        f = _execute_node_fields(child, indexes, df_maps, cands, all_docs, k1, b, boosts)
+        f = _execute_node_fields(
+            child, indexes, df_maps, cands, all_docs, k1, b, boosts,
+            tie_breaker=tie_breaker,
+        )
         if occ == "must":
             if f is None:
                 return spark.createDataFrame([], "doc_id long, score double")
@@ -797,13 +808,18 @@ def execute_plan_fields(
     b: float = BM25_B,
     field_boosts: dict[str, float] | None = None,
     min_should_match: int = 0,
+    tie_breaker: float | None = None,
 ) -> DataFrame:
     """Multi-field boolean combine (Q9): the reference queries over
     ``[text, name]`` (/root/reference/src/db/search.rs:108-112) — a doc
     satisfies a leaf if it matches in ANY field; leaf scores sum across
     fields with per-field stats (Lucene/Tantivy multi-field semantics).
     ``min_should_match``: see execute_plan — a should clause counts as
-    matched when it matches in ANY field."""
+    matched when it matches in ANY field.
+    ``tie_breaker`` — Lucene DisjunctionMaxQuery / ES multi_match
+    best_fields: each leaf's per-field scores combine as
+    max + tie_breaker × (sum − max) instead of summing (tie_breaker=0 is
+    pure dis_max; 1.0 reproduces the sum semantics exactly)."""
     first = next(iter(indexes.values()))
     spark = first.postings.sparkSession
     if any(l.prefix_last or l.fuzzy or l.regex for l in plan.leaves):
@@ -846,7 +862,8 @@ def execute_plan_fields(
             for f, idx in indexes.items()
         }
         out = _execute_node_fields(
-            plan.root, indexes, df_maps, cands, all_docs, k1, b, boosts, msm=msm
+            plan.root, indexes, df_maps, cands, all_docs, k1, b, boosts, msm=msm,
+            tie_breaker=tie_breaker,
         )
         if out is None:
             return spark.createDataFrame([], "doc_id long, score double")
@@ -946,7 +963,8 @@ def execute_plan_fields(
         return spark.createDataFrame([], "doc_id long, score double")
 
     return _combine_frames(
-        frames, musts, must_nots, msm=msm, should_ids=tuple(sorted(shoulds_set))
+        frames, musts, must_nots, msm=msm, should_ids=tuple(sorted(shoulds_set)),
+        tie_breaker=tie_breaker,
     )
 
 
@@ -956,6 +974,7 @@ def _combine_frames(
     must_nots: set[int],
     msm: int = 0,
     should_ids: tuple = (),
+    tie_breaker: float | None = None,
 ) -> DataFrame:
     """Shared boolean combine: one shuffle; deterministic score fold.
 
@@ -963,7 +982,14 @@ def _combine_frames(
     docs matching ≥ msm DISTINCT should clauses (``should_ids``). The
     count is derived from the already-collected ``parts`` array as a
     pure projection — a second count_distinct aggregate would trigger
-    Spark's multi-distinct Expand plan and an extra shuffle."""
+    Spark's multi-distinct Expand plan and an extra shuffle.
+
+    ``tie_breaker`` switches the per-leaf CROSS-FIELD fold from sum to
+    Lucene DisjunctionMax: a leaf's parts (one per matching field, same
+    leaf_id) combine as max + tie_breaker × (sum − max); leaves then sum
+    as usual. tie_breaker=1.0 reproduces the sum fold exactly (pinned in
+    tests). Pure projection over the already-collected parts array — no
+    extra aggregate, plan-identical to the sum path."""
     union = reduce(DataFrame.unionByName, frames)
     must_ids = sorted(musts)
     mustnot_arr = F.array(*[F.lit(i) for i in sorted(must_nots)]) if must_nots else None
@@ -995,11 +1021,23 @@ def _combine_frames(
             )
         )
         out = out.filter(should_cnt >= msm)
-    return (
-        out
-        .withColumn("score", F.aggregate(scoring, F.lit(0.0), lambda acc, p: acc + p["score"]))
-        .select("doc_id", "score")
-    )
+    if tie_breaker is None:
+        score = F.aggregate(scoring, F.lit(0.0), lambda acc, p: acc + p["score"])
+    else:
+        tie = float(tie_breaker)
+
+        def _leaf_dismax(acc, lid):
+            ps = F.filter(scoring, lambda p: p["leaf_id"] == lid)
+            ss = F.aggregate(ps, F.lit(0.0), lambda a, p: a + p["score"])
+            mx = F.array_max(F.transform(ps, lambda p: p["score"]))
+            return acc + mx + F.lit(tie) * (ss - mx)
+
+        score = F.aggregate(
+            F.array_distinct(F.transform(scoring, lambda p: p["leaf_id"])),
+            F.lit(0.0),
+            _leaf_dismax,
+        )
+    return out.withColumn("score", score).select("doc_id", "score")
 
 
 def search_fields(
@@ -1015,9 +1053,12 @@ def search_fields(
     field_boosts: dict[str, float] | None = None,
     min_should_match: int = 0,
     synonyms: dict | None = None,
+    tie_breaker: float | None = None,
 ) -> DataFrame:
     """Multi-field search entry point (fugu queries [text, name]);
-    ``field:`` prefixes resolve against the index names supplied here."""
+    ``field:`` prefixes resolve against the index names supplied here.
+    ``tie_breaker`` — DisjunctionMax cross-field scoring (see
+    execute_plan_fields)."""
     plan = parse_query(query_text, mode=mode, fields=frozenset(indexes))
     plan = expand_plan(plan, dict_expander(indexes))
     if synonyms:
@@ -1026,20 +1067,43 @@ def search_fields(
         plan = apply_synonyms(plan, synonyms, mode=mode)
     scored = execute_plan_fields(
         indexes, plan, docs=docs, id_col=id_col, k1=k1, b=b, field_boosts=field_boosts,
-        min_should_match=min_should_match,
+        min_should_match=min_should_match, tie_breaker=tie_breaker,
     )
     return top_k(scored, k=k, offset=offset)
 
 
 def top_k(
-    scored: DataFrame, k: int = 10, offset: int = 0
+    scored: DataFrame,
+    k: int = 10,
+    offset: int = 0,
+    search_after: tuple[float, int] | None = None,
 ) -> DataFrame:
     """Deterministic top-k: (score DESC, doc_id ASC), offset+limit (R2/R3).
 
     Spark compiles this to TakeOrderedAndProject — a per-partition
     bounded heap with a driver merge, exactly the reference's
     TopDocs::with_limit shape (/root/reference/src/db/search.rs:154-162).
+
+    ``search_after=(score, doc_id)`` is cursor pagination (ES
+    search_after / Lucene searchAfter): return the next ``k`` results
+    strictly after the cursor in the total order. Page N+1 must equal
+    rank-based ``offset = N*k`` paging — pinned in tests — but the plan
+    is O(k), not O(offset): the cursor is a plain filter pushed below
+    the bounded heap, so every partition ships at most ``k`` rows and
+    the driver merges ``partitions × k``, independent of page depth.
+    Offset paging ships ``offset + k`` per partition — at page 10^4 of
+    a 1000-executor job that is the difference between a working cursor
+    sweep and an OOM. Scores are recomputed by the identical plan, so
+    float cursor comparisons are exact.
     """
+    if search_after is not None:
+        if offset:
+            raise ValueError("search_after and offset are mutually exclusive")
+        s, d = float(search_after[0]), int(search_after[1])
+        scored = scored.filter(
+            (F.col("score") < F.lit(s))
+            | ((F.col("score") == F.lit(s)) & (F.col("doc_id") > F.lit(d)))
+        )
     limited = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(offset + k)
     if offset:
         w = F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
@@ -1101,6 +1165,7 @@ def search(
     sort_by: str | None = None,
     sort_ascending: bool = False,
     synonyms: dict | None = None,
+    search_after: tuple[float, int] | None = None,
 ) -> DataFrame:
     """Full search entry point → DataFrame(doc_id, score), top-k ordered.
 
@@ -1112,6 +1177,10 @@ def search(
     ``synonyms`` — {term: [alternatives...]} Lucene SynonymQuery
     rewriting (queryparse.apply_synonyms; blended max-df/summed-tf
     scoring).
+    ``search_after`` — (score, doc_id) cursor pagination over the
+    relevance order (see top_k); O(k) at any page depth where offset is
+    O(offset). Relevance order only (a field-sorted cursor would need
+    nulls-last-aware predicates; use offset with sort_by).
     """
     plan = parse_query(query_text, mode=mode)
     plan = expand_plan(plan, dict_expander({None: index}))
@@ -1131,8 +1200,10 @@ def search(
     if sort_by is not None:
         if docs is None:
             raise ValueError("sort_by requires docs")
+        if search_after is not None:
+            raise ValueError("search_after is relevance-order only (no sort_by)")
         return top_k_by_field(
             scored, docs, sort_by, k=k, offset=offset,
             ascending=sort_ascending, id_col=id_col,
         )
-    return top_k(scored, k=k, offset=offset)
+    return top_k(scored, k=k, offset=offset, search_after=search_after)

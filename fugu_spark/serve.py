@@ -71,6 +71,19 @@ def _rfc3339_us(s: str, tz: str | None = None) -> int:
     return (dt - datetime(1970, 1, 1, tzinfo=timezone.utc)) // timedelta(microseconds=1)
 
 
+def _apply_cursor(out: pd.DataFrame, search_after: tuple | None) -> pd.DataFrame:
+    """Keep rows strictly AFTER the (score, doc_id) cursor in the
+    (score DESC, doc_id ASC) total order — the serving-side mirror of
+    search.top_k's search_after filter. Scores are recomputed by the
+    same f64 arithmetic that produced the cursor, so equality is exact."""
+    if search_after is None:
+        return out
+    s, d = float(search_after[0]), int(search_after[1])
+    sc = out["score"].to_numpy()
+    di = out["doc_id"].to_numpy()
+    return out[(sc < s) | ((sc == s) & (di > d))]
+
+
 def _prefix_upper_bound(prefix: str) -> str | None:
     """Smallest string (in UTF-8 byte order) greater than every string
     with this prefix: increment the last incrementable code point,
@@ -728,6 +741,7 @@ class LocalSearcher:
         date_ranges: dict | None = None,
         min_should_match: int = 0,
         synonyms: dict | None = None,
+        search_after: tuple | None = None,
     ) -> pd.DataFrame:
         """Top-k → pandas DataFrame(doc_id, score); identical ranks/scores
         to search_segments for locally-servable queries.
@@ -739,7 +753,14 @@ class LocalSearcher:
         ``min_should_match`` mirrors search.execute_plan's Lucene gate
         (top-level boolean; msm ≥ 2 disables the MaxScore block prune —
         the filtered θ is not rank-safe — conjunctive pruning stays).
+        ``search_after`` — (score, doc_id) relevance cursor (ES
+        search_after): the next k strictly after the cursor; page-depth-
+        independent cost, must equal offset paging (pinned in tests).
+        Disables the MaxScore prune (the cursor's rank is unknown, so a
+        k-seeded θ over-prunes); conjunctive pruning stays.
         """
+        if search_after is not None and offset:
+            raise ValueError("search_after and offset are mutually exclusive")
         plan = parse_query(query_text, mode=self.mode)
         if any(l.prefix_last or l.regex for l in plan.leaves):
             # prefix leaves ('term*', '"a b"*') and regex leaves
@@ -765,7 +786,7 @@ class LocalSearcher:
             plan = apply_synonyms(plan, synonyms, mode=self.mode)
         return self._execute_local(
             plan, k, offset, max_postings, filters, date_ranges,
-            min_should_match=min_should_match,
+            min_should_match=min_should_match, search_after=search_after,
         )
 
     def _execute_local(
@@ -777,6 +798,7 @@ class LocalSearcher:
         filters: list | None = None,
         date_ranges: dict | None = None,
         min_should_match: int = 0,
+        search_after: tuple | None = None,
     ) -> pd.DataFrame:
         """Serve an already-parsed (and expanded) plan — the shared body
         behind ``search`` and plan-constructing callers (MLT)."""
@@ -789,7 +811,10 @@ class LocalSearcher:
                                  "score": pd.Series([], dtype="float64")})
         msm = max(0, int(min_should_match))
         if plan.root is not None:
-            return self._search_nested(plan, k, offset, max_postings, allowed, msm=msm)
+            return self._search_nested(
+                plan, k, offset, max_postings, allowed, msm=msm,
+                search_after=search_after,
+            )
         musts, must_nots = set(plan.musts), set(plan.must_nots)
         should_ids = sorted(set(range(len(plan.leaves))) - musts - must_nots)
         if msm and not plan.is_all and msm > len(should_ids):
@@ -846,6 +871,7 @@ class LocalSearcher:
             and allowed is None  # a filter shrinks true top-k scores below
             # the unfiltered θ seed, so MaxScore pruning is not rank-safe
             and msm <= 1  # same reason: msm >= 2 filters the matched set
+            and search_after is None  # cursor rank unknown → θ over-prunes
             and len({l.terms[0] for l in plan.leaves if l.terms[0] in meta}) > 1
         ):
             need_pos = False
@@ -899,6 +925,7 @@ class LocalSearcher:
             scores = scores[scores.index.isin(allowed)]
         out = scores.reset_index()
         out.columns = ["doc_id", "score"]
+        out = _apply_cursor(out, search_after)
         out = out.sort_values(
             ["score", "doc_id"], ascending=[False, True], kind="mergesort"
         ).iloc[offset : offset + k]
@@ -1015,6 +1042,7 @@ class LocalSearcher:
         max_postings: int | None,
         allowed: np.ndarray | None = None,
         msm: int = 0,
+        search_after: tuple | None = None,
     ) -> pd.DataFrame:
         """Nested boolean serving: pandas mirror of search._execute_node
         (same child order, same f64 arithmetic shape → identical scores);
@@ -1052,6 +1080,7 @@ class LocalSearcher:
                 return empty
         out = base.reset_index()
         out.columns = ["doc_id", "score"]
+        out = _apply_cursor(out, search_after)
         out = out.sort_values(
             ["score", "doc_id"], ascending=[False, True], kind="mergesort"
         ).iloc[offset : offset + k]
