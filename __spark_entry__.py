@@ -511,6 +511,46 @@ def _dismax_q(spark, sf_dir):
     return out.select("doc_id", F.round("score", 6).alias("score"))
 
 
+def _agg_composite(spark, sf_dir):
+    """ES composite agg page: every (lang, source) bucket combination in
+    key order, resuming after the fixed cursor ('es', 'src10') — the
+    aggregation analog of search_after (page cost independent of depth;
+    the cursor is a filter on the group-by keys)."""
+    from fugu_spark.aggs import composite_agg
+
+    return composite_agg(
+        _docs(spark, sf_dir), ["lang", "source"], size=10, after_key=("es", "src10")
+    )
+
+
+def _rescore_q(spark, sf_dir):
+    """ES rescore (score_mode=total): top-100 window of the cheap OR
+    query 'merge join', re-scored with the exact phrase at weight 2 —
+    recall from the OR pass, precision from positions work bounded to
+    the window."""
+    from fugu_spark.resultops import rescore
+
+    _, idx = _index(spark, sf_dir)
+    out = rescore(
+        idx, "merge join", '"merge join"', window_size=100, k=10, rescore_weight=2.0
+    )
+    return out.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def _fvf_q(spark, sf_dir):
+    """ES function_score / field_value_factor: BM25('merge') ×
+    log1p(0.01 × n_chars) — a pure JVM column expression over the
+    matched set joined to the (id, field)-pruned docs scan."""
+    from fugu_spark.resultops import field_value_factor
+    from fugu_spark.search import top_k
+
+    base = _matched_set(spark, sf_dir, "merge")
+    out = field_value_factor(
+        base, _docs(spark, sf_dir), "n_chars", factor=0.01, modifier="log1p"
+    )
+    return top_k(out, k=10).select("doc_id", F.round("score", 6).alias("score"))
+
+
 def _semdedup_q(spark, sf_dir):
     """SemDeDup (arXiv:2303.09540) in exact mode: n_centroids=1
     degenerates the within-cluster pair join to ALL pairs, so the greedy
@@ -1264,6 +1304,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multifield_dismax": _dismax_q,
         "semdedup_exact": _semdedup_q,
         "semdedup_clustered": _semdedup_clustered_q,
+        "agg_composite": _agg_composite,
+        "bm25_rescore": _rescore_q,
+        "bm25_fvf": _fvf_q,
         "bm25_regex": _search_q("/s.*o.*/", 10),
         "bm25_regex_served": _serving_q("/s.*o.*/ merge", 10),
         "bm25_wildcard_term": _search_q("s?an*", 10),
@@ -2568,6 +2611,37 @@ FROM topk WHERE rank <= 10 ORDER BY query_id, rank"""
               FROM sc s JOIN documents d USING (doc_id))
             SELECT key, doc_id, score, hit_rank FROM g
             WHERE hit_rank <= 2 ORDER BY key, hit_rank""",
+        # composite agg: lexicographic after-cursor over the bucket keys
+        "agg_composite": """
+            SELECT lang, source, count(*) AS doc_count FROM documents
+            WHERE lang > 'es' OR (lang = 'es' AND source > 'src10')
+            GROUP BY lang, source ORDER BY lang, source LIMIT 10""",
+        # rescore: top-100 by OR base, score' = base + 2*phrase; docs
+        # outside the window never re-enter (ES rescore semantics)
+        "bm25_rescore": f"""WITH {_TOK}, {_SCORED},
+base AS (SELECT doc_id, sum(sc) AS s FROM scored
+         WHERE term IN ('merge', 'join') GROUP BY doc_id),
+win AS (SELECT doc_id, s FROM base ORDER BY s DESC, doc_id ASC LIMIT 100),
+phr AS (
+  SELECT a.doc_id, count(*) AS tfp
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'merge' AND b.term = 'join' GROUP BY 1),
+idfs AS (
+  SELECT sum(ln(1 + (s.n - t.df + 0.5) / (t.df + 0.5))) AS idf_sum
+  FROM tstat t, stats s WHERE t.term IN ('merge', 'join')),
+resc AS (
+  SELECT p.doc_id,
+         i.idf_sum * p.tfp * 2.2 / (p.tfp + 1.2 * (0.25 + 0.75 * d.doc_len / s.avgdl)) AS s2
+  FROM phr p JOIN dl d USING (doc_id), stats s, idfs i)
+SELECT w.doc_id, round(w.s + 2.0 * COALESCE(r.s2, 0), 6) AS score
+FROM win w LEFT JOIN resc r USING (doc_id)
+ORDER BY w.s + 2.0 * COALESCE(r.s2, 0) DESC, w.doc_id ASC LIMIT 10""",
+        # function_score field_value_factor with the log1p modifier
+        "bm25_fvf": f"""WITH {_TOK}, {_SCORED},
+base AS (SELECT doc_id, sum(sc) AS s FROM scored WHERE term = 'merge' GROUP BY 1)
+SELECT b.doc_id, round(b.s * ln(1 + 0.01 * d.n_chars), 6) AS score
+FROM base b JOIN documents d USING (doc_id)
+ORDER BY b.s * ln(1 + 0.01 * d.n_chars) DESC, b.doc_id ASC LIMIT 10""",
         # SemDeDup greedy rule, all-pairs (the n_centroids=1 degeneracy):
         # x dropped iff some lower-id y has cos(x, y) >= τ
         "semdedup_exact": """

@@ -51,6 +51,7 @@ __all__ = [
     "percentiles_agg",
     "cardinality_agg",
     "top_hits_agg",
+    "composite_agg",
     "scope_to_matches",
 ]
 
@@ -364,3 +365,44 @@ def top_hits_agg(
         .select("key", "doc_id", F.round("score", 6).alias("score"), "hit_rank")
         .orderBy("key", "hit_rank")
     )
+
+
+def composite_agg(
+    docs: DataFrame,
+    sources: Sequence[str],
+    size: int = 10,
+    after_key: Sequence | None = None,
+    metrics: Sequence = (),
+    matched: DataFrame | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES `composite` bucket agg: enumerate ALL (field1, field2, ...)
+    bucket combinations in key order, ``size`` at a time, resuming from
+    ``after_key`` — the aggregation analog of search_after. This is how
+    a client pages through an unbounded bucket space (e.g. every
+    (lang, source) pair at 10^9 buckets) without the terms-agg top-N
+    cap and without O(page-depth) cost.
+
+    Plan shape: one groupBy (metrics fold in, as everywhere in this
+    module), then the after_key is a lexicographic tuple filter ON THE
+    BUCKET KEYS — at most ``size`` buckets survive per page via
+    TakeOrderedAndProject. Because the filter is on the group-by keys,
+    Catalyst pushes it below the final orderBy; pages cost the same at
+    any depth.
+    """
+    if not sources:
+        raise ValueError("composite_agg requires at least one source field")
+    if after_key is not None and len(after_key) != len(sources):
+        raise ValueError("after_key arity must match sources")
+    scoped = scope_to_matches(docs, matched, id_col)
+    aggs = [F.count(F.lit(1)).alias("doc_count"), *_metric_exprs(metrics)]
+    out = scoped.groupBy(*[F.col(s) for s in sources]).agg(*aggs)
+    if after_key is not None:
+        # lexicographic "strictly greater than after_key" over the sources
+        cond = F.lit(False)
+        eq_prefix = F.lit(True)
+        for s, v in zip(sources, after_key):
+            cond = cond | (eq_prefix & (F.col(s) > F.lit(v)))
+            eq_prefix = eq_prefix & (F.col(s) == F.lit(v))
+        out = out.filter(cond)
+    return out.orderBy(*[F.asc(s) for s in sources]).limit(size)

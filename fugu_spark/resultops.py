@@ -234,3 +234,79 @@ def more_like_this(
         F.col("doc_id") != seed_doc_id
     )
     return top_k(scored, k=k)
+
+
+def rescore(
+    index: InvertedIndex,
+    query_text: str,
+    rescore_query: str,
+    window_size: int = 100,
+    k: int = 10,
+    query_weight: float = 1.0,
+    rescore_weight: float = 1.0,
+    mode: str = DEFAULT_MODE,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """ES/Lucene rescoring: re-rank the top ``window_size`` hits of the
+    base query with a second (usually more expensive) query —
+    score' = query_weight × base + rescore_weight × rescore (ES
+    ``rescore`` with score_mode=total). The canonical use is phrase-
+    proximity rescoring: cheap OR recall, exact phrase precision on the
+    window only.
+
+    Scale shape: the expensive query's leaf frames are semi-joined to
+    the WINDOW (≤ window_size rows, broadcast by AQE) before any
+    positions work — at 10^12 docs the phrase chain runs over
+    window_size docs, not the corpus. Docs outside the window keep
+    their base rank (ES semantics: rescoring never recalls new docs)."""
+    plan = parse_query(query_text, mode=mode)
+    plan = expand_plan(plan, dict_expander({None: index}))
+    base = execute_plan(index, plan, k1=k1, b=b)
+    window = top_k(base, k=window_size).withColumnRenamed("score", "_base")
+
+    rplan = parse_query(rescore_query, mode=mode)
+    rplan = expand_plan(rplan, dict_expander({None: index}))
+    rs = execute_plan(index, rplan, k1=k1, b=b).withColumnRenamed("score", "_re")
+    out = window.join(rs, "doc_id", "left").select(
+        "doc_id",
+        (
+            F.lit(float(query_weight)) * F.col("_base")
+            + F.lit(float(rescore_weight)) * F.coalesce(F.col("_re"), F.lit(0.0))
+        ).alias("score"),
+    )
+    return top_k(out, k=k)
+
+
+def field_value_factor(
+    scored: DataFrame,
+    docs: DataFrame,
+    field: str,
+    factor: float = 1.0,
+    modifier: str = "none",
+    missing: float = 1.0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES function_score / field_value_factor: multiply each matched
+    doc's relevance score by a function of a document field —
+    score' = score × modifier(factor × field). Modifiers: none, log1p,
+    sqrt (the ES names). ``missing`` substitutes for NULL field values.
+
+    The join is matched-set × (id, field)-pruned docs scan (column
+    pruning reaches the parquet reader); the modifier is a pure JVM
+    column expression — no UDF, stays inside whole-stage codegen."""
+    mods = {
+        "none": lambda c: c,
+        "log1p": lambda c: F.log1p(c),
+        "sqrt": lambda c: F.sqrt(c),
+    }
+    if modifier not in mods:
+        raise ValueError(f"modifier must be one of {sorted(mods)}, got {modifier!r}")
+    val = F.coalesce(F.col("_fv").cast("double"), F.lit(float(missing)))
+    fac = mods[modifier](F.lit(float(factor)) * val)
+    keyed = scored.join(
+        docs.select(F.col(id_col).cast("long").alias("doc_id"), F.col(field).alias("_fv")),
+        "doc_id",
+        "left",
+    )
+    return keyed.select("doc_id", (F.col("score") * fac).alias("score"))

@@ -224,3 +224,38 @@ class TestTopHits:
             merge_matched, docs_df, "lang", size=2
         )._jdf.queryExecution().executedPlan().toString()
         assert "WindowGroupLimit" in plan, plan
+
+
+class TestComposite:
+    def test_pages_cover_all_buckets(self, docs_df):
+        from fugu_spark.aggs import composite_agg
+
+        all_buckets = sorted(
+            (r.lang, int(r.n_chars) // 10) for r in docs_df.collect()
+        )
+        want = sorted(set(all_buckets))
+        d = docs_df.withColumn("bucket", (F.col("n_chars") / 10).cast("int"))
+        after, got = None, []
+        for _ in range(20):
+            page = composite_agg(d, ["lang", "bucket"], size=3, after_key=after).collect()
+            if not page:
+                break
+            got.extend((r.lang, r.bucket) for r in page)
+            last = page[-1]
+            after = (last.lang, last.bucket)
+        assert got == want  # full enumeration, key order, no overlap
+
+    def test_counts_match_groupby(self, docs_df):
+        from fugu_spark.aggs import composite_agg
+
+        rows = composite_agg(docs_df, ["lang"], size=100).collect()
+        want = {r.lang: r.cnt for r in docs_df.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+        assert {r.lang: r.doc_count for r in rows} == want
+
+    def test_arity_checked(self, docs_df):
+        from fugu_spark.aggs import composite_agg
+
+        with pytest.raises(ValueError):
+            composite_agg(docs_df, ["lang", "source"], after_key=("a",))
+        with pytest.raises(ValueError):
+            composite_agg(docs_df, [])

@@ -1,0 +1,113 @@
+"""Rescoring (ES rescore, score_mode=total) and function_score
+field_value_factor — hand-derived answers on the fixture corpus plus
+window semantics (rescoring never recalls docs outside the window)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from fugu_spark.postings import build_index
+from fugu_spark.resultops import field_value_factor, rescore
+from fugu_spark.search import search
+
+from .oracle import PyIndex
+from .test_search import DOCS
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(
+        [(i, t, len(t)) for i, t in DOCS.items()],
+        "doc_id long, content string, n_chars long",
+    )
+
+
+@pytest.fixture(scope="module")
+def index(spark, docs_df):
+    return build_index(docs_df)
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    return PyIndex(DOCS)
+
+
+class TestRescore:
+    def test_total_equals_base_plus_rescore(self, index, oracle):
+        base = dict(oracle.search("merge join", k=100))
+        re = dict(oracle.search('"merge join"', k=100))
+        want = {d: s + 2.0 * re.get(d, 0.0) for d, s in base.items()}
+        got = {
+            r.doc_id: r.score
+            for r in rescore(
+                index, "merge join", '"merge join"', window_size=100, k=10,
+                rescore_weight=2.0,
+            ).collect()
+        }
+        for d, s in got.items():
+            assert s == pytest.approx(want[d], abs=1e-9)
+        # ranking follows the combined score
+        ranked = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[: len(got)]
+        assert list(got) == [d for d, _ in ranked]
+
+    def test_window_bounds_recall(self, index, oracle):
+        """window_size=1: only the single best base hit is rescored and
+        returned — docs outside the window never reappear (ES)."""
+        out = rescore(index, "merge join", '"merge join"', window_size=1, k=10).collect()
+        assert len(out) == 1
+        best_base = oracle.search("merge join", k=1)[0][0]
+        assert out[0].doc_id == best_base
+
+    def test_no_rescore_match_keeps_base(self, index, oracle):
+        base = dict(oracle.search("merge", k=100))
+        got = {
+            r.doc_id: r.score
+            for r in rescore(index, "merge", '"rare_unique_term appears"', 100, k=10).collect()
+        }
+        # doc 11 holds the phrase but does NOT match 'merge' -> absent
+        assert 11 not in got
+        for d, s in got.items():
+            assert s == pytest.approx(base[d], abs=1e-9)
+
+
+class TestFieldValueFactor:
+    def test_modifiers(self, index, docs_df, oracle):
+        base = search(index, "merge", k=100)
+        want_base = dict(oracle.search("merge", k=100))
+        for mod, fn in [
+            ("none", lambda v: v),
+            ("log1p", lambda v: math.log1p(v)),
+            ("sqrt", lambda v: math.sqrt(v)),
+        ]:
+            got = {
+                r.doc_id: r.score
+                for r in field_value_factor(
+                    base, docs_df, "n_chars", factor=0.1, modifier=mod
+                ).collect()
+            }
+            for d, s in got.items():
+                assert s == pytest.approx(
+                    want_base[d] * fn(0.1 * len(DOCS[d])), abs=1e-9
+                ), (mod, d)
+
+    def test_missing_substitutes(self, index, docs_df, spark):
+        base = search(index, "merge", k=100)
+        holes = docs_df.withColumn(
+            "n_chars", F.when(F.col("doc_id") % 2 == 0, F.col("n_chars"))
+        )
+        got = {
+            r.doc_id: r.score
+            for r in field_value_factor(base, holes, "n_chars", missing=5.0).collect()
+        }
+        plain = {r.doc_id: r.score for r in base.collect()}
+        for d, s in got.items():
+            v = len(DOCS[d]) if d % 2 == 0 else 5.0
+            assert s == pytest.approx(plain[d] * v, abs=1e-9)
+
+    def test_bad_modifier(self, index, docs_df):
+        base = search(index, "merge", k=10)
+        with pytest.raises(ValueError):
+            field_value_factor(base, docs_df, "n_chars", modifier="exp")
