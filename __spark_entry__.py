@@ -551,6 +551,27 @@ def _fvf_q(spark, sf_dir):
     return top_k(out, k=10).select("doc_id", F.round("score", 6).alias("score"))
 
 
+def _sig_terms_q(spark, sf_dir):
+    """ES significant_terms (JLH): which langs are over-represented in
+    the matched set of 'merge' vs the whole corpus — one groupBy
+    computing fg and bg counts simultaneously."""
+    from fugu_spark.aggs import significant_terms_agg
+
+    return significant_terms_agg(
+        _docs(spark, sf_dir), _matched_set(spark, sf_dir, "merge"), "lang",
+        size=10, min_doc_count=1,
+    )
+
+
+def _ccnet_ppl_q(spark, sf_dir):
+    """CCNet-style LM quality scoring: per-doc perplexity under an
+    add-α bigram model trained on the corpus itself — the head/middle/
+    tail bucketing signal of Wenzek et al. 2020, no external model."""
+    from fugu_spark.analytics.textstats import bigram_lm_perplexity
+
+    return bigram_lm_perplexity(_docs(spark, sf_dir))
+
+
 def _semdedup_q(spark, sf_dir):
     """SemDeDup (arXiv:2303.09540) in exact mode: n_centroids=1
     degenerates the within-cluster pair join to ALL pairs, so the greedy
@@ -1307,6 +1328,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_composite": _agg_composite,
         "bm25_rescore": _rescore_q,
         "bm25_fvf": _fvf_q,
+        "agg_sig_terms": _sig_terms_q,
+        "ccnet_perplexity": _ccnet_ppl_q,
         "bm25_regex": _search_q("/s.*o.*/", 10),
         "bm25_regex_served": _serving_q("/s.*o.*/ merge", 10),
         "bm25_wildcard_term": _search_q("s?an*", 10),
@@ -2611,6 +2634,41 @@ FROM topk WHERE rank <= 10 ORDER BY query_id, rank"""
               FROM sc s JOIN documents d USING (doc_id))
             SELECT key, doc_id, score, hit_rank FROM g
             WHERE hit_rank <= 2 ORDER BY key, hit_rank""",
+        # significant_terms (JLH): fg/bg shares from ONE flagged scan
+        "agg_sig_terms": f"""WITH {_TOK},
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'merge'),
+fl AS (SELECT d.lang AS key, CASE WHEN m.doc_id IS NOT NULL THEN 1 ELSE 0 END AS fg
+       FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id),
+pv AS (SELECT key, count(*) AS bg_count, sum(fg) AS fg_count FROM fl GROUP BY 1),
+t AS (SELECT count(*) AS bgt, sum(fg) AS fgt FROM fl)
+SELECT key, fg_count::BIGINT AS fg_count, bg_count::BIGINT AS bg_count,
+       round((fg_count / CAST(t.fgt AS DOUBLE) - bg_count / CAST(t.bgt AS DOUBLE))
+             * ((fg_count / CAST(t.fgt AS DOUBLE)) / (bg_count / CAST(t.bgt AS DOUBLE))),
+             6) AS score
+FROM pv, t WHERE fg_count >= 1
+ORDER BY score DESC, key ASC LIMIT 10""",
+        # add-α bigram LM perplexity, model = the corpus itself
+        "ccnet_perplexity": f"""WITH {_TOK},
+uni AS (SELECT term AS w, count(*) AS c_w FROM tok GROUP BY 1),
+big_src AS (SELECT doc_id, pos, term AS w,
+                   lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+            FROM tok),
+ctx AS (SELECT prev, count(*) AS c_prev FROM big_src WHERE prev IS NOT NULL GROUP BY 1),
+big AS (SELECT prev, w, count(*) AS c_big FROM big_src
+        WHERE prev IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT count(DISTINCT term) AS v, count(*) AS n FROM tok),
+lp AS (
+  SELECT s.doc_id,
+         CASE WHEN s.prev IS NULL
+              THEN ln((COALESCE(u.c_w, 0) + 0.1) / (tot.n + 0.1 * tot.v))
+              ELSE ln((COALESCE(b.c_big, 0) + 0.1)
+                      / (COALESCE(c.c_prev, 0) + 0.1 * tot.v))
+         END AS lp
+  FROM big_src s LEFT JOIN big b ON s.prev = b.prev AND s.w = b.w
+                 LEFT JOIN ctx c ON s.prev = c.prev
+                 LEFT JOIN uni u ON s.w = u.w, tot)
+SELECT doc_id, count(*)::BIGINT AS n_tokens, round(exp(-avg(lp)), 6) AS perplexity
+FROM lp GROUP BY doc_id""",
         # composite agg: lexicographic after-cursor over the bucket keys
         "agg_composite": """
             SELECT lang, source, count(*) AS doc_count FROM documents

@@ -52,6 +52,7 @@ __all__ = [
     "cardinality_agg",
     "top_hits_agg",
     "composite_agg",
+    "significant_terms_agg",
     "scope_to_matches",
 ]
 
@@ -406,3 +407,52 @@ def composite_agg(
             eq_prefix = eq_prefix & (F.col(s) == F.lit(v))
         out = out.filter(cond)
     return out.orderBy(*[F.asc(s) for s in sources]).limit(size)
+
+
+def significant_terms_agg(
+    docs: DataFrame,
+    matched: DataFrame,
+    field: str,
+    size: int = 10,
+    min_doc_count: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES `significant_terms` (JLH heuristic): which values of ``field``
+    are OVER-represented in the query's matched set relative to the
+    whole corpus? score = (fg% − bg%) × (fg% / bg%), where fg% is the
+    value's share of matched docs and bg% its share of all docs —
+    the "what is this result set about" aggregation.
+
+    Plan shape: ONE groupBy over the corpus computing, per value, the
+    background count AND the foreground count simultaneously (the
+    foreground indicator is a left-semi-join flag projected before the
+    aggregate) — no second scan, no second shuffle. Totals ride along
+    as window-free grand aggregates via a cross join of two 1-row
+    frames (broadcast)."""
+    keys = matched.select(F.col("doc_id").cast("long").alias("__mid")).distinct()
+    flagged = docs.join(
+        keys, docs[id_col].cast("long") == keys["__mid"], "left"
+    ).select(
+        F.col(field).alias("key"),
+        F.when(F.col("__mid").isNotNull(), 1).otherwise(0).alias("__fg"),
+    )
+    per_value = flagged.groupBy("key").agg(
+        F.count(F.lit(1)).alias("bg_count"), F.sum("__fg").alias("fg_count")
+    )
+    totals = flagged.agg(
+        F.count(F.lit(1)).alias("__bg_total"), F.sum("__fg").alias("__fg_total")
+    )
+    fg_pct = F.col("fg_count") / F.col("__fg_total")
+    bg_pct = F.col("bg_count") / F.col("__bg_total")
+    return (
+        per_value.crossJoin(F.broadcast(totals))
+        .filter(F.col("fg_count") >= min_doc_count)
+        .select(
+            "key",
+            F.col("fg_count").cast("long").alias("fg_count"),
+            F.col("bg_count").cast("long").alias("bg_count"),
+            F.round((fg_pct - bg_pct) * (fg_pct / bg_pct), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("key"))
+        .limit(size)
+    )

@@ -9,7 +9,7 @@ index build always uses the full pandas tokenizer.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Small fixed stopword lists for the n-gram/stopword language heuristic.
@@ -146,3 +146,73 @@ def winnow_fingerprints(
         )
     )
     return docs.select(F.col(id_col), F.explode(fps).alias("fingerprint"))
+
+
+def bigram_lm_perplexity(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.1,
+    lm_docs: DataFrame | None = None,
+) -> DataFrame:
+    """CCNet-style LM quality scoring (Wenzek et al. 2020 use KenLM
+    perplexity to bucket CommonCrawl into head/middle/tail): score every
+    document by the perplexity of an add-α-smoothed BIGRAM model —
+    P(w|prev) = (c(prev,w) + α) / (c(prev) + α·V), first token scored by
+    the unigram P(w) = (c(w) + α) / (N + α·V); perplexity =
+    exp(−Σ ln P / n_tokens). Lower = more natural under the reference
+    corpus. ``lm_docs`` supplies the training corpus (CCNet trains on
+    Wikipedia); default = score against the corpus itself.
+
+    Everything is JVM column work: one posexplode to the token stream, a
+    lag window per doc for the bigram stream, two count aggregations for
+    the model, two shuffle joins to attach counts, one per-doc aggregate.
+    The model tables are (vocab)- and (bigram)-sized — far smaller than
+    the corpus — and broadcast when small. No UDF, no driver state."""
+    toks = docs.select(
+        F.col(id_col).alias("__did"),
+        F.posexplode(simple_tokens(F.col(text_col))).alias("pos", "w"),
+    )
+    src = toks if lm_docs is None else lm_docs.select(
+        F.col(id_col).alias("__did"),
+        F.posexplode(simple_tokens(F.col(text_col))).alias("pos", "w"),
+    )
+    w_doc = Window.partitionBy("__did").orderBy("pos")
+    big_src = src.withColumn("prev", F.lag("w").over(w_doc))
+    uni = src.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
+    ctx = big_src.filter(F.col("prev").isNotNull()).groupBy("prev").agg(
+        F.count(F.lit(1)).alias("c_prev")
+    )
+    big = big_src.filter(F.col("prev").isNotNull()).groupBy("prev", "w").agg(
+        F.count(F.lit(1)).alias("c_big")
+    )
+    # scalars: vocab size and total tokens (tiny aggregate, broadcast)
+    totals = src.agg(
+        F.count_distinct("w").alias("__v"), F.count(F.lit(1)).alias("__n")
+    )
+    stream = toks.withColumn("prev", F.lag("w").over(w_doc))
+    scored = (
+        stream.join(big, ["prev", "w"], "left")
+        .join(ctx, "prev", "left")
+        .join(uni, "w", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "__did",
+            F.when(
+                F.col("prev").isNull(),
+                F.log(
+                    (F.coalesce(F.col("c_w"), F.lit(0)) + F.lit(alpha))
+                    / (F.col("__n") + F.lit(alpha) * F.col("__v"))
+                ),
+            ).otherwise(
+                F.log(
+                    (F.coalesce(F.col("c_big"), F.lit(0)) + F.lit(alpha))
+                    / (F.coalesce(F.col("c_prev"), F.lit(0)) + F.lit(alpha) * F.col("__v"))
+                )
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy(F.col("__did").alias(id_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.round(F.exp(-F.avg("lp")), 6).alias("perplexity"),
+    )
