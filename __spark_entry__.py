@@ -551,6 +551,43 @@ def _fvf_q(spark, sf_dir):
     return top_k(out, k=10).select("doc_id", F.round("score", 6).alias("score"))
 
 
+_TT_CACHE: dict[str, object] = {}
+
+
+def _as_of_q(spark, sf_dir):
+    """Point-in-time search (segments.at_generation): the index is
+    MUTATED after gen 0 — every doc with doc_id%7==0 is rewritten to
+    drop its 'merge'/'join' tokens — yet the gen-0-pinned search must
+    score exactly like the original corpus, which is what the plain
+    DuckDB oracle over the unmodified documents table checks. Later
+    generations are invisible via gen-partition pruning; idf/avgdl come
+    from the persisted per-generation stats history."""
+    import shutil
+
+    import fugu_spark
+    from fugu_spark.segment_search import search_segments
+    from fugu_spark.segments import build_segments, upsert_segments
+
+    if sf_dir not in _TT_CACHE:
+        import os
+
+        d = (
+            f"/tmp/fugu_entry_tt_{os.path.basename(sf_dir.rstrip('/'))}"
+            f"_v{fugu_spark.__version__}"
+        )
+        shutil.rmtree(d, ignore_errors=True)
+        docs = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("content"))
+        si = build_segments(docs, d, id_col="doc_id", text_col="content")
+        mutated = docs.filter(F.col("doc_id") % 7 == 0).select(
+            "doc_id",
+            F.regexp_replace("content", "merge|join", "xqzy").alias("content"),
+        )
+        _TT_CACHE[sf_dir] = upsert_segments(si, mutated, id_col="doc_id", text_col="content")
+    si = _TT_CACHE[sf_dir]
+    out = search_segments(si.at_generation(0), "merge join", k=10)
+    return out.select("doc_id", F.round("score", 6).alias("score"))
+
+
 def _sig_terms_q(spark, sf_dir):
     """ES significant_terms (JLH): which langs are over-represented in
     the matched set of 'merge' vs the whole corpus — one groupBy
@@ -1330,6 +1367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_fvf": _fvf_q,
         "agg_sig_terms": _sig_terms_q,
         "ccnet_perplexity": _ccnet_ppl_q,
+        "bm25_as_of": _as_of_q,
         "bm25_regex": _search_q("/s.*o.*/", 10),
         "bm25_regex_served": _serving_q("/s.*o.*/ merge", 10),
         "bm25_wildcard_term": _search_q("s?an*", 10),
@@ -2634,6 +2672,12 @@ FROM topk WHERE rank <= 10 ORDER BY query_id, rank"""
               FROM sc s JOIN documents d USING (doc_id))
             SELECT key, doc_id, score, hit_rank FROM g
             WHERE hit_rank <= 2 ORDER BY key, hit_rank""",
+        # point-in-time pin == the original corpus, by construction
+        "bm25_as_of": f"""WITH {_TOK}, {_SCORED},
+r AS (SELECT doc_id, sum(sc) AS s FROM scored
+      WHERE term IN ('merge', 'join') GROUP BY doc_id)
+SELECT doc_id, round(s, 6) AS score FROM r
+ORDER BY s DESC, doc_id ASC LIMIT 10""",
         # significant_terms (JLH): fg/bg shares from ONE flagged scan
         "agg_sig_terms": f"""WITH {_TOK},
 m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'merge'),

@@ -288,22 +288,31 @@ def _term_meta(si: SegmentIndex, terms: list[str]) -> dict[str, dict]:
     rows: list[dict] = []
     if not terms:
         return {}
-    try:
-        import pyarrow.dataset as pads
-
-        flt = pads.field("term").isin(terms)
-        try:
-            tbl = _terms_dataset(si).to_table(columns=_META_COLS, filter=flt)
-        except FileNotFoundError:
-            tbl = _terms_dataset(si, refresh=True).to_table(
-                columns=_META_COLS, filter=flt
-            )
-        rows = tbl.to_pylist()
-    except Exception as e:
-        _warn_spark_fallback("terms dictionary lookup", e)
+    if getattr(si, "as_of", None) is not None:
+        # point-in-time reader: the ON-DISK dictionary is the live merged
+        # one — stats must come from the pinned derived dictionary frame
+        # (one small Spark job; PIT queries are reproducibility audits,
+        # not the serving hot path)
         rows = [
             r.asDict() for r in si.terms.filter(F.col("term").isin(terms)).collect()
         ]
+    else:
+        try:
+            import pyarrow.dataset as pads
+
+            flt = pads.field("term").isin(terms)
+            try:
+                tbl = _terms_dataset(si).to_table(columns=_META_COLS, filter=flt)
+            except FileNotFoundError:
+                tbl = _terms_dataset(si, refresh=True).to_table(
+                    columns=_META_COLS, filter=flt
+                )
+            rows = tbl.to_pylist()
+        except Exception as e:
+            _warn_spark_fallback("terms dictionary lookup", e)
+            rows = [
+                r.asDict() for r in si.terms.filter(F.col("term").isin(terms)).collect()
+            ]
     out = {}
     for r in rows:
         out[r["term"]] = {
@@ -542,6 +551,11 @@ def anchor_doc_ranges(
         flt = (pads.field("term_bucket") == term_meta[term]["term_bucket"]) & (
             pads.field("term") == term
         )
+        if getattr(si, "as_of", None) is not None:
+            # point-in-time: prune to pinned generations (without this the
+            # live superset intervals are still COVERING — merely less
+            # tight — so this is a precision filter, not a safety one)
+            flt = flt & (pads.field("gen") <= si.as_of)
         tbl = dset.to_table(columns=["min_doc_id", "max_doc_id"], filter=flt)
         starts = tbl["min_doc_id"].to_numpy()
         ends = tbl["max_doc_id"].to_numpy()
@@ -680,6 +694,13 @@ def search_segments(
     half-open date ranges from the date_index sidecar — neither needs the
     docs table; ``doc_filter`` + ``docs`` is the arbitrary-predicate
     alternative."""
+    if getattr(si, "as_of", None) is not None and (filter_paths or date_ranges):
+        raise ValueError(
+            "filter_paths/date_ranges are not generation-pinned (the "
+            "filter_index/date_index sidecars read live rows) — run "
+            "point-in-time queries without sidecar filters, or use "
+            "doc_filter with a snapshot docs table"
+        )
     plan = parse_query(query_text, mode=mode)
     if needs_expansion(plan):
         plan = expand_plan(plan, _segment_expander(si))

@@ -498,6 +498,78 @@ class SegmentIndex:
         ]
         return max(gens) if gens else 0
 
+    def at_generation(self, as_of: int) -> "SegmentIndex":
+        """Point-in-time reader (Lucene IndexReader on an old commit /
+        ES point-in-time): search the index EXACTLY as it stood at
+        generation ``as_of`` — later upserts, deletes, and their stats
+        are invisible. For a training-data pipeline this is the
+        reproducibility primitive: re-run any query against the corpus
+        snapshot a dataset was built from.
+
+        Mechanics: segments read with ``gen <= as_of`` (gen is a
+        partition column → newer generations are pruned at the parquet
+        DIRECTORY level, zero I/O); delete masks filter to
+        ``del_gen <= as_of``; corpus stats come from the persisted
+        per-generation history in stats.json; the term dictionary is
+        re-derived from block METADATA columns of the pinned generations
+        (the same `_dict_agg` the live merge uses — column pruning skips
+        the binary posting streams, so the re-derive reads a few small
+        columns, not the index). df/cf keep maxDoc semantics, exactly as
+        the live dictionary does between compacts. compact() collapses
+        history (Lucene merges drop old commit points)."""
+        s = json.loads(fsio.read_text(fsio.join(self.index_dir, "stats.json")))
+        hist = s.get("stats_history")
+        if not hist:
+            raise ValueError(
+                "index has no stats_history (built before point-in-time "
+                "support) — rebuild, or compact() once to re-anchor"
+            )
+        past = [h for h in hist if int(h["gen"]) <= as_of]
+        if not past:
+            raise ValueError(f"no generation <= {as_of} in stats_history")
+        h = max(past, key=lambda e: int(e["gen"]))
+        terms = _dict_agg(
+            self.spark.read.schema(SEG_READ_SCHEMA)
+            .parquet(fsio.join(self.index_dir, "segments"))
+            .filter(F.col("gen") <= as_of)
+        ).cache()
+        st = CorpusStats(
+            n_docs=int(h["n_docs"]),
+            avgdl=(h["total_tokens"] / h["n_docs"]) if h["n_docs"] else 0.0,
+            total_tokens=int(h["total_tokens"]),
+        )
+        return _PinnedSegmentIndex(
+            spark=self.spark, index_dir=self.index_dir, terms=terms,
+            stats=st, as_of=int(as_of),
+        )
+
+
+@dataclass
+class _PinnedSegmentIndex(SegmentIndex):
+    """A SegmentIndex frozen at a generation (see at_generation): every
+    read path filters on the gen partition column, so search code runs
+    unmodified against the snapshot."""
+
+    as_of: int = 0
+
+    def segments_df(self, terms: list[str] | None = None, buckets: list[int] | None = None) -> DataFrame:
+        return super().segments_df(terms, buckets).filter(F.col("gen") <= self.as_of)
+
+    def deletes_df(self) -> DataFrame | None:
+        p = fsio.join(self.index_dir, "deletes")
+        if not fsio.exists(p):
+            return None
+        d = self.spark.read.parquet(p).filter(F.col("del_gen") <= self.as_of)
+        return d.groupBy("doc_id").agg(F.max("del_gen").alias("del_gen"))
+
+    def max_gen(self) -> int:
+        return self.as_of
+
+    def at_generation(self, as_of: int) -> "SegmentIndex":
+        if as_of > self.as_of:
+            raise ValueError(f"cannot unpin forward: {as_of} > {self.as_of}")
+        return SegmentIndex.at_generation(self, as_of)
+
 
 def build_segments(
     docs: DataFrame,
@@ -648,6 +720,11 @@ def build_segments(
             "bytes_encoded": int(term_m.get("bytes_encoded", 0)),
             "build_wall_sec": build_wall,
             "postings_per_sec": (n_post / build_wall) if build_wall > 0 else 0.0,
+            # generation 0's cumulative stats — the anchor row of the
+            # point-in-time history that upserts append to
+            "stats_history": [
+                {"gen": 0, "n_docs": int(n_docs), "total_tokens": total}
+            ],
         }
         fsio.write_text_atomic(stats_path, json.dumps(payload, indent=2))
         _write_marker(index_dir, "stats", {"build_id": build_id})
@@ -671,7 +748,15 @@ def build_segments(
 # exact behaviour of the reference's engine between commits and merges.
 
 
-def _write_stats_json(spark: SparkSession, index_dir: str, n_docs: int, total_tokens: int, extra: dict | None = None) -> None:
+def _write_stats_json(
+    spark: SparkSession,
+    index_dir: str,
+    n_docs: int,
+    total_tokens: int,
+    extra: dict | None = None,
+    gen: int | None = None,
+    reset_history: bool = False,
+) -> None:
     stats_path = fsio.join(index_dir, "stats.json")
     payload = json.loads(fsio.read_text(stats_path))
     payload.update(
@@ -682,6 +767,14 @@ def _write_stats_json(spark: SparkSession, index_dir: str, n_docs: int, total_to
         }
     )
     payload.update(extra or {})
+    if gen is not None:
+        # cumulative corpus stats AS OF this generation — what
+        # at_generation() needs to score a point-in-time reader with the
+        # idf/avgdl the live index had at that commit
+        ent = {"gen": int(gen), "n_docs": int(n_docs), "total_tokens": int(total_tokens)}
+        hist = [] if reset_history else list(payload.get("stats_history", []))
+        hist = [h for h in hist if int(h["gen"]) != int(gen)] + [ent]
+        payload["stats_history"] = sorted(hist, key=lambda h: int(h["gen"]))
     fsio.write_text_atomic(stats_path, json.dumps(payload, indent=2))
 
 
@@ -720,6 +813,7 @@ def upsert_segments(
         si.stats.n_docs + n_batch,  # maxDoc semantics until compact()
         si.stats.total_tokens + int(new_tokens),
         extra={"last_gen": new_gen},
+        gen=new_gen,
     )
     _append_manifest(
         spark,
@@ -780,7 +874,13 @@ def compact(si: SegmentIndex, hot_df_threshold: int = 250_000) -> SegmentIndex:
     fsio.rmtree(fsio.join(si.index_dir, "deletes"))
     n_docs = raw.select("doc_id").distinct().count()
     total = raw.agg(F.sum("tf")).collect()[0][0] or 0
-    _write_stats_json(spark, si.index_dir, n_docs, int(total), extra={"last_gen": 0})
+    # compaction rewrites history: generations collapse into the new
+    # gen=0, so point-in-time readers older than the compact are gone
+    # (exactly Lucene's background merge dropping old commit points)
+    _write_stats_json(
+        spark, si.index_dir, n_docs, int(total), extra={"last_gen": 0},
+        gen=0, reset_history=True,
+    )
     _append_manifest(
         spark,
         si.index_dir,
