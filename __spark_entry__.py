@@ -588,6 +588,41 @@ def _as_of_q(spark, sf_dir):
     return out.select("doc_id", F.round("score", 6).alias("score"))
 
 
+def _compact_range_q(spark, sf_dir):
+    """Tiered merge (compact_range): base build + two INSERT-ONLY upsert
+    generations, then merge generations [1, 2] into one — the merged
+    index must score exactly like a fresh build over the union corpus
+    (insert-only ⇒ no dead postings ⇒ maxDoc stats are exact, so the
+    plain SQL oracle over the unioned docs applies). Live-identity
+    across merges of ranges WITH dead postings is pinned in
+    tests/test_time_travel.py."""
+    import os
+    import shutil
+
+    import fugu_spark
+    from fugu_spark.segment_search import search_segments
+    from fugu_spark.segments import build_segments, compact_range, upsert_segments
+
+    d = (
+        f"/tmp/fugu_entry_crange_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_v{fugu_spark.__version__}"
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    docs = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("content"))
+    si = build_segments(docs, d, id_col="doc_id", text_col="content")
+    b1 = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "content"
+    )
+    si = upsert_segments(si, b1, id_col="doc_id", text_col="content")
+    b2 = docs.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 20000).alias("doc_id"), "content"
+    )
+    si = upsert_segments(si, b2, id_col="doc_id", text_col="content")
+    si = compact_range(si, 1, 2)
+    out = search_segments(si, "merge join", k=10)
+    return out.select("doc_id", F.round("score", 6).alias("score"))
+
+
 def _sig_terms_q(spark, sf_dir):
     """ES significant_terms (JLH): which langs are over-represented in
     the matched set of 'merge' vs the whole corpus — one groupBy
@@ -1368,6 +1403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_sig_terms": _sig_terms_q,
         "ccnet_perplexity": _ccnet_ppl_q,
         "bm25_as_of": _as_of_q,
+        "segments_compact_range": _compact_range_q,
         "bm25_regex": _search_q("/s.*o.*/", 10),
         "bm25_regex_served": _serving_q("/s.*o.*/ merge", 10),
         "bm25_wildcard_term": _search_q("s?an*", 10),
@@ -2672,6 +2708,23 @@ FROM topk WHERE rank <= 10 ORDER BY query_id, rank"""
               FROM sc s JOIN documents d USING (doc_id))
             SELECT key, doc_id, score, hit_rank FROM g
             WHERE hit_rank <= 2 ORDER BY key, hit_rank""",
+        # tiered merge over an insert-only history == fresh build over
+        # the union corpus (no dead postings → maxDoc stats are exact)
+        "segments_compact_range": (
+            """WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id % 5 = 0
+  UNION ALL SELECT doc_id + 20000, text FROM documents WHERE doc_id % 9 = 0
+), """
+            + _TOK.replace("FROM documents", "FROM corpus").lstrip()
+            + ", "
+            + _SCORED
+            + """
+, r AS (SELECT doc_id, sum(sc) AS s FROM scored
+        WHERE term IN ('merge', 'join') GROUP BY doc_id)
+SELECT doc_id, round(s, 6) AS score FROM r
+ORDER BY s DESC, doc_id ASC LIMIT 10"""
+        ),
         # point-in-time pin == the original corpus, by construction
         "bm25_as_of": f"""WITH {_TOK}, {_SCORED},
 r AS (SELECT doc_id, sum(sc) AS s FROM scored

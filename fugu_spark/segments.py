@@ -887,3 +887,82 @@ def compact(si: SegmentIndex, hot_df_threshold: int = 250_000) -> SegmentIndex:
         [("compact", "compact", "all", "complete", int(total), 0, 0, 0.0, time.time())],
     )
     return SegmentIndex.load(spark, si.index_dir)
+
+
+def compact_range(si: SegmentIndex, lo_gen: int, hi_gen: int) -> SegmentIndex:
+    """Tiered merge (Lucene TieredMergePolicy analog): merge ONLY the
+    generations in [lo_gen, hi_gen] into a single segment generation,
+    leaving the others untouched. At 100 TB a full compact() rewrites
+    the entire index; real merge policies rewrite a handful of small
+    recent generations at a time — cost proportional to the merged
+    generations, never the index.
+
+    Semantics (pinned in tests/test_time_travel.py):
+    - live search results are IDENTICAL before and after the merge;
+    - dead postings of the merged range are physically dropped (the
+      decode applies the delete mask); delete rows are all KEPT — a
+      del_gen inside the range still masks generations BELOW the range;
+    - merged postings take gen = hi_gen; point-in-time pins BELOW the
+      range are byte-stable, the pin at hi_gen survives as a consistent
+      reader whose derived df reflects the physical removal (Lucene
+      reopen-after-merge), and pins strictly inside the range are gone
+      (their stats_history entries are dropped), exactly as Lucene
+      merges drop intermediate commit points;
+    - stats AND the term dictionary keep maxDoc semantics (df/cf
+      unchanged — that is what makes live results byte-identical;
+      n_blocks/bytes_encoded go stale until a full compact(), which
+      recomputes exact live counts).
+    """
+    from . import BM25_B, BM25_K1
+    from .segment_search import _decode_seg_df
+
+    if not (0 <= lo_gen <= hi_gen <= si.max_gen()):
+        raise ValueError(f"bad merge range [{lo_gen}, {hi_gen}] (max_gen={si.max_gen()})")
+    spark = si.spark
+    seg_path = fsio.join(si.index_dir, "segments")
+    live = _decode_seg_df(
+        si,
+        si.segments_df().filter(F.col("gen").between(lo_gen, hi_gen)),
+        True, 0.0, None, None, BM25_K1, BM25_B,
+    ).withColumn(
+        "term_bucket", F.pmod(F.xxhash64("term"), F.lit(_n_buckets(si))).cast("int")
+    )
+    tmp = fsio.join(si.index_dir, "postings_raw_merge")
+    live.write.mode("overwrite").parquet(tmp)
+    raw = spark.read.parquet(tmp)
+    n_tokens = raw.agg(F.sum("tf")).collect()[0][0] or 0
+    for g in range(lo_gen, hi_gen + 1):
+        d = fsio.join(seg_path, f"gen={g}")
+        if fsio.exists(d):
+            fsio.rmtree(d)
+    encode_postings_df(raw, seg_path, 250_000, gen=hi_gen, append=True)
+    fsio.rmtree(tmp)
+    # the DICTIONARY is deliberately NOT re-merged: df/cf keep their
+    # maxDoc values (same rule as stats), so live search results are
+    # byte-identical across the merge; n_blocks/bytes_encoded go stale
+    # until a full compact() (operational metadata only). The stored
+    # per-term bounds stay COVERING (merged blocks' max_tf <= old max,
+    # min_doc_len >= old min), so WAND pruning stays rank-safe.
+    spark.catalog.refreshByPath(seg_path)
+    # drop point-in-time anchors STRICTLY INSIDE the merged range (their
+    # generation boundaries no longer exist). A pin at hi_gen survives as
+    # a consistent reader but reflects the merge's physical removal of
+    # dead postings in its derived df — Lucene-reopen-after-merge
+    # semantics; pins below lo_gen are byte-stable.
+    stats_path = fsio.join(si.index_dir, "stats.json")
+    payload = json.loads(fsio.read_text(stats_path))
+    hist = payload.get("stats_history")
+    if hist:
+        payload["stats_history"] = [
+            h for h in hist if not (lo_gen <= int(h["gen"]) < hi_gen)
+        ]
+        fsio.write_text_atomic(stats_path, json.dumps(payload, indent=2))
+    _append_manifest(
+        spark,
+        si.index_dir,
+        [(
+            "merge", "compact_range", f"gen={lo_gen}-{hi_gen}", "complete",
+            int(n_tokens), 0, 0, 0.0, time.time(),
+        )],
+    )
+    return SegmentIndex.load(spark, si.index_dir)

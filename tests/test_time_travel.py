@@ -93,3 +93,82 @@ def test_missing_generation_rejected(indexes):
     si, _ = indexes
     with pytest.raises(ValueError):
         si.at_generation(-1)
+
+
+class TestCompactRange:
+    @pytest.fixture()
+    def tiered(self, spark, tmp_path_factory):
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in DOCS.items()], "doc_id long, content string"
+        )
+        d = str(tmp_path_factory.mktemp("cr") / "idx")
+        si = build_segments(docs, d, id_col="doc_id", text_col="content")
+        b1 = spark.createDataFrame(
+            [(0, "rewritten zero no keywords"), (200, "merge sort quick")],
+            "doc_id long, content string",
+        )
+        si = upsert_segments(si, b1, id_col="doc_id", text_col="content")
+        b2 = spark.createDataFrame(
+            [(200, "merge join window"), (300, "hash table join")],
+            "doc_id long, content string",
+        )
+        return upsert_segments(si, b2, id_col="doc_id", text_col="content")
+
+    def test_live_identical_and_dead_dropped(self, tiered):
+        from fugu_spark.segments import compact_range
+
+        before = {
+            q: _rows(search_segments(tiered, q, k=50))
+            for q in ["merge", "merge join", '"merge join"', "merge AND sort"]
+        }
+        si2 = compact_range(tiered, 1, 2)
+        for q, want in before.items():
+            assert _rows(search_segments(si2, q, k=50)) == want, q
+        # the merged range is now ONE generation directory (gen=2)
+        import os
+
+        gens = sorted(
+            d for d in os.listdir(os.path.join(si2.index_dir, "segments"))
+            if d.startswith("gen=")
+        )
+        assert gens == ["gen=0", "gen=2"]
+        # doc 200's gen-1 posting was superseded in gen 2 → physically gone
+        from fugu_spark.segment_search import decode_all_postings
+
+        live = decode_all_postings(si2)
+        assert live.filter("doc_id = 200 AND term = 'quick'").count() == 0
+
+    def test_pins_across_merge(self, tiered):
+        from fugu_spark.segments import compact_range
+
+        pin0_before = _rows(search_segments(tiered.at_generation(0), "merge", k=50))
+        pin2_before = _rows(search_segments(tiered.at_generation(2), "merge", k=50))
+        si2 = compact_range(tiered, 1, 2)
+        # pins below the merged range are byte-stable
+        assert _rows(search_segments(si2.at_generation(0), "merge", k=50)) == pin0_before
+        # the pin AT the range's top edge stays a consistent reader; its
+        # derived df reflects the physically-removed dead postings
+        # (Lucene reopen-after-merge), so doc SET is preserved, scores
+        # may shift
+        pin2_after = _rows(search_segments(si2.at_generation(2), "merge", k=50))
+        assert {d for d, _ in pin2_after} == {d for d, _ in pin2_before}
+        # pins STRICTLY inside the range are gone (anchor dropped)
+        hist = [
+            h["gen"]
+            for h in __import__("json").loads(
+                __import__("fugu_spark.fsio", fromlist=["read_text"]).read_text(
+                    __import__("fugu_spark.fsio", fromlist=["join"]).join(
+                        si2.index_dir, "stats.json"
+                    )
+                )
+            )["stats_history"]
+        ]
+        assert 1 not in hist and 0 in hist and 2 in hist
+
+    def test_bad_range_rejected(self, tiered):
+        from fugu_spark.segments import compact_range
+
+        with pytest.raises(ValueError):
+            compact_range(tiered, 2, 1)
+        with pytest.raises(ValueError):
+            compact_range(tiered, 0, 99)
