@@ -588,6 +588,20 @@ def _as_of_q(spark, sf_dir):
     return out.select("doc_id", F.round("score", 6).alias("score"))
 
 
+def _as_of_served_q(spark, sf_dir):
+    """The same gen-0 pin through the driver-side serving path
+    (LocalSearcher(as_of=0)) — pinned dictionary stats re-derived from
+    block metadata, deletes filtered to del_gen ≤ 0, same oracle as the
+    Spark-path pin."""
+    from fugu_spark.serve import LocalSearcher
+
+    _as_of_q(spark, sf_dir)  # ensure the mutated index exists (cached)
+    si = _TT_CACHE[sf_dir]
+    pdf = LocalSearcher(si.index_dir, as_of=0).search("merge join", k=10)
+    pdf["score"] = pdf["score"].round(6)
+    return spark.createDataFrame(pdf, "doc_id long, score double")
+
+
 def _compact_range_q(spark, sf_dir):
     """Tiered merge (compact_range): base build + two INSERT-ONLY upsert
     generations, then merge generations [1, 2] into one — the merged
@@ -1403,6 +1417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_sig_terms": _sig_terms_q,
         "ccnet_perplexity": _ccnet_ppl_q,
         "bm25_as_of": _as_of_q,
+        "bm25_as_of_served": _as_of_served_q,
         "segments_compact_range": _compact_range_q,
         "bm25_regex": _search_q("/s.*o.*/", 10),
         "bm25_regex_served": _serving_q("/s.*o.*/ merge", 10),
@@ -2727,6 +2742,11 @@ ORDER BY s DESC, doc_id ASC LIMIT 10"""
         ),
         # point-in-time pin == the original corpus, by construction
         "bm25_as_of": f"""WITH {_TOK}, {_SCORED},
+r AS (SELECT doc_id, sum(sc) AS s FROM scored
+      WHERE term IN ('merge', 'join') GROUP BY doc_id)
+SELECT doc_id, round(s, 6) AS score FROM r
+ORDER BY s DESC, doc_id ASC LIMIT 10""",
+        "bm25_as_of_served": f"""WITH {_TOK}, {_SCORED},
 r AS (SELECT doc_id, sum(sc) AS s FROM scored
       WHERE term IN ('merge', 'join') GROUP BY doc_id)
 SELECT doc_id, round(s, 6) AS score FROM r

@@ -110,7 +110,15 @@ class LocalSearcher:
         b: float = BM25_B,
         cache_bytes: int = 256 << 20,
         session_tz: str | None = None,
+        as_of: int | None = None,
     ) -> None:
+        """``as_of`` pins the searcher at a past generation (segments.
+        SegmentIndex.at_generation's serving twin): block reads filter
+        gen ≤ as_of (parquet directory pruning), deletes filter
+        del_gen ≤ as_of, corpus stats come from the stats_history
+        anchor, and dictionary stats are re-derived from block METADATA
+        of the pinned generations. Query serving only — sidecar filters
+        (facets/dates) reject a pinned searcher loudly."""
         import pyarrow.dataset as pads
 
         from .fsio import as_local
@@ -144,6 +152,21 @@ class LocalSearcher:
                 "version (expects format 2, codec-tagged streams since 0.4.0) "
                 "— rebuild the index"
             )
+        self.as_of = None if as_of is None else int(as_of)
+        if self.as_of is not None:
+            hist = st.get("stats_history")
+            if not hist:
+                raise ValueError(
+                    "index has no stats_history (built before point-in-time "
+                    "support) — rebuild, or compact() once to re-anchor"
+                )
+            past = [h for h in hist if int(h["gen"]) <= self.as_of]
+            if not past:
+                raise ValueError(f"no generation <= {self.as_of} in stats_history")
+            anchor = max(past, key=lambda e: int(e["gen"]))
+            st = {**st, "n_docs": anchor["n_docs"], "avgdl": (
+                anchor["total_tokens"] / anchor["n_docs"] if anchor["n_docs"] else 0.0
+            )}
         self.n_docs = int(st["n_docs"])
         self.avgdl = float(st["avgdl"])
         self._terms = pads.dataset(os.path.join(index_dir, "terms"), format="parquet")
@@ -153,13 +176,10 @@ class LocalSearcher:
         self._deletes: pd.Series | None = None  # doc_id -> max del_gen
         dpath = os.path.join(index_dir, "deletes")
         if os.path.isdir(dpath):
-            d = (
-                pads.dataset(dpath, format="parquet")
-                .to_table()
-                .to_pandas()
-                .groupby("doc_id")["del_gen"]
-                .max()
-            )
+            dpdf = pads.dataset(dpath, format="parquet").to_table().to_pandas()
+            if self.as_of is not None:
+                dpdf = dpdf[dpdf["del_gen"] <= self.as_of]
+            d = dpdf.groupby("doc_id")["del_gen"].max()
             if len(d):
                 self._deletes = d
         # facet filter index (written by FuguSparkEngine when facets exist)
@@ -232,6 +252,33 @@ class LocalSearcher:
 
         if not terms:
             return {}
+        if self.as_of is not None:
+            # pinned: the on-disk dictionary is the LIVE merged one —
+            # re-derive the terms' stats from block METADATA columns of
+            # the pinned generations (posting payloads never read)
+            try:
+                tbl = self._segments.to_table(
+                    columns=["term", "n_docs", "max_tf", "min_doc_len", "term_bucket"],
+                    filter=pads.field("term").isin(terms)
+                    & (pads.field("gen") <= self.as_of),
+                )
+            except Exception:
+                return {}
+            pdf = tbl.to_pandas()
+            if not len(pdf):
+                return {}
+            g = pdf.groupby("term").agg(
+                df=("n_docs", "sum"), max_tf=("max_tf", "max"),
+                min_doc_len=("min_doc_len", "min"), term_bucket=("term_bucket", "first"),
+            )
+            return {
+                t: {
+                    "df": int(r.df), "term_bucket": int(r.term_bucket),
+                    "max_tf": int(r.max_tf), "min_doc_len": int(r.min_doc_len),
+                    "idf": idf_py(int(r.df), self.n_docs),
+                }
+                for t, r in g.iterrows()
+            }
         try:
             tbl = self._terms.to_table(
                 columns=["term", "df", "term_bucket", "max_tf", "min_doc_len"],
@@ -256,6 +303,8 @@ class LocalSearcher:
         buckets = sorted({meta[t]["term_bucket"] for t in terms})
         cols = _META_BLOCK_COLS + _ENC_COLS + (_POS_COLS if need_pos else [])
         flt = pads.field("term_bucket").isin(buckets) & pads.field("term").isin(terms)
+        if self.as_of is not None:
+            flt = flt & (pads.field("gen") <= self.as_of)
         return self._segments.to_table(columns=cols, filter=flt).to_pandas()
 
     # --------------------------------------------------- postings cache
@@ -761,6 +810,11 @@ class LocalSearcher:
         """
         if search_after is not None and offset:
             raise ValueError("search_after and offset are mutually exclusive")
+        if self.as_of is not None and (filters or date_ranges):
+            raise ValueError(
+                "filters/date_ranges are not generation-pinned (the sidecar "
+                "indexes read live rows) — run point-in-time queries bare"
+            )
         plan = parse_query(query_text, mode=self.mode)
         if any(l.prefix_last or l.regex for l in plan.leaves):
             # prefix leaves ('term*', '"a b"*') and regex leaves

@@ -172,3 +172,44 @@ class TestCompactRange:
             compact_range(tiered, 2, 1)
         with pytest.raises(ValueError):
             compact_range(tiered, 0, 99)
+
+
+class TestServedPIT:
+    """LocalSearcher(as_of=g): the serving-side point-in-time twin."""
+
+    def test_pinned_serving_matches_fresh_build(self, indexes):
+        from fugu_spark.serve import LocalSearcher
+
+        si, ref = indexes
+        pinned = LocalSearcher(si.index_dir, as_of=0)
+        fresh = LocalSearcher(ref.index_dir)
+        for q in ["merge", "merge join", '"merge join"', "merge AND sort"]:
+            got = list(pinned.search(q, k=20).itertuples(index=False))
+            want = list(fresh.search(q, k=20).itertuples(index=False))
+            assert [g.doc_id for g in got] == [w.doc_id for w in want], q
+            for g, w in zip(got, want):
+                assert g.score == pytest.approx(w.score, abs=1e-9), q
+
+    def test_pinned_serving_stats(self, indexes):
+        from fugu_spark.serve import LocalSearcher
+
+        si, ref = indexes
+        pinned = LocalSearcher(si.index_dir, as_of=0)
+        live = LocalSearcher(si.index_dir)
+        assert pinned.n_docs == ref.stats.n_docs
+        assert live.n_docs == ref.stats.n_docs + 2
+
+    def test_pinned_serving_rejects_filters(self, indexes):
+        from fugu_spark.serve import LocalSearcher
+
+        si, _ = indexes
+        pinned = LocalSearcher(si.index_dir, as_of=0)
+        with pytest.raises(ValueError):
+            pinned.search("merge", k=5, filters=["/lang/en"])
+
+    def test_pinned_serving_bad_generation(self, indexes):
+        from fugu_spark.serve import LocalSearcher
+
+        si, _ = indexes
+        with pytest.raises(ValueError):
+            LocalSearcher(si.index_dir, as_of=-1)
