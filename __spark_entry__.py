@@ -637,6 +637,52 @@ def _compact_range_q(spark, sf_dir):
     return out.select("doc_id", F.round("score", 6).alias("score"))
 
 
+def _agg_filters_q(spark, sf_dir):
+    """ES `filters` bucket agg: three named predicate buckets with an
+    n_chars sum/avg metric — ONE grand aggregate, zero shuffles (every
+    bucket is a conditional aggregate; plan pinned in tests)."""
+    from fugu_spark.aggs import filters_agg
+
+    d = _docs(spark, sf_dir)
+    return filters_agg(
+        d,
+        {
+            "es_docs": F.col("lang") == "es",
+            "long": F.col("n_chars") >= 400,
+            "short": F.col("n_chars") < 200,
+        },
+        field="n_chars",
+    )
+
+
+def _ir_metrics_q(spark, sf_dir):
+    """IR evaluation (trec_eval metric set): rank two queries with the
+    one-job batch engine, judge against deterministically derived qrels
+    (docs containing 'sort'; grade 2 when 'scan' co-occurs), and compute
+    per-query P@10 / Recall@10 / RR / nDCG@10 — the eval loop a
+    retrieval pipeline runs after every index or model change."""
+    from fugu_spark.analytics.ir_eval import relevance_metrics
+    from fugu_spark.batch import batch_search_segments
+
+    si = _seg_index(spark, sf_dir)
+    results = batch_search_segments(si, [(1, "merge"), (2, "merge join")], k=10)
+    toks = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != "")
+    base = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.array_contains(toks, "sort").alias("has_sort"),
+        F.array_contains(toks, "scan").alias("has_scan"),
+    ).filter("has_sort")
+    qrels = (
+        spark.createDataFrame([(1,), (2,)], "query_id long")
+        .crossJoin(base)
+        .select(
+            "query_id", "doc_id",
+            (F.lit(1) + F.col("has_scan").cast("int")).alias("grade"),
+        )
+    )
+    return relevance_metrics(results, qrels, k=10)
+
+
 def _sig_terms_q(spark, sf_dir):
     """ES significant_terms (JLH): which langs are over-represented in
     the matched set of 'merge' vs the whole corpus — one groupBy
@@ -1416,6 +1462,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_fvf": _fvf_q,
         "agg_sig_terms": _sig_terms_q,
         "ccnet_perplexity": _ccnet_ppl_q,
+        "agg_filters": _agg_filters_q,
+        "ir_metrics": _ir_metrics_q,
         "bm25_as_of": _as_of_q,
         "bm25_as_of_served": _as_of_served_q,
         "segments_compact_range": _compact_range_q,
@@ -2751,6 +2799,69 @@ r AS (SELECT doc_id, sum(sc) AS s FROM scored
       WHERE term IN ('merge', 'join') GROUP BY doc_id)
 SELECT doc_id, round(s, 6) AS score FROM r
 ORDER BY s DESC, doc_id ASC LIMIT 10""",
+        # filters agg: conditional aggregates, one row per named bucket
+        "agg_filters": """
+            SELECT * FROM (
+              SELECT 'es_docs' AS key,
+                     count(*) FILTER (lang = 'es') AS doc_count,
+                     (sum(n_chars) FILTER (lang = 'es'))::BIGINT AS n_chars_sum,
+                     round(avg(n_chars) FILTER (lang = 'es'), 6) AS n_chars_avg
+              FROM documents
+              UNION ALL
+              SELECT 'long', count(*) FILTER (n_chars >= 400),
+                     (sum(n_chars) FILTER (n_chars >= 400))::BIGINT,
+                     round(avg(n_chars) FILTER (n_chars >= 400), 6) FROM documents
+              UNION ALL
+              SELECT 'short', count(*) FILTER (n_chars < 200),
+                     (sum(n_chars) FILTER (n_chars < 200))::BIGINT,
+                     round(avg(n_chars) FILTER (n_chars < 200), 6) FROM documents
+            ) ORDER BY key""",
+        # trec_eval metric set over the batch-ranked queries + derived qrels
+        "ir_metrics": f"""WITH {_TOK}, {_SCORED},
+res AS (
+  SELECT * FROM (
+    SELECT 1 AS qid, doc_id, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
+    FROM (SELECT doc_id, sum(sc) AS s FROM scored WHERE term = 'merge' GROUP BY 1))
+  WHERE rank <= 10
+  UNION ALL
+  SELECT * FROM (
+    SELECT 2 AS qid, doc_id, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
+    FROM (SELECT doc_id, sum(sc) AS s FROM scored
+          WHERE term IN ('merge', 'join') GROUP BY 1))
+  WHERE rank <= 10
+),
+qr AS (
+  SELECT q.qid, d.doc_id, 1 + (list_contains(l, 'scan'))::INT AS grade
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS l
+        FROM documents) d, (VALUES (1), (2)) q(qid)
+  WHERE list_contains(l, 'sort')
+),
+j AS (SELECT r.qid, r.rank, COALESCE(qr.grade, 0) AS rel
+      FROM res r LEFT JOIN qr ON r.qid = qr.qid AND r.doc_id = qr.doc_id),
+perq AS (
+  SELECT qid,
+         sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS n_hits,
+         min(CASE WHEN rel > 0 THEN rank END) AS first_rel,
+         sum(CASE WHEN rel > 0 THEN (pow(2, rel) - 1) / log2(rank + 1) ELSE 0 END) AS dcg
+  FROM j GROUP BY qid),
+nrel AS (SELECT qid, count(*) AS n_rel FROM qr GROUP BY qid),
+ideal AS (
+  SELECT qid, sum((pow(2, grade) - 1) / log2(r + 1)) AS idcg
+  FROM (SELECT qid, grade,
+               row_number() OVER (PARTITION BY qid ORDER BY grade DESC) AS r FROM qr)
+  WHERE r <= 10 GROUP BY qid)
+SELECT p.qid::BIGINT AS query_id,
+       round(p.n_hits / 10.0, 6) AS p_at_k,
+       round(CASE WHEN COALESCE(n.n_rel, 0) > 0
+                  THEN p.n_hits / CAST(n.n_rel AS DOUBLE) ELSE 0 END, 6) AS recall_at_k,
+       round(CASE WHEN p.first_rel IS NOT NULL
+                  THEN 1.0 / p.first_rel ELSE 0 END, 6) AS rr,
+       round(CASE WHEN COALESCE(i.idcg, 0) > 0
+                  THEN p.dcg / i.idcg ELSE 0 END, 6) AS ndcg_at_k
+FROM perq p LEFT JOIN nrel n USING (qid) LEFT JOIN ideal i USING (qid)
+ORDER BY query_id""",
         # significant_terms (JLH): fg/bg shares from ONE flagged scan
         "agg_sig_terms": f"""WITH {_TOK},
 m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'merge'),

@@ -53,6 +53,7 @@ __all__ = [
     "top_hits_agg",
     "composite_agg",
     "significant_terms_agg",
+    "filters_agg",
     "scope_to_matches",
 ]
 
@@ -455,4 +456,48 @@ def significant_terms_agg(
         )
         .orderBy(F.desc("score"), F.asc("key"))
         .limit(size)
+    )
+
+
+def filters_agg(
+    docs: DataFrame,
+    filters: dict,
+    field: str | None = None,
+    matched: DataFrame | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES `filters` bucket agg: one named bucket per predicate →
+    (key, doc_count[, <field>_sum, <field>_avg]). Unlike terms/histogram
+    this needs NO groupBy at all: every bucket is a conditional
+    aggregate (count(when(cond))) folded into ONE grand aggregation —
+    partial aggregation map-side, a single final row, then a tiny
+    explode to long form. Zero shuffles beyond the scan's own.
+
+    ``filters`` maps bucket name → boolean Column over ``docs``.
+    Buckets may overlap (ES semantics: each doc counts in every bucket
+    whose predicate it satisfies)."""
+    if not filters:
+        raise ValueError("filters_agg requires at least one named filter")
+    scoped = scope_to_matches(docs, matched, id_col)
+    aggs = []
+    for name, cond in filters.items():
+        aggs.append(F.count(F.when(cond, 1)).alias(f"__c_{name}"))
+        if field is not None:
+            aggs.append(F.sum(F.when(cond, F.col(field))).alias(f"__s_{name}"))
+            aggs.append(F.round(F.avg(F.when(cond, F.col(field))), 6).alias(f"__a_{name}"))
+    wide = scoped.agg(*aggs)
+    entries = []
+    for name in filters:
+        fields = [
+            F.lit(name).alias("key"),
+            F.col(f"__c_{name}").cast("long").alias("doc_count"),
+        ]
+        if field is not None:
+            fields.append(F.col(f"__s_{name}").cast("long").alias(f"{field}_sum"))
+            fields.append(F.col(f"__a_{name}").alias(f"{field}_avg"))
+        entries.append(F.struct(*fields))
+    return (
+        wide.select(F.explode(F.array(*entries)).alias("b"))
+        .select("b.*")
+        .orderBy("key")
     )
