@@ -637,6 +637,30 @@ def _compact_range_q(spark, sf_dir):
     return out.select("doc_id", F.round("score", 6).alias("score"))
 
 
+def _dsl_q(spark, sf_dir):
+    """Structured query DSL (fugu_spark/dsl.py): the ES-style dict twin
+    of 'merge join scan' with minimum_should_match=2 — compiles onto the
+    same Leaf plan the string parser builds (rank/score identity per
+    shape pinned in tests/test_dsl.py), so one oracle covers both
+    syntaxes."""
+    from fugu_spark.dsl import search_dsl
+
+    _, idx = _index(spark, sf_dir)
+    out = search_dsl(
+        idx,
+        {"bool": {
+            "should": [
+                {"term": {"_all": "merge"}},
+                {"term": {"_all": "join"}},
+                {"term": {"_all": "scan"}},
+            ],
+            "minimum_should_match": 2,
+        }},
+        k=10,
+    )
+    return out.select("doc_id", F.round("score", 6).alias("score"))
+
+
 def _agg_filters_q(spark, sf_dir):
     """ES `filters` bucket agg: three named predicate buckets with an
     n_chars sum/avg metric — ONE grand aggregate, zero shuffles (every
@@ -1464,6 +1488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_perplexity": _ccnet_ppl_q,
         "agg_filters": _agg_filters_q,
         "ir_metrics": _ir_metrics_q,
+        "bm25_dsl": _dsl_q,
         "bm25_as_of": _as_of_q,
         "bm25_as_of_served": _as_of_served_q,
         "segments_compact_range": _compact_range_q,
@@ -2988,6 +3013,11 @@ ORDER BY leaf_merge + leaf_src1 DESC, doc_id ASC LIMIT 10""",
             "regexp_full_match(term, 'jo.n.*') OR term = 'merge'"
         ),
         "bm25_msm2": _topk_sql(
+            "term IN ('merge','join','scan')",
+            having="HAVING count(DISTINCT term) >= 2",
+        ),
+        # the structured-DSL twin of bm25_msm2 — same plan, same oracle
+        "bm25_dsl": _topk_sql(
             "term IN ('merge','join','scan')",
             having="HAVING count(DISTINCT term) >= 2",
         ),
