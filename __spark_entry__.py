@@ -637,6 +637,25 @@ def _compact_range_q(spark, sf_dir):
     return out.select("doc_id", F.round("score", 6).alias("score"))
 
 
+def _index_stats_q(spark, sf_dir):
+    """Operational per-generation report (segments.index_stats) over the
+    mutated two-generation index from bm25_as_of — n_terms / n_postings
+    per generation and deletes recorded at each generation are all
+    recomputable from the corpus + the deterministic mutation, which is
+    what the oracle does. (blocks/bytes columns are format-internal and
+    excluded from the oracle comparison; pytest covers them.)"""
+    from fugu_spark.segments import index_stats
+
+    _as_of_q(spark, sf_dir)  # ensure the two-generation index exists
+    si = _TT_CACHE[sf_dir]
+    return index_stats(si).select(
+        F.col("gen").cast("int"),
+        F.col("n_terms").cast("long"),
+        "n_postings",
+        F.col("n_deleted_docs").cast("long"),
+    )
+
+
 def _dsl_q(spark, sf_dir):
     """Structured query DSL (fugu_spark/dsl.py): the ES-style dict twin
     of 'merge join scan' with minimum_should_match=2 — compiles onto the
@@ -1489,6 +1508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_filters": _agg_filters_q,
         "ir_metrics": _ir_metrics_q,
         "bm25_dsl": _dsl_q,
+        "index_stats": _index_stats_q,
         "bm25_as_of": _as_of_q,
         "bm25_as_of_served": _as_of_served_q,
         "segments_compact_range": _compact_range_q,
@@ -2813,6 +2833,33 @@ FROM topk WHERE rank <= 10 ORDER BY query_id, rank"""
 SELECT doc_id, round(s, 6) AS score FROM r
 ORDER BY s DESC, doc_id ASC LIMIT 10"""
         ),
+        # per-generation index stats recomputed from corpus + mutation
+        "index_stats": """
+            WITH mut AS (
+              SELECT doc_id, regexp_replace(text, 'merge|join', 'xqzy', 'g') AS text
+              FROM documents WHERE doc_id % 7 = 0
+            ),
+            t0 AS (
+              SELECT doc_id, unnest(list_filter(
+                       regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '')) AS term
+              FROM documents),
+            t1 AS (
+              SELECT doc_id, unnest(list_filter(
+                       regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '')) AS term
+              FROM mut),
+            p0 AS (SELECT count(DISTINCT term) AS nt,
+                          count(*) AS np
+                   FROM (SELECT DISTINCT term, doc_id FROM t0)),
+            p1 AS (SELECT count(DISTINCT term) AS nt, count(*) AS np
+                   FROM (SELECT DISTINCT term, doc_id FROM t1))
+            SELECT 0 AS gen, p0.nt::BIGINT AS n_terms, p0.np::BIGINT AS n_postings,
+                   0::BIGINT AS n_deleted_docs FROM p0
+            UNION ALL
+            SELECT 1, p1.nt::BIGINT, p1.np::BIGINT,
+                   (SELECT count(*) FROM mut)::BIGINT FROM p1
+            ORDER BY gen""",
         # point-in-time pin == the original corpus, by construction
         "bm25_as_of": f"""WITH {_TOK}, {_SCORED},
 r AS (SELECT doc_id, sum(sc) AS s FROM scored

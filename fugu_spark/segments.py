@@ -966,3 +966,44 @@ def compact_range(si: SegmentIndex, lo_gen: int, hi_gen: int) -> SegmentIndex:
         )],
     )
     return SegmentIndex.load(spark, si.index_dir)
+
+
+def index_stats(si: SegmentIndex) -> DataFrame:
+    """Operational report (ES _stats / Lucene segment-info analog): one
+    row per generation — terms, blocks, postings, encoded bytes, plus
+    masked-doc and pin-anchor visibility. Reads ONLY block METADATA
+    columns (column pruning skips the posting payloads) and the tiny
+    deletes table; cost is metadata-scale at any index size.
+
+    Columns: gen, n_terms, n_blocks, n_postings, bytes_encoded,
+    n_deleted_docs (docs whose del_gen == gen, i.e. deletes RECORDED at
+    this generation), pinned (whether a stats_history anchor exists, so
+    at_generation(gen) is available)."""
+    spark = si.spark
+    seg = spark.read.schema(SEG_READ_SCHEMA).parquet(
+        fsio.join(si.index_dir, "segments")
+    )
+    per_gen = seg.groupBy("gen").agg(
+        F.count_distinct("term").alias("n_terms"),
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum("n_docs").cast("long").alias("n_postings"),
+        F.sum("bytes_enc").cast("long").alias("bytes_encoded"),
+    )
+    dpath = fsio.join(si.index_dir, "deletes")
+    if fsio.exists(dpath):
+        dels = (
+            spark.read.parquet(dpath)
+            .groupBy(F.col("del_gen").alias("gen"))
+            .agg(F.count_distinct("doc_id").alias("n_deleted_docs"))
+        )
+        per_gen = per_gen.join(dels, "gen", "full").fillna(
+            0, subset=["n_terms", "n_blocks", "n_postings", "bytes_encoded", "n_deleted_docs"]
+        )
+    else:
+        per_gen = per_gen.withColumn("n_deleted_docs", F.lit(0).cast("long"))
+    hist = json.loads(fsio.read_text(fsio.join(si.index_dir, "stats.json"))).get(
+        "stats_history", []
+    )
+    anchors = {int(h["gen"]) for h in hist}
+    pin = F.col("gen").isin(sorted(anchors)) if anchors else F.lit(False)
+    return per_gen.withColumn("pinned", pin).orderBy("gen")

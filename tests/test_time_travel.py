@@ -213,3 +213,16 @@ class TestServedPIT:
         si, _ = indexes
         with pytest.raises(ValueError):
             LocalSearcher(si.index_dir, as_of=-1)
+
+
+def test_index_stats_report(indexes, spark):
+    from fugu_spark.segments import index_stats
+
+    si, ref = indexes
+    rows = {r.gen: r for r in index_stats(si).collect()}
+    assert set(rows) >= {0, 1}
+    assert rows[0].pinned and rows[1].pinned
+    # gen-0 postings == the fresh reference build's total postings
+    ref_rows = {r.gen: r for r in index_stats(ref).collect()}
+    assert rows[0].n_postings == ref_rows[0].n_postings
+    assert rows[1].n_terms > 0 and rows[1].bytes_encoded > 0
