@@ -637,6 +637,86 @@ def _compact_range_q(spark, sf_dir):
     return out.select("doc_id", F.round("score", 6).alias("score"))
 
 
+def _stream_window_q(spark, sf_dir):
+    """Watermarked windowed streaming aggregation (§2.11 extension):
+    daily event counts + value sums by event_type, computed through
+    readStream → withWatermark → window() groupBy and drained with
+    availableNow. Window starts are emitted as epoch seconds
+    (timezone-free hashing). One drain of a static source is
+    deterministic; the late-data drop semantics are pinned in
+    tests/test_streaming_analytics.py."""
+    import os
+    import shutil
+
+    import fugu_spark
+    from fugu_spark.streaming_analytics import (
+        run_complete_to_memory,
+        windowed_event_counts,
+    )
+
+    # the file stream source wants a DIRECTORY of files (the drop-folder
+    # contract) — stage the events table into one
+    d = (
+        f"/tmp/fugu_entry_evstream_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_v{fugu_spark.__version__}"
+    )
+    if not os.path.isdir(d):
+        os.makedirs(d, exist_ok=True)
+        shutil.copy(f"{sf_dir}/events.parquet", f"{d}/events.parquet")
+    s = windowed_event_counts(
+        spark,
+        d,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+        ts_col="ts",
+        window="1 day",
+        watermark="1 hour",
+        group_col="event_type",
+        value_col="value",
+    )
+    import re as _re
+
+    sink = "wins_" + _re.sub(r"\W", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    out = run_complete_to_memory(s, sink, spark)
+    return out.select(
+        F.col("window.start").cast("long").alias("day_start_s"),
+        "event_type",
+        F.col("n_events").cast("long"),
+        "value_sum",
+    ).orderBy("day_start_s", "event_type")
+
+
+def _stream_dedup_q(spark, sf_dir):
+    """Cross-batch stateful streaming dedup (applyInPandasWithState):
+    the corpus streams in two micro-batch files — originals, then
+    id+10000 copies — and only first occurrences survive (within a
+    batch: lowest id; across batches: the earlier batch). The oracle is
+    min(doc_id) per content hash over the union, which the batch
+    ordering makes identical."""
+    import os
+    import shutil
+
+    import fugu_spark
+    from fugu_spark.streaming_analytics import stream_dedup
+
+    d = (
+        f"/tmp/fugu_entry_sdedup_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_v{fugu_spark.__version__}"
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    src, out, cp = f"{d}/src", f"{d}/out", f"{d}/cp"
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    docs.coalesce(1).write.mode("append").parquet(src)
+    docs.select((F.col("doc_id") + 10000).alias("doc_id"), "text").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    stream_dedup(
+        spark, src, "doc_id long, text string", out, cp,
+        text_col="text", id_col="doc_id", max_files_per_trigger=1,
+    )
+    return spark.read.parquet(out).orderBy("content_hash")
+
+
 def _index_stats_q(spark, sf_dir):
     """Operational per-generation report (segments.index_stats) over the
     mutated two-generation index from bm25_as_of — n_terms / n_postings
@@ -1509,6 +1589,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ir_metrics": _ir_metrics_q,
         "bm25_dsl": _dsl_q,
         "index_stats": _index_stats_q,
+        "stream_window_counts": _stream_window_q,
+        "stream_dedup": _stream_dedup_q,
         "bm25_as_of": _as_of_q,
         "bm25_as_of_served": _as_of_served_q,
         "segments_compact_range": _compact_range_q,
@@ -2833,6 +2915,21 @@ FROM topk WHERE rank <= 10 ORDER BY query_id, rank"""
 SELECT doc_id, round(s, 6) AS score FROM r
 ORDER BY s DESC, doc_id ASC LIMIT 10"""
         ),
+        # watermarked daily windowed counts == plain GROUP BY on a finite
+        # source (epoch-second window starts keep the hash timezone-free)
+        "stream_window_counts": """
+            SELECT epoch(date_trunc('day', ts))::BIGINT AS day_start_s,
+                   event_type, count(*) AS n_events,
+                   round(sum(value), 6) AS value_sum
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+        # streaming first-seen dedup == min doc_id per content hash over
+        # the union (batch order makes the two coincide)
+        "stream_dedup": """
+            WITH c AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL SELECT doc_id + 10000, text FROM documents)
+            SELECT md5(text) AS content_hash, min(doc_id) AS doc_id
+            FROM c GROUP BY md5(text) ORDER BY 1""",
         # per-generation index stats recomputed from corpus + mutation
         "index_stats": """
             WITH mut AS (
