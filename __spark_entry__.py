@@ -760,6 +760,18 @@ def _dsl_q(spark, sf_dir):
     return out.select("doc_id", F.round("score", 6).alias("score"))
 
 
+def _sig_text_q(spark, sf_dir):
+    """ES significant_text (JLH over index TOKENS): the terms that
+    characterize the matched set of 'merge' vs the corpus — fg df from a
+    postings semi-join, bg df from the dictionary."""
+    from fugu_spark.aggs import significant_text_agg
+
+    _, idx = _index(spark, sf_dir)
+    return significant_text_agg(
+        idx, _matched_set(spark, sf_dir, "merge"), size=10, min_doc_count=2
+    )
+
+
 def _agg_filters_q(spark, sf_dir):
     """ES `filters` bucket agg: three named predicate buckets with an
     n_chars sum/avg metric — ONE grand aggregate, zero shuffles (every
@@ -1586,6 +1598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_sig_terms": _sig_terms_q,
         "ccnet_perplexity": _ccnet_ppl_q,
         "agg_filters": _agg_filters_q,
+        "agg_sig_text": _sig_text_q,
         "ir_metrics": _ir_metrics_q,
         "bm25_dsl": _dsl_q,
         "index_stats": _index_stats_q,
@@ -2985,6 +2998,22 @@ ORDER BY s DESC, doc_id ASC LIMIT 10""",
                      (sum(n_chars) FILTER (n_chars < 200))::BIGINT,
                      round(avg(n_chars) FILTER (n_chars < 200), 6) FROM documents
             ) ORDER BY key""",
+        # significant_text: token-level JLH (fg df via matched semi-join,
+        # bg df = dictionary df)
+        "agg_sig_text": f"""WITH {_TOK},
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'merge'),
+fgt AS (SELECT count(*) AS n FROM m),
+fg AS (SELECT t.term, count(DISTINCT t.doc_id) AS fg_count
+       FROM tok t JOIN m USING (doc_id) GROUP BY t.term
+       HAVING count(DISTINCT t.doc_id) >= 2),
+bg AS (SELECT term, count(*) AS bg_count FROM post GROUP BY term)
+SELECT fg.term AS key, fg.fg_count::BIGINT AS fg_count,
+       bg.bg_count::BIGINT AS bg_count,
+       round((fg.fg_count / CAST(fgt.n AS DOUBLE) - bg.bg_count / CAST(s.n AS DOUBLE))
+             * ((fg.fg_count / CAST(fgt.n AS DOUBLE))
+                / (bg.bg_count / CAST(s.n AS DOUBLE))), 6) AS score
+FROM fg JOIN bg USING (term), fgt, stats s
+ORDER BY score DESC, key ASC LIMIT 10""",
         # trec_eval metric set over the batch-ranked queries + derived qrels
         "ir_metrics": f"""WITH {_TOK}, {_SCORED},
 res AS (

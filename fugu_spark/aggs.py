@@ -53,6 +53,7 @@ __all__ = [
     "top_hits_agg",
     "composite_agg",
     "significant_terms_agg",
+    "significant_text_agg",
     "filters_agg",
     "scope_to_matches",
 ]
@@ -500,4 +501,53 @@ def filters_agg(
         wide.select(F.explode(F.array(*entries)).alias("b"))
         .select("b.*")
         .orderBy("key")
+    )
+
+
+def significant_text_agg(
+    index,
+    matched: DataFrame,
+    size: int = 10,
+    min_doc_count: int = 2,
+    max_bg_frac: float | None = None,
+) -> DataFrame:
+    """ES `significant_text` (JLH over TOKENS): which index terms are
+    over-represented in the matched docs' text relative to the corpus —
+    "what are these results about". Foreground df comes from a semi-join
+    of the postings onto the matched set (one shuffle); background df is
+    a dictionary lookup (already aggregated); totals are scalars.
+
+    ``max_bg_frac`` drops terms whose corpus df exceeds that fraction of
+    all docs (ES's stopword guard — at web scale the top of the JLH
+    list without it is 'the'/'of' noise whenever the matched set skews
+    long)."""
+    from .postings import InvertedIndex
+
+    if not isinstance(index, InvertedIndex):
+        raise TypeError("significant_text_agg wants the table-native InvertedIndex")
+    keys = matched.select(F.col("doc_id").cast("long").alias("doc_id")).distinct()
+    fg_total = keys.count()  # scalar: matched-set size (bounded driver value)
+    if fg_total == 0:
+        raise ValueError("empty matched set")
+    bg_total = index.stats.n_docs
+    fg = (
+        index.postings.join(keys, "doc_id", "left_semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("fg_count"))
+        .filter(F.col("fg_count") >= min_doc_count)
+    )
+    joined = fg.join(index.terms.select("term", F.col("df").alias("bg_count")), "term")
+    if max_bg_frac is not None:
+        joined = joined.filter(F.col("bg_count") <= float(max_bg_frac) * bg_total)
+    fg_pct = F.col("fg_count") / F.lit(float(fg_total))
+    bg_pct = F.col("bg_count") / F.lit(float(bg_total))
+    return (
+        joined.select(
+            F.col("term").alias("key"),
+            F.col("fg_count").cast("long").alias("fg_count"),
+            F.col("bg_count").cast("long").alias("bg_count"),
+            F.round((fg_pct - bg_pct) * (fg_pct / bg_pct), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("key"))
+        .limit(size)
     )

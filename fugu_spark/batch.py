@@ -344,7 +344,14 @@ def _batch_execute(
     plans = []
     expander = None
     for qid, text in queries:
-        plan = parse_query(text, mode=mode, fields=parse_fields)
+        if isinstance(text, dict):
+            # structured-DSL query (fugu_spark.dsl) — compiles onto the
+            # same plan shapes, so batching is identical downstream
+            from .dsl import compile_query
+
+            plan = compile_query(text, mode=mode)
+        else:
+            plan = parse_query(text, mode=mode, fields=parse_fields)
         from .queryparse import expand_plan, needs_expansion
 
         if needs_expansion(plan):

@@ -90,3 +90,31 @@ def test_errors():
         compile_query({"term": {"_all": "two words"}})  # splits
     with pytest.raises(ValueError):
         compile_query({"bool": {}})  # empty
+
+
+def test_batch_accepts_dsl_dicts(spark, index, tmp_path):
+    """batch_search_segments with dict queries == the same batch with the
+    string twins (plan-level identity makes the whole job identical)."""
+    from fugu_spark.batch import batch_search_segments
+    from fugu_spark.segments import build_segments
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in DOCS.items()], "doc_id long, content string"
+    )
+    d = str(tmp_path / "idx")
+    si = build_segments(df, d, id_col="doc_id", text_col="content")
+    strings = batch_search_segments(
+        si, [(1, "merge join"), (2, "merge AND sort")], k=10
+    ).collect()
+    dicts = batch_search_segments(
+        si,
+        [
+            (1, {"match": {"_all": "merge join"}}),
+            (2, {"bool": {"must": [{"term": {"_all": "merge"}},
+                                   {"term": {"_all": "sort"}}]}}),
+        ],
+        k=10,
+    ).collect()
+    key = lambda r: (r.query_id, r.rank)
+    assert sorted([(r.query_id, r.rank, r.doc_id, round(r.score, 9)) for r in strings]) == \
+           sorted([(r.query_id, r.rank, r.doc_id, round(r.score, 9)) for r in dicts])

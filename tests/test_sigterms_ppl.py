@@ -128,3 +128,38 @@ class TestBigramPerplexity:
             for r in bigram_lm_perplexity(score_df, lm_docs=docs_df).collect()
         }
         assert got[100] < got[101]
+
+
+class TestSignificantText:
+    def test_jlh_over_tokens(self, docs_df, index):
+        from collections import Counter
+
+        from fugu_spark.aggs import significant_text_agg
+
+        plan = expand_plan(parse_query("merge"), dict_expander({None: index}))
+        matched = execute_plan(index, plan)
+        got = {
+            r.key: (r.fg_count, r.bg_count, r.score)
+            for r in significant_text_agg(index, matched, size=50, min_doc_count=1).collect()
+        }
+        fg_docs = {0, 2, 4, 8, 9}
+        fg = Counter(t for d in fg_docs for t in set(_tok(DOCS[d])))
+        bg = Counter(t for d in DOCS for t in set(_tok(DOCS[d])))
+        for term, (fgc, bgc, score) in got.items():
+            assert fgc == fg[term] and bgc == bg[term], term
+            fp, bp = fgc / len(fg_docs), bgc / len(DOCS)
+            assert score == pytest.approx(round((fp - bp) * (fp / bp), 6), abs=1e-6)
+        # 'merge' itself must top the list (fg% is 100%)
+        top = max(got, key=lambda t: got[t][2])
+        assert top == "merge"
+
+    def test_stopword_guard(self, docs_df, index):
+        from fugu_spark.aggs import significant_text_agg
+
+        plan = expand_plan(parse_query("quick"), dict_expander({None: index}))
+        matched = execute_plan(index, plan)
+        out = significant_text_agg(
+            index, matched, size=50, min_doc_count=1, max_bg_frac=0.3
+        ).collect()
+        # every surviving term's corpus df <= 30% of 12 docs
+        assert all(r.bg_count <= 0.3 * 12 for r in out)
