@@ -260,6 +260,57 @@ def _multifield_q(query: str, k: int = 10):
     return run
 
 
+_TRI_CACHE: dict[str, str] = {}
+
+
+def _tri_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf) the Zoekt-style trigram sidecar used by the
+    substring/regex code-search entries (fugu_spark/trigram.py)."""
+    if sf_dir not in _TRI_CACHE:
+        import os
+        import shutil
+
+        import fugu_spark
+        from fugu_spark import trigram as TG
+
+        d = (
+            f"/tmp/fugu_entry_tri_{os.path.basename(sf_dir.rstrip('/'))}"
+            f"_v{fugu_spark.__version__}"
+        )
+        shutil.rmtree(d, ignore_errors=True)
+        TG.build_trigram_index(
+            _docs(spark, sf_dir).select("doc_id", "text"), d
+        )
+        _TRI_CACHE[sf_dir] = d
+    return _TRI_CACHE[sf_dir]
+
+
+def _trigram_substring_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fugu_spark import trigram as TG
+
+    return TG.substring_search(
+        spark, _tri_dir(spark, sf_dir), _docs(spark, sf_dir), "merge join"
+    )
+
+
+def _trigram_regex_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fugu_spark import trigram as TG
+
+    return TG.regex_search(
+        spark, _tri_dir(spark, sf_dir), _docs(spark, sf_dir), "merge (join|sort)"
+    )
+
+
+def _trigram_served_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fugu_spark import trigram as TG
+
+    s = TG.TrigramSearcher(
+        _tri_dir(spark, sf_dir), f"{sf_dir}/documents.parquet"
+    )
+    pdf = s.substring("merge join")
+    return spark.createDataFrame(pdf, "doc_id long, n_occ long")
+
+
 _ENG_CACHE: dict[str, object] = {}
 
 
@@ -1578,6 +1629,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out = {
         # --- block 1: new this round (never driver-verified) ---
+        # Zoekt-style trigram code search (fugu_spark/trigram.py)
+        "trigram_substring": _trigram_substring_q,
+        "trigram_regex": _trigram_regex_q,
+        "trigram_substring_served": _trigram_served_q,
         # ES/Tantivy aggregation surface (fugu_spark/aggs.py)
         "agg_terms_stats": _agg_terms_stats,
         "agg_histogram": _agg_histogram,
@@ -2862,7 +2917,21 @@ topk AS (
 )
 SELECT query_id, doc_id, round(score, 6) AS score, rank
 FROM topk WHERE rank <= 10 ORDER BY query_id, rank"""
+    trigram_substring_sql = """
+        SELECT doc_id,
+               CAST((length(text) - length(replace(text, 'merge join', '')))
+                    / length('merge join') AS BIGINT) AS n_occ
+        FROM documents WHERE instr(text, 'merge join') > 0 ORDER BY doc_id"""
     return {
+        # --- trigram code search (fugu_spark/trigram.py) ---
+        "trigram_substring": trigram_substring_sql,
+        "trigram_substring_served": trigram_substring_sql,
+        "trigram_regex": """
+            SELECT doc_id,
+                   length(regexp_extract_all(text, 'merge (join|sort)'))::BIGINT
+                     AS n_matches
+            FROM documents WHERE regexp_matches(text, 'merge (join|sort)')
+            ORDER BY doc_id""",
         # --- aggregations (fugu_spark/aggs.py) ---
         "agg_terms_stats": """
             SELECT lang AS key, count(*) AS doc_count,

@@ -1,0 +1,233 @@
+"""Trigram index: extraction soundness, build/query parity vs full
+scans, shard reassembly, served-path parity, fallback behavior."""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from fugu_spark import trigram as TG
+
+DOCS = [
+    (0, "def merge_join(left, right): return left"),
+    (1, "MERGE JOIN uses sorted runs"),
+    (2, "the quick brown fox jumps over the lazy dog"),
+    (3, "value = hash(key) % n_buckets"),
+    (4, "merge sort is stable; merge join is not a sort"),
+    (5, "x" * 10),
+    (6, "ab"),
+    (7, "import numpy as np\nvalue2 = hash(obj)"),
+    (8, "Colour or color, both spellings appear"),
+    (9, "mergers and acquisitions"),
+]
+
+
+@pytest.fixture(scope="module")
+def tri_index(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("tri"))
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    # shard_docs=4 → multi-shard posting rows for common trigrams,
+    # exercising the cross-shard concat on both query paths
+    TG.build_trigram_index(docs, d, shard_docs=4)
+    return d, docs
+
+
+# ---------------------------------------------------------------- extraction
+
+
+def test_substring_required_basic():
+    g = TG.substring_required("hash(")
+    assert [sorted(x) for x in g] == [["has"], ["ash"], ["sh("]]
+    assert TG.substring_required("ab") == []
+
+
+def test_case_variant_groups():
+    (g,) = TG.substring_required("abc", ignore_case=True)
+    assert g == frozenset(
+        {"abc", "abC", "aBc", "aBC", "Abc", "AbC", "ABc", "ABC"}
+    )
+
+
+def test_regex_required_shapes():
+    req = TG.regex_required("value.*hash")
+    assert frozenset({"val"}) in req and frozenset({"ash"}) in req
+    # alternation: only factors common to every branch survive
+    assert TG.regex_required("(foo|foobar)") == [frozenset({"foo"})]
+    assert TG.regex_required("merge (join|sort)") == TG.substring_required("merge ")
+    # group inlining keeps the literal run contiguous
+    assert frozenset({"cde"}) in TG.regex_required("(abc)def")
+    # nothing provable → empty (full-scan fallback)
+    assert TG.regex_required("[0-9]+") == []
+    assert TG.regex_required("(*invalid") == []
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.sampled_from(
+        [
+            "merge (join|sort)",
+            "foo(bar)?baz",
+            "colou?r",
+            "import\\s+numpy",
+            "a{2,5}bcd",
+            "(abc)+def",
+            "value.*hash",
+            "^def [a-z_]+\\(self\\)",
+        ]
+    ),
+    st.data(),
+)
+def test_required_trigrams_sound(pattern, data):
+    """Soundness: any string MATCHING the pattern contains ≥1 alternate
+    of every required group — i.e. the prefilter can never drop a true
+    match (the property that makes the index an optimization, not an
+    approximation)."""
+    s = data.draw(st.from_regex(pattern))
+    for group in TG.regex_required(pattern):
+        assert any(t in s for t in group), (pattern, s, group)
+
+
+# ------------------------------------------------------------- spark parity
+
+
+def _scan_substring(docs, needle):
+    n_occ = (
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit(needle))))
+        / F.lit(len(needle))
+    ).cast("long")
+    return {
+        (r.doc_id, r.n_occ)
+        for r in docs.select("doc_id", n_occ.alias("n_occ"))
+        .filter(F.col("n_occ") > 0)
+        .collect()
+    }
+
+
+@pytest.mark.parametrize("needle", ["merge join", "hash(", "sort", "xx", "zzz"])
+def test_substring_parity(spark, tri_index, needle):
+    d, docs = tri_index
+    got = {
+        (r.doc_id, r.n_occ)
+        for r in TG.substring_search(spark, d, docs, needle).collect()
+    }
+    assert got == _scan_substring(docs, needle)
+
+
+def test_substring_ignore_case(spark, tri_index):
+    d, docs = tri_index
+    got = {
+        (r.doc_id, r.n_occ)
+        for r in TG.substring_search(spark, d, docs, "Colour", ignore_case=True).collect()
+    }
+    assert got == {(8, 1)}
+    # exact-case finds only the literal spelling
+    got2 = {r.doc_id for r in TG.substring_search(spark, d, docs, "Colour").collect()}
+    assert got2 == {8}
+    got3 = {
+        r.doc_id
+        for r in TG.substring_search(spark, d, docs, "MERGE", ignore_case=True).collect()
+    }
+    assert got3 == {0, 1, 4, 9}
+
+
+@pytest.mark.parametrize(
+    "pattern",
+    ["merge (join|sort)", "value.? = hash", "[0-9]+", "qu.ck", "nomatchxyz"],
+)
+def test_regex_parity_vs_scan(spark, tri_index, pattern):
+    d, docs = tri_index
+    scan = {
+        (r.doc_id, r.n)
+        for r in docs.select(
+            "doc_id",
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(pattern), F.lit(0)))
+            .cast("long")
+            .alias("n"),
+        )
+        .filter(F.col("n") > 0)
+        .collect()
+    }
+    got = {
+        (r.doc_id, r.n_matches)
+        for r in TG.regex_search(spark, d, docs, pattern).collect()
+    }
+    assert got == scan
+
+
+def test_prefilter_actually_prunes(spark, tri_index):
+    """The selective path reads the sidecar (the plan contains the
+    trigram_index scan) and its candidate count is < corpus size."""
+    d, docs = tri_index
+    groups = TG.substring_required("merge join")
+    cand = TG.candidate_docs(spark, d, groups)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "trigram_index" in plan
+    ids = {r.doc_id for r in cand.collect()}
+    # doc 4 holds the literal "merge join"; docs without all trigrams
+    # (e.g. doc 0's "merge_join", doc 9's "mergers") were pruned
+    assert 4 in ids and len(ids) < len(DOCS)
+
+
+# ------------------------------------------------------------- served parity
+
+
+def test_served_parity(spark, tri_index, tmp_path):
+    d, docs = tri_index
+    docs_path = str(tmp_path / "docs.parquet")
+    docs.write.mode("overwrite").parquet(docs_path)
+    s = TG.TrigramSearcher(d, docs_path)
+
+    for needle in ["merge join", "hash(", "zzz", "xx"]:
+        pdf = s.substring(needle)
+        got = set(zip(pdf["doc_id"], pdf["n_occ"]))
+        assert got == _scan_substring(docs, needle), needle
+
+    pdf = s.substring("MERGE", ignore_case=True)
+    assert set(pdf["doc_id"]) == {0, 1, 4, 9}
+
+    pdf = s.regex("merge (join|sort)")
+    assert set(pdf["doc_id"]) == {
+        r.doc_id
+        for r in docs.filter(F.col("text").rlike("merge (join|sort)")).collect()
+    }
+
+
+def test_served_candidates_sorted_across_shards(spark, tri_index, tmp_path):
+    """shard_docs=4 splits common trigrams across posting rows; the
+    concatenated id stream must stay ascending (the intersection
+    relies on it)."""
+    d, docs = tri_index
+    docs_path = str(tmp_path / "docs2.parquet")
+    docs.write.mode("overwrite").parquet(docs_path)
+    s = TG.TrigramSearcher(d, docs_path)
+    post = s._postings({"erg", "rge", " th"})
+    assert post, "expected at least one posting"
+    for tri, arr in post.items():
+        assert np.all(np.diff(arr) > 0), tri
+
+
+def test_build_is_range_clustered(tri_index):
+    """Every parquet file's [min(tri), max(tri)] ranges are disjoint —
+    the property row-group pruning depends on."""
+    import pyarrow.dataset as pads
+
+    d, _ = tri_index
+    import os
+
+    ranges = []
+    for f in pads.dataset(os.path.join(d, TG.TRIGRAM_DIR)).files:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(f).metadata
+        col = [md.row_group(i).column(0) for i in range(md.num_row_groups)]
+        stats = [c.statistics for c in col if c.statistics is not None]
+        if stats:
+            ranges.append((min(s.min for s in stats), max(s.max for s in stats)))
+    ranges.sort()
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
+        assert a_hi <= b_lo
