@@ -84,9 +84,10 @@ def test_spark_submit_py_files_build_and_query(tmp_path):
         timeout=420,
     )
     assert build.returncode == 0, f"build failed:\n{build.stdout[-2000:]}\n{build.stderr[-2000:]}"
-    # the job pretty-prints one JSON object; parse from its opening line
+    # the job pretty-prints one JSON object whose opening brace sits at
+    # column 0 (nested objects are indented — don't anchor on those)
     lines = build.stdout.strip().splitlines()
-    start = max(i for i, ln in enumerate(lines) if ln.lstrip().startswith("{"))
+    start = max(i for i, ln in enumerate(lines) if ln.startswith("{"))
     stats = json.loads("\n".join(lines[start:]))
     assert stats.get("n_docs") == 500, stats
     assert stats.get("n_postings", 0) > 10_000, stats
