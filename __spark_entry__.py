@@ -301,6 +301,14 @@ def _trigram_regex_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _trigram_grep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fugu_spark import trigram as TG
+
+    return TG.trigram_grep(
+        spark, _tri_dir(spark, sf_dir), _docs(spark, sf_dir), "value\\w* hash"
+    )
+
+
 def _trigram_served_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fugu_spark import trigram as TG
 
@@ -1633,6 +1641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trigram_substring": _trigram_substring_q,
         "trigram_regex": _trigram_regex_q,
         "trigram_substring_served": _trigram_served_q,
+        "trigram_grep": _trigram_grep_q,
         # ES/Tantivy aggregation surface (fugu_spark/aggs.py)
         "agg_terms_stats": _agg_terms_stats,
         "agg_histogram": _agg_histogram,
@@ -2932,6 +2941,12 @@ FROM topk WHERE rank <= 10 ORDER BY query_id, rank"""
                      AS n_matches
             FROM documents WHERE regexp_matches(text, 'merge (join|sort)')
             ORDER BY doc_id""",
+        # documents.text is single-line in the synthetic corpus (same
+        # note as grep_lines); multi-line numbering is pytest-pinned
+        "trigram_grep": (
+            "SELECT doc_id, 1 AS line_no, text AS line FROM documents "
+            "WHERE regexp_matches(text, 'value\\w* hash')"
+        ),
         # --- aggregations (fugu_spark/aggs.py) ---
         "agg_terms_stats": """
             SELECT lang AS key, count(*) AS doc_count,

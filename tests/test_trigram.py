@@ -173,6 +173,19 @@ def test_prefilter_actually_prunes(spark, tri_index):
     assert 4 in ids and len(ids) < len(DOCS)
 
 
+@pytest.mark.parametrize("pattern", ["merge (join|sort)", "hash\\(", "[0-9]+"])
+def test_trigram_grep_parity(spark, tri_index, pattern):
+    from fugu_spark.analytics.codesearch import grep
+
+    d, docs = tri_index
+    want = {tuple(r) for r in grep(docs, pattern).collect()}
+    got = {tuple(r) for r in TG.trigram_grep(spark, d, docs, pattern).collect()}
+    assert got == want
+    # multi-line doc 7 keeps real line numbers through the prefilter
+    if pattern == "hash\\(":
+        assert (7, 2, "value2 = hash(obj)") in got
+
+
 # ------------------------------------------------------------- served parity
 
 
