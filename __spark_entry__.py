@@ -319,6 +319,80 @@ def _trigram_served_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(pdf, "doc_id long, n_occ long")
 
 
+_SYM_CACHE: dict[str, str] = {}
+
+# the driver corpus has no real definitions, so a code file is DERIVED
+# deterministically (same trick as _code_index): every lowercase word of
+# length ≥ 8 becomes one "def <word>():" line. The DuckDB oracle mirrors
+# the derivation with unnest + generate_subscripts over the same words.
+_SYM_DERIVE = (
+    "array_join(transform(filter(split(lower(text), '[^a-z]+'),"
+    " w -> length(w) >= 6), w -> concat('def ', w, '():')), '\n')"
+)
+
+
+def _sym_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_SYM_DERIVE).alias("text")
+    )
+
+
+def _sym_dir(spark: SparkSession, sf_dir: str) -> str:
+    if sf_dir not in _SYM_CACHE:
+        import os
+        import shutil
+
+        import fugu_spark
+        from fugu_spark.analytics import symbols as SY
+
+        d = (
+            f"/tmp/fugu_entry_sym_{os.path.basename(sf_dir.rstrip('/'))}"
+            f"_v{fugu_spark.__version__}"
+        )
+        shutil.rmtree(d, ignore_errors=True)
+        SY.build_symbol_index(SY.extract_symbols(_sym_docs(spark, sf_dir)), d)
+        _SYM_CACHE[sf_dir] = d
+    return _SYM_CACHE[sf_dir]
+
+
+def _sym_cols(df: DataFrame) -> DataFrame:
+    return df.select(
+        "doc_id", F.col("line_no").cast("long").alias("line_no"), "kind", "name"
+    )
+
+
+def _sym_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fugu_spark.analytics import symbols as SY
+
+    return _sym_cols(SY.extract_symbols(_sym_docs(spark, sf_dir)))
+
+
+def _sym_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fugu_spark.analytics import symbols as SY
+
+    return _sym_cols(SY.symbol_search(spark, _sym_dir(spark, sf_dir), "filter"))
+
+
+def _sym_prefix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fugu_spark.analytics import symbols as SY
+
+    return _sym_cols(
+        SY.symbol_search(spark, _sym_dir(spark, sf_dir), "c", prefix=True)
+    )
+
+
+def _sym_served_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fugu_spark.analytics import symbols as SY
+
+    pdf = SY.SymbolSearcher(_sym_dir(spark, sf_dir)).lookup("filter")
+    pdf = pdf[["doc_id", "line_no", "kind", "name"]].astype(
+        {"doc_id": "int64", "line_no": "int64"}
+    )
+    return spark.createDataFrame(
+        pdf, "doc_id long, line_no long, kind string, name string"
+    )
+
+
 _ENG_CACHE: dict[str, object] = {}
 
 
@@ -1642,6 +1716,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trigram_regex": _trigram_regex_q,
         "trigram_substring_served": _trigram_served_q,
         "trigram_grep": _trigram_grep_q,
+        # ctags-lite symbol extraction + definition search (analytics/symbols.py)
+        "sym_extract": _sym_extract_q,
+        "sym_search": _sym_search_q,
+        "sym_prefix": _sym_prefix_q,
+        "sym_search_served": _sym_served_q,
         # ES/Tantivy aggregation surface (fugu_spark/aggs.py)
         "agg_terms_stats": _agg_terms_stats,
         "agg_histogram": _agg_histogram,
@@ -2926,6 +3005,19 @@ topk AS (
 )
 SELECT query_id, doc_id, round(score, 6) AS score, rank
 FROM topk WHERE rank <= 10 ORDER BY query_id, rank"""
+    _SYM_ORACLE = """
+WITH words AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                     w -> length(w) >= 6) AS ws
+  FROM documents
+),
+syms AS (
+  SELECT doc_id, generate_subscripts(ws, 1)::BIGINT AS line_no,
+         'def' AS kind, unnest(ws) AS name
+  FROM words
+)
+"""
     trigram_substring_sql = """
         SELECT doc_id,
                CAST((length(text) - length(replace(text, 'merge join', '')))
@@ -2947,6 +3039,15 @@ FROM topk WHERE rank <= 10 ORDER BY query_id, rank"""
             "SELECT doc_id, 1 AS line_no, text AS line FROM documents "
             "WHERE regexp_matches(text, 'value\\w* hash')"
         ),
+        # --- symbols: the oracle re-derives the "def <word>():" corpus
+        # with unnest + generate_subscripts over the same word list
+        "sym_extract": _SYM_ORACLE + "SELECT doc_id, line_no, kind, name FROM syms ORDER BY doc_id, line_no",
+        "sym_search": _SYM_ORACLE
+        + "SELECT doc_id, line_no, kind, name FROM syms WHERE name = 'filter' ORDER BY doc_id, line_no",
+        "sym_search_served": _SYM_ORACLE
+        + "SELECT doc_id, line_no, kind, name FROM syms WHERE name = 'filter' ORDER BY doc_id, line_no",
+        "sym_prefix": _SYM_ORACLE
+        + "SELECT doc_id, line_no, kind, name FROM syms WHERE name LIKE 'c%' ORDER BY name, doc_id, line_no",
         # --- aggregations (fugu_spark/aggs.py) ---
         "agg_terms_stats": """
             SELECT lang AS key, count(*) AS doc_count,
