@@ -301,6 +301,26 @@ def _trigram_regex_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _combined_fields_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene CombinedFieldQuery (BM25F blend) over text w=1 + source
+    w=2 — term-centric: tf/len/df merge across fields BEFORE the BM25
+    nonlinearity (vs multifield_or, which sums after)."""
+    from fugu_spark.search import combined_fields_search
+
+    docs, idx_text = _index(spark, sf_dir)
+    key = sf_dir + "#srcfield"
+    if key not in _CACHE:
+        _CACHE[key] = (docs, P.build_index(docs, id_col="doc_id", text_col="source"))
+    _, idx_src = _CACHE[key]
+    out = combined_fields_search(
+        {"text": idx_text, "source": idx_src},
+        "merge src1",
+        weights={"source": 2.0},
+        k=10,
+    )
+    return out.select("doc_id", F.round("score", 6).alias("score"))
+
+
 def _trigram_grep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fugu_spark import trigram as TG
 
@@ -1716,6 +1736,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trigram_regex": _trigram_regex_q,
         "trigram_substring_served": _trigram_served_q,
         "trigram_grep": _trigram_grep_q,
+        # BM25F-style term-centric field blending (search.py)
+        "combined_fields": _combined_fields_q,
         # ctags-lite symbol extraction + definition search (analytics/symbols.py)
         "sym_extract": _sym_extract_q,
         "sym_search": _sym_search_q,
@@ -3039,6 +3061,36 @@ syms AS (
             "SELECT doc_id, 1 AS line_no, text AS line FROM documents "
             "WHERE regexp_matches(text, 'value\\w* hash')"
         ),
+        # BM25F pseudo-stats: tf = tf_text + 2·[source=t]; len = len_text
+        # + 2 (source is one token per doc); avgdl = avgdl_text + 2;
+        # df = docs containing t in EITHER field
+        "combined_fields": f"""WITH {_TOK},
+cpost AS (
+  SELECT term, doc_id, sum(wtf) AS tf FROM (
+    SELECT term, doc_id, tf::DOUBLE AS wtf FROM post
+    UNION ALL
+    SELECT lower(source) AS term, doc_id, 2.0 AS wtf FROM documents
+  ) GROUP BY 1, 2
+),
+cdl AS (
+  SELECT d.doc_id, COALESCE(dl.doc_len, 0) + 2.0 AS len_c
+  FROM documents d LEFT JOIN dl USING (doc_id)
+),
+cs AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(doc_len) FROM dl)::DOUBLE
+           / (SELECT count(*) FROM documents) + 2.0 AS avgdl
+),
+ct AS (SELECT term, count(*) AS df FROM cpost GROUP BY 1),
+csc AS (
+  SELECT p.doc_id,
+         ln(1 + (cs.n - ct.df + 0.5) / (ct.df + 0.5)) * p.tf * 2.2
+           / (p.tf + 1.2 * (0.25 + 0.75 * d.len_c / cs.avgdl)) AS sc
+  FROM cpost p JOIN ct USING (term) JOIN cdl d USING (doc_id), cs
+  WHERE p.term IN ('merge', 'src1')
+)
+SELECT doc_id, round(sum(sc), 6) AS score FROM csc
+GROUP BY doc_id ORDER BY sum(sc) DESC, doc_id ASC LIMIT 10""",
         # --- symbols: the oracle re-derives the "def <word>():" corpus
         # with unnest + generate_subscripts over the same word list
         "sym_extract": _SYM_ORACLE + "SELECT doc_id, line_no, kind, name FROM syms ORDER BY doc_id, line_no",

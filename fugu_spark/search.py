@@ -1072,6 +1072,135 @@ def search_fields(
     return top_k(scored, k=k, offset=offset)
 
 
+def combined_fields_search(
+    indexes: dict[str, InvertedIndex],
+    query_text: str,
+    weights: dict[str, float] | None = None,
+    k: int = 10,
+    offset: int = 0,
+    operator: str = "or",
+    mode: str = DEFAULT_MODE,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Lucene ``CombinedFieldQuery`` / ES ``combined_fields`` — BM25F-
+    style scoring that treats the fields as ONE virtual field
+    (documented extension; public semantics from the Lucene class and
+    the BM25F paper it implements):
+
+    - tf(t, d)   = Σ_f w_f · tf_f(t, d)
+    - len(d)     = Σ_f w_f · len_f(d); avgdl = Σ_f w_f · avgdl_f
+      (fields are built over the SAME corpus, so the per-field means
+      blend linearly — asserted below)
+    - df(t)      = |{d : t appears in ANY field}|
+    - one BM25 pass over those pseudo-stats.
+
+    This is term-centric blending — fundamentally different from Q9
+    multi-field sum and dis_max, which score fields independently and
+    combine AFTER the nonlinearity. Like ES, all fields must share the
+    analysis chain and only flat bare-term queries are accepted
+    (``+term`` musts and ``operator="and"`` gate on matched terms).
+
+    Scale shape: per-field postings are pre-filtered to the query's
+    terms (dictionary-pruned scans), the tf blend and the per-doc
+    combine are the only data shuffles, and df is a broadcast-joined
+    |terms|-row aggregate. The combined norm len(d) is aggregated from
+    the per-field postings at query time in this table-native form; the
+    segment path stores per-doc lengths as a sidecar, where the blend
+    is a precomputed column (Lucene precomputes norms identically)."""
+    if not indexes:
+        raise ValueError("combined_fields_search needs ≥1 field index")
+    w = {f: 1.0 for f in indexes}
+    for f, v in (weights or {}).items():
+        if f not in indexes:
+            raise ValueError(f"unknown field {f!r}")
+        if v < 1.0:
+            raise ValueError("combined_fields weights must be ≥ 1 (Lucene rule)")
+        w[f] = float(v)
+    plan = parse_query(query_text, mode=mode, fields=frozenset(indexes))
+    if plan.is_all or plan.root is not None:
+        raise ValueError("combined_fields supports flat bare-term queries")
+    terms: list[str] = []
+    musts: list[str] = []
+    for leaf in plan.leaves:
+        if (
+            leaf.is_phrase
+            or leaf.prefix_last
+            or leaf.fuzzy
+            or leaf.regex
+            or leaf.rng is not None
+            or leaf.fld is not None
+            or leaf.synonym
+            or leaf.occur == "must_not"
+            or len(leaf.terms) != 1
+        ):
+            raise ValueError(
+                "combined_fields supports flat bare-term queries "
+                "(the ES combined_fields restriction)"
+            )
+        terms.append(leaf.terms[0])
+        if leaf.occur == "must":
+            musts.append(leaf.terms[0])
+    terms = list(dict.fromkeys(terms))
+    n_set = {idx.n_docs for idx in indexes.values()}
+    if len(n_set) != 1:
+        raise ValueError("all field indexes must cover the same corpus")
+    n_docs = n_set.pop()
+    avgdl_c = sum(w[f] * idx.avgdl for f, idx in indexes.items())
+
+    upost = reduce(
+        lambda a, bdf: a.unionByName(bdf),
+        [
+            idx.postings.filter(F.col("term").isin(terms)).select(
+                "term",
+                "doc_id",
+                (F.col("tf").cast("double") * F.lit(w[f])).alias("wtf"),
+            )
+            for f, idx in indexes.items()
+        ],
+    )
+    tfc = upost.groupBy("term", "doc_id").agg(F.sum("wtf").alias("tf_c"))
+    dfc = tfc.groupBy("term").agg(F.count(F.lit(1)).alias("df_c"))
+    lens = (
+        reduce(
+            lambda a, bdf: a.unionByName(bdf),
+            [
+                idx.postings.select("doc_id", "doc_len")
+                .distinct()
+                .select(
+                    "doc_id",
+                    (F.col("doc_len").cast("double") * F.lit(w[f])).alias("wlen"),
+                )
+                for f, idx in indexes.items()
+            ],
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("wlen").alias("len_c"))
+    )
+    idf = F.log(
+        F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df_c") + 0.5) / (F.col("df_c") + 0.5)
+    )
+    tfn = (
+        F.col("tf_c")
+        * (k1 + 1.0)
+        / (F.col("tf_c") + k1 * (1.0 - b + b * F.col("len_c") / F.lit(avgdl_c)))
+    )
+    per_doc = (
+        tfc.join(F.broadcast(dfc), "term")
+        .join(lens, "doc_id")
+        .select("doc_id", "term", (idf * tfn).alias("sc"))
+        .groupBy("doc_id")
+        .agg(F.sum("sc").alias("score"), F.collect_set("term").alias("_mt"))
+    )
+    need = terms if operator == "and" else musts
+    if need:
+        per_doc = per_doc.filter(
+            F.size(F.array_intersect(F.col("_mt"), F.array(*[F.lit(t) for t in need])))
+            == len(set(need))
+        )
+    return top_k(per_doc.select("doc_id", "score"), k=k, offset=offset)
+
+
 def top_k(
     scored: DataFrame,
     k: int = 10,
