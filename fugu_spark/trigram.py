@@ -27,11 +27,15 @@ Scale design:
   10^12 docs — the same skew treatment the segment builder applies to
   hot terms (segments.py:307).
 - **Storage** is a range-clustered parquet sidecar ``trigram_index/``
-  ``(tri, shard, df, doc_ids array<long>)`` sorted by ``(tri, shard)``
-  — identical layout contract to the term dictionary and filter/date
-  sidecars, so both Spark (predicate pushdown) and the pyarrow serving
-  path (row-group min/max pruning) read only the row groups whose
-  ``tri`` range matches the query's trigrams.
+  ``(tri_code, shard, df, doc_ids array<long>)`` sorted by
+  ``(tri_code, shard)`` — identical layout contract to the term
+  dictionary and filter/date sidecars, so both Spark (predicate
+  pushdown) and the pyarrow serving path (row-group min/max pruning)
+  read only the row groups whose code range matches the query's
+  trigrams. A trigram is stored as its packed 63-bit codepoint triple
+  (``pack_trigram``), never as a string — fixed-width comparisons in
+  the scan, no string materialization anywhere in the build (Zoekt
+  stores integer trigrams for the same reason).
 - **Query** reads only the required trigrams' rows, intersects via one
   groupBy (candidate = doc carrying ALL required trigram groups), and
   verifies only candidates against the raw text. Verification joins the
@@ -64,6 +68,7 @@ import re
 
 TRIGRAM_DIR = "trigram_index"
 DEFAULT_SHARD_DOCS = 1 << 20  # ids per posting row: bounds task + row size
+_CHUNK_CHARS = 6_000_000  # kernel chunk: keeps the dedup sort cache-hot
 
 
 # ---------------------------------------------------------------------------
@@ -208,23 +213,117 @@ def regex_required(pattern: str) -> list[frozenset[str]]:
 # ---------------------------------------------------------------------------
 
 
-def doc_trigram_rows(
+def doc_trigram_rows_sql(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(tri, doc_id) — one row per DISTINCT trigram per document.
-
-    Pure JVM: sequence/transform/array_distinct/explode inside
-    whole-stage codegen; no Python touches the text. array_distinct
-    runs BEFORE the explode so generator volume is the distinct-trigram
-    count (bounded by text length and in practice far below it), not
-    the raw position count."""
+    """(tri, doc_id) via pure JVM expressions — the semantic REFERENCE
+    implementation (sequence/transform/array_distinct/explode). Correct
+    and shuffle-free, but each position materializes a String object;
+    the Arrow kernel below is ~10× faster and parity-pinned against
+    this in tests."""
+    # NB: sequence(1, 0) is DESCENDING [1, 0] in Spark, so docs shorter
+    # than 3 chars must short-circuit to an empty array, not rely on an
+    # empty sequence
     tris = F.expr(
-        f"array_distinct(transform(sequence(1, greatest(length({text_col}) - 2, 0)),"
+        f"case when length({text_col}) >= 3 then"
+        f" array_distinct(transform(sequence(1, length({text_col}) - 2),"
         f" i -> substring({text_col}, i, 3)))"
+        f" else array() end"
     )
     return docs.select(
         F.col(id_col).cast("long").alias("doc_id"), F.explode(tris).alias("tri")
     )
+
+
+def _trigram_kernel(ids: np.ndarray, texts: "pd.Series") -> pd.DataFrame:
+    """Vectorized distinct-trigram extraction for one Arrow batch.
+
+    No per-row Python: every text in the batch is decoded to one flat
+    uint32 codepoint array (utf-32), docs separated by two sentinel
+    codepoints (> 0x10FFFF, so no real trigram spans a boundary); the
+    window mask and the packed 63-bit trigram codes are computed with
+    three 1-D gathers; (doc, code) pairs are deduplicated with ONE
+    lexsort + neighbor-diff (doc index is already nondecreasing, so the
+    stable int radix sorts stay near-linear — a structured-dtype
+    np.unique here measured 7× slower)."""
+    if len(texts) == 0:
+        return pd.DataFrame(
+            {"doc_id": np.empty(0, np.int64), "tri_code": np.empty(0, np.int64)}
+        )
+    SENT = np.uint32(0x110000)
+    parts: list[np.ndarray] = []
+    bounds = np.empty(len(texts) + 1, dtype=np.int64)
+    pos = 0
+    for i, t in enumerate(texts):  # assembly loop: O(docs), not O(chars)
+        bounds[i] = pos
+        cp = np.frombuffer(t.encode("utf-32-le"), dtype="<u4")
+        parts.append(cp)
+        parts.append(np.array([SENT, SENT], dtype=np.uint32))
+        pos += len(cp) + 2
+    bounds[-1] = pos
+    flat = np.concatenate(parts)
+    if flat.size < 3:
+        return pd.DataFrame(
+            {"doc_id": np.empty(0, np.int64), "tri_code": np.empty(0, np.int64)}
+        )
+    real = flat < SENT
+    ok = real[:-2] & real[1:-1] & real[2:]
+    idx = np.nonzero(ok)[0]
+    doc_ix = np.searchsorted(bounds, idx, side="right") - 1
+    packed = (
+        (flat[idx].astype(np.uint64) << np.uint64(42))
+        | (flat[idx + 1].astype(np.uint64) << np.uint64(21))
+        | flat[idx + 2].astype(np.uint64)
+    ).view(np.int64)
+    order = np.lexsort((packed, doc_ix))
+    d, c = doc_ix[order], packed[order]
+    keep = np.empty(len(order), dtype=bool)
+    keep[0] = True
+    np.not_equal(d[1:], d[:-1], out=keep[1:])
+    keep[1:] |= c[1:] != c[:-1]
+    return pd.DataFrame({"doc_id": ids[d[keep]], "tri_code": c[keep]})
+
+
+def doc_trigram_rows(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(tri_code, doc_id) — one row per DISTINCT trigram per document.
+
+    Arrow-vectorized mapInPandas over (id, text): each chunk is
+    processed with numpy sliding windows and one lexsort dedup —
+    per-row Python never touches the characters (input_hint contract).
+    Arrow batches are re-chunked to ~``_CHUNK_CHARS`` characters before
+    the kernel: the dedup sort is O(n log n) with ~10× temporaries, so
+    an UNBOUNDED batch (10k rows × big files at low partition counts)
+    would thrash cache and memory while a bounded chunk stays hot —
+    this keeps per-task memory constant at ANY partition count/file
+    size mix. Output is identical to doc_trigram_rows_sql
+    (parity-pinned)."""
+
+    def kernel(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            ids = pdf["doc_id"].to_numpy(np.int64)
+            texts = pdf["text"]
+            sizes = texts.str.len().to_numpy(np.int64)
+            csum = np.cumsum(sizes)
+            lo = 0
+            while lo < n:
+                hi = int(
+                    np.searchsorted(
+                        csum, (csum[lo - 1] if lo else 0) + _CHUNK_CHARS, "left"
+                    )
+                ) + 1
+                hi = min(max(hi, lo + 1), n)
+                yield _trigram_kernel(ids[lo:hi], texts.iloc[lo:hi])
+                lo = hi
+
+    rows = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")
+    )
+    return rows.mapInPandas(kernel, schema="doc_id long, tri_code long")
 
 
 def build_trigram_index(
@@ -250,7 +349,7 @@ def build_trigram_index(
     rows = (
         doc_trigram_rows(docs, id_col=id_col, text_col=text_col)
         .withColumn("shard", (F.col("doc_id") / F.lit(shard_docs)).cast("long"))
-        .groupBy("tri", "shard")
+        .groupBy("tri_code", "shard")
         .agg(
             F.count(F.lit(1)).alias("df"),
             F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
@@ -258,8 +357,10 @@ def build_trigram_index(
     )
     out = fsio.join(index_dir, TRIGRAM_DIR)
     (
-        rows.repartitionByRange(sized_range_partitions(rows, SIDECAR_PART_BYTES), "tri")
-        .sortWithinPartitions("tri", "shard")
+        rows.repartitionByRange(
+            sized_range_partitions(rows, SIDECAR_PART_BYTES), "tri_code"
+        )
+        .sortWithinPartitions("tri_code", "shard")
         .write.mode(mode)
         .parquet(out)
     )
@@ -271,9 +372,23 @@ def build_trigram_index(
 # ---------------------------------------------------------------------------
 
 
+def pack_trigram(tri: str) -> int:
+    """The storage code of a trigram: 3 codepoints packed 21 bits each
+    (≤ 63 bits, so it is a plain non-negative int64 everywhere)."""
+    return (ord(tri[0]) << 42) | (ord(tri[1]) << 21) | ord(tri[2])
+
+
+def unpack_trigram(code: int) -> str:
+    return "".join(
+        chr((code >> sh) & 0x1FFFFF) for sh in (42, 21, 0)
+    )
+
+
 def _group_table(spark: SparkSession, groups: list[frozenset[str]]) -> DataFrame:
-    rows = [(int(i), t) for i, g in enumerate(groups) for t in sorted(g)]
-    return spark.createDataFrame(rows, "gid int, tri string")
+    rows = [
+        (int(i), pack_trigram(t)) for i, g in enumerate(groups) for t in sorted(g)
+    ]
+    return spark.createDataFrame(rows, "gid int, tri_code long")
 
 
 def candidate_docs(
@@ -290,15 +405,15 @@ def candidate_docs(
 
     if not groups:
         raise ValueError("candidate_docs requires ≥1 trigram group")
-    alts = sorted({t for g in groups for t in g})
+    alts = sorted({pack_trigram(t) for g in groups for t in g})
     post = (
         spark.read.parquet(fsio.join(index_dir, TRIGRAM_DIR))
-        .filter(F.col("tri").isin(alts))
-        .select("tri", "doc_ids")
+        .filter(F.col("tri_code").isin(alts))
+        .select("tri_code", "doc_ids")
     )
     g = _group_table(spark, groups)
     return (
-        post.join(F.broadcast(g), "tri")
+        post.join(F.broadcast(g), "tri_code")
         .select("gid", F.explode("doc_ids").alias("doc_id"))
         .groupBy("doc_id")
         .agg(F.count_distinct("gid").alias("n_g"))
@@ -422,16 +537,21 @@ class TrigramSearcher:
     def _postings(self, alts: set[str]) -> dict[str, np.ndarray]:
         import pyarrow.dataset as pads
 
+        codes = {pack_trigram(t): t for t in alts}
         tbl = self._tri.to_table(
-            columns=["tri", "shard", "doc_ids"],
-            filter=pads.field("tri").isin(sorted(alts)),
+            columns=["tri_code", "shard", "doc_ids"],
+            filter=pads.field("tri_code").isin(sorted(codes)),
         ).to_pandas()
         out: dict[str, np.ndarray] = {}
-        for tri, grp in tbl.sort_values(["tri", "shard"]).groupby("tri", sort=False):
+        for code, grp in tbl.sort_values(["tri_code", "shard"]).groupby(
+            "tri_code", sort=False
+        ):
             # ascending within each shard row and shards are disjoint
             # ascending ranges → plain concat stays sorted
             arrs = [np.asarray(a, dtype=np.int64) for a in grp["doc_ids"]]
-            out[str(tri)] = np.concatenate(arrs) if arrs else np.empty(0, np.int64)
+            out[codes[int(code)]] = (
+                np.concatenate(arrs) if arrs else np.empty(0, np.int64)
+            )
         return out
 
     def candidates(self, groups: list[frozenset[str]]) -> np.ndarray:

@@ -92,6 +92,25 @@ def test_required_trigrams_sound(pattern, data):
         assert any(t in s for t in group), (pattern, s, group)
 
 
+def test_arrow_kernel_matches_sql_reference(spark):
+    """The vectorized extraction and the JVM expression produce the
+    identical (doc_id, tri) multiset — including unicode, empty, and
+    sub-3-char docs."""
+    docs = spark.createDataFrame(
+        DOCS + [(10, ""), (11, "héllo wörld"), (12, "日本語のテキスト"), (13, "ab\ncd")],
+        "doc_id long, text string",
+    )
+    a = {(r.doc_id, r.tri_code) for r in TG.doc_trigram_rows(docs).collect()}
+    b = {
+        (r.doc_id, TG.pack_trigram(r.tri))
+        for r in TG.doc_trigram_rows_sql(docs).collect()
+    }
+    assert a == b
+    # pack/unpack round-trips any codepoint triple
+    for t in ["abc", " \t\n", "日本語", "a€z"]:
+        assert TG.unpack_trigram(TG.pack_trigram(t)) == t
+
+
 # ------------------------------------------------------------- spark parity
 
 
