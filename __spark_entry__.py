@@ -301,6 +301,26 @@ def _trigram_regex_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _agg_adjacency_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fugu_spark.aggs import adjacency_matrix_agg
+
+    return adjacency_matrix_agg(
+        _docs(spark, sf_dir),
+        {
+            "de": F.col("lang") == "de",
+            "en": F.col("lang") == "en",
+            "long": F.col("n_chars") >= 300,
+        },
+    )
+
+
+def _agg_rare_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fugu_spark.aggs import rare_terms_agg
+
+    _, idx = _index(spark, sf_dir)
+    return rare_terms_agg(idx.postings, "term", max_doc_count=385)
+
+
 def _combined_fields_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lucene CombinedFieldQuery (BM25F blend) over text w=1 + source
     w=2 — term-centric: tf/len/df merge across fields BEFORE the BM25
@@ -1738,6 +1758,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trigram_grep": _trigram_grep_q,
         # BM25F-style term-centric field blending (search.py)
         "combined_fields": _combined_fields_q,
+        # adjacency_matrix + rare_terms aggs (aggs.py)
+        "agg_adjacency": _agg_adjacency_q,
+        "agg_rare_terms": _agg_rare_terms_q,
         # ctags-lite symbol extraction + definition search (analytics/symbols.py)
         "sym_extract": _sym_extract_q,
         "sym_search": _sym_search_q,
@@ -3061,6 +3084,30 @@ syms AS (
             "SELECT doc_id, 1 AS line_no, text AS line FROM documents "
             "WHERE regexp_matches(text, 'value\\w* hash')"
         ),
+        # adjacency_matrix: conditional counts, pairwise keys a&b in
+        # ascending name order, empty buckets omitted (ES contract)
+        "agg_adjacency": """
+WITH m AS (
+  SELECT count(CASE WHEN lang = 'de' THEN 1 END) AS c_de,
+         count(CASE WHEN lang = 'en' THEN 1 END) AS c_en,
+         count(CASE WHEN n_chars >= 300 THEN 1 END) AS c_long,
+         count(CASE WHEN lang = 'de' AND lang = 'en' THEN 1 END) AS c_de_en,
+         count(CASE WHEN lang = 'de' AND n_chars >= 300 THEN 1 END) AS c_de_long,
+         count(CASE WHEN lang = 'en' AND n_chars >= 300 THEN 1 END) AS c_en_long
+  FROM documents
+)
+SELECT key, doc_count FROM (
+  SELECT 'de' AS key, c_de AS doc_count FROM m UNION ALL
+  SELECT 'de&en', c_de_en FROM m UNION ALL
+  SELECT 'de&long', c_de_long FROM m UNION ALL
+  SELECT 'en', c_en FROM m UNION ALL
+  SELECT 'en&long', c_en_long FROM m UNION ALL
+  SELECT 'long', c_long FROM m
+) WHERE doc_count > 0 ORDER BY key""",
+        "agg_rare_terms": f"""WITH {_TOK}
+SELECT term AS key, count(*)::BIGINT AS doc_count
+FROM post GROUP BY term HAVING count(*) <= 385
+ORDER BY doc_count, key""",
         # BM25F pseudo-stats: tf = tf_text + 2·[source=t]; len = len_text
         # + 2 (source is one token per doc); avgdl = avgdl_text + 2;
         # df = docs containing t in EITHER field

@@ -551,3 +551,66 @@ def significant_text_agg(
         .orderBy(F.desc("score"), F.asc("key"))
         .limit(size)
     )
+
+
+def adjacency_matrix_agg(
+    docs: DataFrame,
+    filters: dict,
+    matched: DataFrame | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES `adjacency_matrix` bucket agg: one bucket per named filter and
+    one per pairwise intersection (key "a&b", names in ascending order)
+    → (key, doc_count), empty buckets omitted (ES contract). Like
+    filters_agg this is ONE grand aggregation of conditional counts —
+    n + n(n-1)/2 aggregate expressions, zero groupBy, zero extra
+    shuffles; the quadratic term is in EXPRESSIONS (ES caps n at 100
+    for the same reason), never in data movement."""
+    if not filters:
+        raise ValueError("adjacency_matrix_agg requires ≥1 named filter")
+    names = sorted(filters)
+    scoped = scope_to_matches(docs, matched, id_col)
+    cells: list[tuple[str, Column]] = [(n, filters[n]) for n in names]
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            cells.append((f"{a}&{b}", filters[a] & filters[b]))
+    wide = scoped.agg(
+        *[F.count(F.when(cond, 1)).alias(f"__c_{i}") for i, (_, cond) in enumerate(cells)]
+    )
+    entries = [
+        F.struct(
+            F.lit(key).alias("key"),
+            F.col(f"__c_{i}").cast("long").alias("doc_count"),
+        )
+        for i, (key, _) in enumerate(cells)
+    ]
+    return (
+        wide.select(F.explode(F.array(*entries)).alias("b"))
+        .select("b.*")
+        .filter(F.col("doc_count") > 0)
+        .orderBy("key")
+    )
+
+
+def rare_terms_agg(
+    frame: DataFrame,
+    field: str,
+    max_doc_count: int = 1,
+    matched: DataFrame | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES `rare_terms` bucket agg: values of ``field`` appearing in at
+    most ``max_doc_count`` documents → (key, doc_count), ordered
+    doc_count ASC then key ASC (the ES long-tail ordering — the agg is
+    the inverse of terms_agg's most-common head). One shuffle
+    (groupBy field, distinct-doc count with map-side partial agg);
+    the post-aggregation doc_count filter is exact, not ES's
+    probabilistic CuckooFilter approximation — a documented divergence
+    (exactness is cheap here; the oracle verifies it)."""
+    scoped = scope_to_matches(frame, matched, id_col)
+    return (
+        scoped.groupBy(F.col(field).alias("key"))
+        .agg(F.count_distinct(F.col(id_col)).alias("doc_count"))
+        .filter(F.col("doc_count") <= max_doc_count)
+        .orderBy("doc_count", "key")
+    )

@@ -259,3 +259,55 @@ class TestComposite:
             composite_agg(docs_df, ["lang", "source"], after_key=("a",))
         with pytest.raises(ValueError):
             composite_agg(docs_df, [])
+
+
+def test_adjacency_matrix(spark, docs_df):
+    from fugu_spark.aggs import adjacency_matrix_agg
+
+    out = adjacency_matrix_agg(
+        docs_df,
+        {
+            "py": F.col("lang") == "py",
+            "rs": F.col("lang") == "rs",
+            "long": F.col("n_chars") >= 30,
+        },
+    ).collect()
+    got = {r.key: r.doc_count for r in out}
+    rows = docs_df.select("lang", "n_chars").collect()
+    want = {
+        "py": sum(1 for r in rows if r.lang == "py"),
+        "rs": sum(1 for r in rows if r.lang == "rs"),
+        "long": sum(1 for r in rows if r.n_chars >= 30),
+        "long&py": sum(1 for r in rows if r.lang == "py" and r.n_chars >= 30),
+        "long&rs": sum(1 for r in rows if r.lang == "rs" and r.n_chars >= 30),
+        "py&rs": 0,  # disjoint — must be OMITTED
+    }
+    want = {k: v for k, v in want.items() if v > 0}
+    assert got == want
+    # keys ordered ascending
+    assert [r.key for r in out] == sorted(got)
+    # ONE grand aggregation: no hash-partitioned exchange in the plan
+    plan = (
+        adjacency_matrix_agg(docs_df, {"py": F.col("lang") == "py"})
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_rare_terms(spark):
+    from fugu_spark.aggs import rare_terms_agg
+
+    frame = spark.createDataFrame(
+        [
+            (0, "common"), (1, "common"), (2, "common"),
+            (3, "twice"), (4, "twice"),
+            (5, "once"), (6, "alone"),
+            (5, "once"),  # duplicate (doc, term) row: doc_count is DISTINCT docs
+        ],
+        "doc_id long, term string",
+    )
+    r1 = rare_terms_agg(frame, "term", max_doc_count=1).collect()
+    assert [(r.key, r.doc_count) for r in r1] == [("alone", 1), ("once", 1)]
+    r2 = rare_terms_agg(frame, "term", max_doc_count=2).collect()
+    assert [(r.key, r.doc_count) for r in r2] == [
+        ("alone", 1), ("once", 1), ("twice", 2)]
