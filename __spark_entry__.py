@@ -301,6 +301,30 @@ def _trigram_regex_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _snapshot_restore_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot the segment index into a repository, restore into a
+    FRESH directory, search the restored copy — results must equal the
+    plain oracle topk (proves the restored index is whole)."""
+    import os
+    import shutil
+
+    import fugu_spark
+    from fugu_spark import snapshot as SN
+    from fugu_spark.segment_search import search_segments
+    from fugu_spark.segments import SegmentIndex
+
+    si = _seg_index(spark, sf_dir)
+    base = (
+        f"/tmp/fugu_entry_snap_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_v{fugu_spark.__version__}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    SN.snapshot(si.index_dir, f"{base}/repo", "s1")
+    restored = SN.restore(f"{base}/repo", "s1", f"{base}/restored")
+    out = search_segments(SegmentIndex.load(spark, restored), "merge join", k=10)
+    return out.select("doc_id", F.round("score", 6).alias("score"))
+
+
 def _agg_adjacency_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fugu_spark.aggs import adjacency_matrix_agg
 
@@ -1761,6 +1785,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # adjacency_matrix + rare_terms aggs (aggs.py)
         "agg_adjacency": _agg_adjacency_q,
         "agg_rare_terms": _agg_rare_terms_q,
+        # snapshot/restore (snapshot.py): search over a restored copy
+        "bm25_snapshot_restore": _snapshot_restore_q,
         # ctags-lite symbol extraction + definition search (analytics/symbols.py)
         "sym_extract": _sym_extract_q,
         "sym_search": _sym_search_q,
@@ -3651,6 +3677,7 @@ GROUP BY sc.doc_id ORDER BY sum(sc.sc) DESC, sc.doc_id ASC LIMIT 100""",
         "bm25_or_k100": _topk_sql("term IN ('merge','join')", k=100),
         "bm25_filtered_lang": _FILTERED_SQL,
         "bm25_segments_or": _topk_sql("term IN ('merge','join')"),
+        "bm25_snapshot_restore": _topk_sql("term IN ('merge','join')"),
         "bm25_segments_wand": _topk_sql("term IN ('merge','join')"),
         "bm25_segments_and": _topk_sql(
             "term IN ('merge','join')", having="HAVING count(DISTINCT term) = 2"
