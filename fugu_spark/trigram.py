@@ -367,6 +367,39 @@ def build_trigram_index(
     return out
 
 
+def update_trigram_index(
+    docs_batch: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_docs: int = DEFAULT_SHARD_DOCS,
+) -> str:
+    """Incremental maintenance: append the batch's trigram postings
+    after an upsert — no rebuild, no read of the existing sidecar.
+
+    Why append alone is CORRECT here (unlike the main index, which
+    needs generation masks): the trigram index is a PREFILTER whose
+    output is always verified against live text. A deleted doc's stale
+    postings die at the verification join (the doc is gone from the
+    docs table); a replaced doc's stale postings produce at most a
+    false candidate (one wasted verification) — while its NEW text's
+    trigrams, appended here, are what keeps true matches findable.
+    Both query paths already tolerate duplicate (tri_code, shard) keys:
+    the Spark path counts distinct group ids per doc, and the served
+    path passes every per-group posting union through np.unique.
+    Compact by rebuilding with ``build_trigram_index(mode="overwrite")``
+    when the appended fraction grows large (same rule as segment
+    compaction)."""
+    return build_trigram_index(
+        docs_batch,
+        index_dir,
+        id_col=id_col,
+        text_col=text_col,
+        shard_docs=shard_docs,
+        mode="append",
+    )
+
+
 # ---------------------------------------------------------------------------
 # query: Spark path
 # ---------------------------------------------------------------------------

@@ -243,6 +243,39 @@ def test_served_candidates_sorted_across_shards(spark, tri_index, tmp_path):
         assert np.all(np.diff(arr) > 0), tri
 
 
+def test_incremental_update_parity(spark, tmp_path):
+    """Append-mode maintenance: after an upsert (replace + insert +
+    delete), prefiltered results equal a full scan of the LIVE corpus —
+    stale postings never surface, new text is findable."""
+    base = spark.createDataFrame(DOCS, "doc_id long, text string")
+    d = str(tmp_path / "tri_inc")
+    TG.build_trigram_index(base, d, shard_docs=4)
+    # live corpus: doc 0 replaced (new needle), doc 2 deleted, doc 20 new
+    live = base.filter(F.col("doc_id").isin([1, 3, 4, 5, 6, 7, 8, 9])).unionByName(
+        spark.createDataFrame(
+            [(0, "replacement text with zebra stripes"),
+             (20, "fresh doc mentioning zebra crossings")],
+            "doc_id long, text string",
+        )
+    )
+    TG.update_trigram_index(
+        live.filter(F.col("doc_id").isin([0, 20])), d, shard_docs=4
+    )
+    # new-text needle found through the prefilter
+    got = {r.doc_id for r in TG.substring_search(spark, d, live, "zebra").collect()}
+    assert got == {0, 20}
+    # old-text needle of the replaced doc no longer matches; deleted doc gone
+    got2 = {r.doc_id for r in TG.substring_search(spark, d, live, "merge").collect()}
+    want2 = {r.doc_id for r in live.filter(F.col("text").contains("merge")).collect()}
+    assert got2 == want2 and 0 not in got2 and 2 not in got2
+    # served path over the appended sidecar (duplicate keys tolerated)
+    docs_path = str(tmp_path / "live.parquet")
+    live.write.mode("overwrite").parquet(docs_path)
+    s = TG.TrigramSearcher(d, docs_path)
+    assert set(s.substring("zebra")["doc_id"]) == {0, 20}
+    assert set(s.substring("merge")["doc_id"]) == want2
+
+
 def test_build_is_range_clustered(tri_index):
     """Every parquet file's [min(tri), max(tri)] ranges are disjoint —
     the property row-group pruning depends on."""
