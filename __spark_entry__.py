@@ -301,6 +301,41 @@ def _trigram_regex_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FED_CACHE: dict[str, tuple] = {}
+
+
+def _fed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus split across TWO segment indexes; federated DFS search
+    must score identically to the plain single-index oracle."""
+    import os
+    import shutil
+
+    import fugu_spark
+    from fugu_spark.federated import search_federated
+    from fugu_spark.segments import build_segments
+
+    if sf_dir not in _FED_CACHE:
+        base = (
+            f"/tmp/fugu_entry_fed_{os.path.basename(sf_dir.rstrip('/'))}"
+            f"_v{fugu_spark.__version__}"
+        )
+        shutil.rmtree(base, ignore_errors=True)
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        mid = docs.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+        a = build_segments(
+            docs.filter(F.col("doc_id") <= mid), f"{base}/a",
+            id_col="doc_id", text_col="text",
+        )
+        b = build_segments(
+            docs.filter(F.col("doc_id") > mid), f"{base}/b",
+            id_col="doc_id", text_col="text",
+        )
+        _FED_CACHE[sf_dir] = (a, b)
+    a, b = _FED_CACHE[sf_dir]
+    out = search_federated([a, b], "merge join", k=10)
+    return out.select("doc_id", F.round("score", 6).alias("score"))
+
+
 def _snapshot_restore_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot the segment index into a repository, restore into a
     FRESH directory, search the restored copy — results must equal the
@@ -1787,6 +1822,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_rare_terms": _agg_rare_terms_q,
         # snapshot/restore (snapshot.py): search over a restored copy
         "bm25_snapshot_restore": _snapshot_restore_q,
+        # federated DFS search over a split corpus (federated.py)
+        "bm25_federated": _fed_q,
         # ctags-lite symbol extraction + definition search (analytics/symbols.py)
         "sym_extract": _sym_extract_q,
         "sym_search": _sym_search_q,
@@ -3678,6 +3715,7 @@ GROUP BY sc.doc_id ORDER BY sum(sc.sc) DESC, sc.doc_id ASC LIMIT 100""",
         "bm25_filtered_lang": _FILTERED_SQL,
         "bm25_segments_or": _topk_sql("term IN ('merge','join')"),
         "bm25_snapshot_restore": _topk_sql("term IN ('merge','join')"),
+        "bm25_federated": _topk_sql("term IN ('merge','join')"),
         "bm25_segments_wand": _topk_sql("term IN ('merge','join')"),
         "bm25_segments_and": _topk_sql(
             "term IN ('merge','join')", having="HAVING count(DISTINCT term) = 2"

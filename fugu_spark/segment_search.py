@@ -288,11 +288,12 @@ def _term_meta(si: SegmentIndex, terms: list[str]) -> dict[str, dict]:
     rows: list[dict] = []
     if not terms:
         return {}
-    if getattr(si, "as_of", None) is not None:
-        # point-in-time reader: the ON-DISK dictionary is the live merged
-        # one — stats must come from the pinned derived dictionary frame
-        # (one small Spark job; PIT queries are reproducibility audits,
-        # not the serving hot path)
+    if getattr(si, "as_of", None) is not None or getattr(si, "dfs_global", False):
+        # point-in-time reader OR a federated DFS member: the ON-DISK
+        # dictionary holds local stats — df must come from the derived
+        # dictionary frame (pinned at a generation / patched with the
+        # federation's global df). One small Spark job; neither is the
+        # serving hot path.
         rows = [
             r.asDict() for r in si.terms.filter(F.col("term").isin(terms)).collect()
         ]
