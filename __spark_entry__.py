@@ -301,6 +301,45 @@ def _trigram_regex_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _term_vectors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fugu_spark.resultops import term_vectors
+
+    _, idx = _index(spark, sf_dir)
+    return term_vectors(idx, 7)
+
+
+_ROUTED_CACHE: dict[str, object] = {}
+
+
+def _routed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus partitioned into per-lang member indexes; route=['en']
+    opens ONLY the en member — result must equal an index built over
+    exactly the en partition (the oracle scores the en-only corpus)."""
+    import os
+    import shutil
+
+    import fugu_spark
+    from fugu_spark.federated import RoutedFederation
+    from fugu_spark.segments import build_segments
+
+    if sf_dir not in _ROUTED_CACHE:
+        base = (
+            f"/tmp/fugu_entry_routed_{os.path.basename(sf_dir.rstrip('/'))}"
+            f"_v{fugu_spark.__version__}"
+        )
+        shutil.rmtree(base, ignore_errors=True)
+        docs = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+        members = {}
+        for key, cond in [("en", F.col("lang") == "en"), ("rest", F.col("lang") != "en")]:
+            members[key] = build_segments(
+                docs.filter(cond).select("doc_id", "text"),
+                f"{base}/{key}", id_col="doc_id", text_col="text",
+            )
+        _ROUTED_CACHE[sf_dir] = RoutedFederation(members)
+    out = _ROUTED_CACHE[sf_dir].search("merge join", k=10, route=["en"])
+    return out.select("doc_id", F.round("score", 6).alias("score"))
+
+
 _FED_CACHE: dict[str, tuple] = {}
 
 
@@ -1824,6 +1863,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_snapshot_restore": _snapshot_restore_q,
         # federated DFS search over a split corpus (federated.py)
         "bm25_federated": _fed_q,
+        "bm25_routed": _routed_q,
+        # ES _termvectors (resultops.py)
+        "term_vectors_doc": _term_vectors_q,
         # ctags-lite symbol extraction + definition search (analytics/symbols.py)
         "sym_extract": _sym_extract_q,
         "sym_search": _sym_search_q,
@@ -3716,6 +3758,18 @@ GROUP BY sc.doc_id ORDER BY sum(sc.sc) DESC, sc.doc_id ASC LIMIT 100""",
         "bm25_segments_or": _topk_sql("term IN ('merge','join')"),
         "bm25_snapshot_restore": _topk_sql("term IN ('merge','join')"),
         "bm25_federated": _topk_sql("term IN ('merge','join')"),
+        # routed search scores over the en-only corpus: same tokenize/
+        # score CTEs with every documents reference scoped to lang='en'
+        "bm25_routed": _topk_sql("term IN ('merge','join')").replace(
+            "FROM documents", "FROM (SELECT * FROM documents WHERE lang = 'en')"
+        ),
+        "term_vectors_doc": f"""WITH {_TOK},
+own AS (
+  SELECT term, count(*)::BIGINT AS tf, list(pos ORDER BY pos) AS positions
+  FROM tok WHERE doc_id = 7 GROUP BY term
+)
+SELECT o.term, o.tf, o.positions, t.df::BIGINT AS df, t.cf
+FROM own o JOIN tstat t USING (term) ORDER BY o.term""",
         "bm25_segments_wand": _topk_sql("term IN ('merge','join')"),
         "bm25_segments_and": _topk_sql(
             "term IN ('merge','join')", having="HAVING count(DISTINCT term) = 2"

@@ -120,3 +120,37 @@ def search_federated(
     for p in parts[1:]:
         allp = allp.unionByName(p)
     return top_k(allp, k=k)
+
+
+@dataclass
+class RoutedFederation:
+    """ES data-stream / index-pattern routing: a federation whose
+    members are keyed by a partition value (time bucket, tenant, lang).
+    A query that names its routes opens ONLY those members — partition
+    pruning lifted from the file level to the whole-index level, which
+    is how a 100-TB estate avoids touching 99% of its indexes for a
+    scoped query. Unrouted queries search everything (federated merge).
+
+    Scoring contract per search: DFS stats are computed over the
+    SEARCHED members only (ES computes dfs over the shards it queries —
+    a routed search is its own corpus), so a routed result equals a
+    single index built over exactly that partition (pinned)."""
+
+    members: dict[str, SegmentIndex]
+
+    def search(
+        self,
+        query_text: str | None,
+        k: int = 10,
+        route: list[str] | None = None,
+        dfs: bool = True,
+        **kwargs,
+    ) -> DataFrame:
+        if route is not None:
+            missing = [r for r in route if r not in self.members]
+            if missing:
+                raise ValueError(f"unknown routes {missing}; have {sorted(self.members)}")
+            chosen = [self.members[r] for r in route]
+        else:
+            chosen = list(self.members.values())
+        return search_federated(chosen, query_text, k=k, dfs=dfs, **kwargs)

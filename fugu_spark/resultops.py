@@ -310,3 +310,28 @@ def field_value_factor(
         "left",
     )
     return keyed.select("doc_id", (F.col("score") * fac).alias("score"))
+
+
+def term_vectors(
+    index, doc_id: int, with_stats: bool = True
+) -> DataFrame:
+    """ES `_termvectors` API shape: one document's analyzed view —
+    (term, tf, positions[, df, cf]) — the per-doc inverse of a search.
+
+    Plan: a point-filtered postings read (doc_id reaches the scan) plus,
+    with stats, a dictionary join restricted to the doc's own terms (a
+    per-doc-bounded broadcast, never the whole dictionary). ES computes
+    the same thing from a single shard's TermVectorsService; here the
+    postings ARE the term vectors, so no separate stored structure is
+    needed."""
+    from pyspark.sql import functions as F
+
+    own = index.postings.filter(F.col("doc_id") == doc_id).select(
+        "term", F.col("tf").cast("long").alias("tf"), "positions"
+    )
+    if not with_stats:
+        return own.orderBy("term")
+    stats = index.terms.select(
+        "term", F.col("df").cast("long").alias("df"), F.col("cf").cast("long").alias("cf")
+    )
+    return own.join(stats, "term").orderBy("term")

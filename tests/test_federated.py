@@ -87,3 +87,45 @@ def test_pit_member_refused(spark, split_indexes):
     _, a, b = split_indexes
     with pytest.raises(ValueError):
         search_federated([a.at_generation(0), b], "merge")
+
+
+def test_routed_federation(spark, tmp_path):
+    from fugu_spark.federated import RoutedFederation
+
+    docs = spark.createDataFrame(
+        [(d, t, ["py", "rs"][d % 2]) for d, t in DOCS],
+        "doc_id long, content string, lang string",
+    )
+    members = {
+        lang: build_segments(
+            docs.filter(F.col("lang") == lang), str(tmp_path / lang), n_buckets=2
+        )
+        for lang in ("py", "rs")
+    }
+    fed = RoutedFederation(members)
+    # routed result == an index built over exactly that partition
+    only_py = build_segments(
+        docs.filter(F.col("lang") == "py"), str(tmp_path / "only_py"), n_buckets=2
+    )
+    want = [
+        (r.doc_id, round(r.score, 9))
+        for r in search_segments(only_py, "merge join", k=10).collect()
+    ]
+    got = [
+        (r.doc_id, round(r.score, 9))
+        for r in fed.search("merge join", route=["py"]).collect()
+    ]
+    assert got == want
+    # unrouted == full federation == union index over everything
+    whole = build_segments(docs, str(tmp_path / "whole2"), n_buckets=2)
+    want_all = [
+        (r.doc_id, round(r.score, 9))
+        for r in search_segments(whole, "merge join", k=10).collect()
+    ]
+    got_all = [
+        (r.doc_id, round(r.score, 9))
+        for r in fed.search("merge join").collect()
+    ]
+    assert got_all == want_all
+    with pytest.raises(ValueError):
+        fed.search("merge", route=["go"])

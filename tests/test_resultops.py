@@ -190,3 +190,22 @@ def test_batch_mlt_max_df_excludes_common_terms(index):
     assert 8 not in seeds
     default = batch_mlt(index, max_terms=3, k=4).collect()
     assert 8 in {r.seed for r in default}
+
+
+def test_term_vectors(spark):
+    from fugu_spark.postings import build_index
+    from fugu_spark.resultops import term_vectors
+
+    docs = spark.createDataFrame(
+        [(0, "merge join merge"), (1, "join sort"), (2, "merge")],
+        "doc_id long, content string",
+    )
+    idx = build_index(docs, id_col="doc_id", text_col="content")
+    out = {r.term: r for r in term_vectors(idx, 0).collect()}
+    assert set(out) == {"merge", "join"}
+    assert out["merge"].tf == 2 and list(out["merge"].positions) == [0, 2]
+    assert out["join"].tf == 1 and list(out["join"].positions) == [1]
+    assert out["merge"].df == 2 and out["merge"].cf == 3  # docs 0,2; 3 occurrences
+    assert out["join"].df == 2 and out["join"].cf == 2
+    bare = term_vectors(idx, 0, with_stats=False).columns
+    assert bare == ["term", "tf", "positions"]
