@@ -519,6 +519,20 @@ def _sym_prefix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sym_boost_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 'stream window' with Zoekt-style definition boost: docs
+    whose derived symbols DEFINE 'stream' score ×1.5. Boost applies to
+    the full matched set, then top-10."""
+    from fugu_spark.analytics import symbols as SY
+    from fugu_spark.search import search, top_k
+
+    docs, idx = _index(spark, sf_dir)
+    res = search(idx, "stream window", k=1_000_000, docs=docs)
+    syms = SY.extract_symbols(_sym_docs(spark, sf_dir))
+    out = top_k(SY.definition_boost(res, syms, ["stream"]), k=10)
+    return out.select("doc_id", F.round("score", 6).alias("score"))
+
+
 def _sym_served_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fugu_spark.analytics import symbols as SY
 
@@ -1871,6 +1885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sym_search": _sym_search_q,
         "sym_prefix": _sym_prefix_q,
         "sym_search_served": _sym_served_q,
+        "sym_boost_search": _sym_boost_q,
         # ES/Tantivy aggregation surface (fugu_spark/aggs.py)
         "agg_terms_stats": _agg_terms_stats,
         "agg_histogram": _agg_histogram,
@@ -3252,6 +3267,22 @@ GROUP BY doc_id ORDER BY sum(sc) DESC, doc_id ASC LIMIT 10""",
         + "SELECT doc_id, line_no, kind, name FROM syms WHERE name = 'filter' ORDER BY doc_id, line_no",
         "sym_prefix": _SYM_ORACLE
         + "SELECT doc_id, line_no, kind, name FROM syms WHERE name LIKE 'c%' ORDER BY name, doc_id, line_no",
+        # definition boost: docs whose derived symbols (words len>=6)
+        # include 'stream' score x1.5; docs matching only 'window' don't
+        "sym_boost_search": f"""WITH {_TOK}, {_SCORED},
+defs AS (
+  SELECT DISTINCT doc_id FROM tok WHERE term = 'stream'
+),
+boosted AS (
+  SELECT s.doc_id,
+         sum(s.sc) * (CASE WHEN max(d.doc_id) IS NOT NULL THEN 1.5 ELSE 1.0 END)
+           AS score
+  FROM scored s LEFT JOIN defs d USING (doc_id)
+  WHERE s.term IN ('stream', 'window')
+  GROUP BY s.doc_id
+)
+SELECT doc_id, round(score, 6) AS score FROM boosted
+ORDER BY score DESC, doc_id ASC LIMIT 10""",
         # --- aggregations (fugu_spark/aggs.py) ---
         "agg_terms_stats": """
             SELECT lang AS key, count(*) AS doc_count,

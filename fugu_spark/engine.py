@@ -100,6 +100,29 @@ def _write_date_index(
     )
 
 
+def _write_code_sidecars(
+    docs: DataFrame,
+    index_dir: str,
+    id_col: str,
+    text_col: str,
+    lang_col: str | None,
+    gen: int,
+    mode: str,
+) -> None:
+    """Code-search sidecars: the trigram posting index (append-safe by
+    construction — it is a verified prefilter, see trigram.py) and the
+    symbol index with a ``gen`` column so lookups can apply the SAME
+    segment delete mask that retires replaced docs' postings."""
+    from .analytics import symbols as SY
+    from .trigram import build_trigram_index
+
+    build_trigram_index(docs, index_dir, id_col=id_col, text_col=text_col, mode=mode)
+    syms = SY.extract_symbols(
+        docs, id_col=id_col, text_col=text_col, lang_col=lang_col
+    ).withColumn("gen", F.lit(gen))
+    SY.build_symbol_index(syms, index_dir, mode=mode)
+
+
 def _counts_rows_from_facets(fac_rows: DataFrame, sign: int) -> DataFrame:
     """(facet) rows → per-prefix occurrence-count deltas."""
     return (
@@ -250,6 +273,7 @@ class FuguSparkEngine:
     serve_max_postings: int = 5_000_000
     k1: float = 1.2
     b: float = 0.75
+    code_lang_col: str | None = None
 
     # ---- lifecycle -------------------------------------------------
 
@@ -264,10 +288,20 @@ class FuguSparkEngine:
         strict_validation: bool | None = None,
         mode: str | None = None,
         config: "EngineConfig | None" = None,
+        code_search: bool = False,
+        code_lang_col: str | None = None,
     ) -> "FuguSparkEngine":
         """Build all indexes. ``config`` (S6: an EngineConfig from
         fugu_spark.config.load_config — YAML/JSON file + FUGU_SPARK_* env)
-        supplies engine parameters; explicit kwargs win over it."""
+        supplies engine parameters; explicit kwargs win over it.
+
+        ``code_search=True`` additionally builds the code-search
+        sidecars: the trigram index (substring/regex/grep without a
+        corpus scan — fugu_spark/trigram.py) and the symbol index
+        (definition lookup — analytics/symbols.py, gen-stamped so the
+        segment delete mask retires replaced docs' definitions).
+        ``code_lang_col`` names a per-doc language column for the
+        symbol patterns; None applies the default-language set."""
         from .config import EngineConfig
 
         cfg = config or EngineConfig()
@@ -292,6 +326,11 @@ class FuguSparkEngine:
         _write_date_index(good, index_dir, id_col, gen=0, mode="overwrite")
         _write_suggest_index(good, index_dir, id_col, text_col, gen=0, mode="overwrite")
         _write_doc_store(good, index_dir, id_col, gen=0, mode="overwrite")
+        if code_search:
+            _write_code_sidecars(
+                good, index_dir, id_col, text_col, code_lang_col, gen=0,
+                mode="overwrite",
+            )
         si = build_segments(
             good,
             index_dir,
@@ -315,6 +354,7 @@ class FuguSparkEngine:
             serve_max_postings=cfg.serve_max_postings,
             k1=cfg.k1,
             b=cfg.b,
+            code_lang_col=code_lang_col,
         )
 
     @classmethod
@@ -725,6 +765,13 @@ class FuguSparkEngine:
             gen=self.si.max_gen(), mode="append",
         )
         _write_doc_store(good, self.index_dir, self.id_col, gen=self.si.max_gen(), mode="append")
+        from . import fsio
+
+        if fsio.exists(fsio.join(self.index_dir, "trigram_index")):
+            _write_code_sidecars(
+                good, self.index_dir, self.id_col, self.text_col,
+                self.code_lang_col, gen=self.si.max_gen(), mode="append",
+            )
         from .dataset import upsert as ds_upsert
 
         self.docs = ds_upsert(self.docs, good, id_col=self.id_col).cache()
@@ -838,3 +885,67 @@ class FuguSparkEngine:
 
     def search_facets(self, prefix: str, text: str | None = None) -> DataFrame:
         return FC.search_facets(self._fd(), prefix, text, self.facets_col)
+
+    # ---- code search (optional sidecars: build(code_search=True)) ----
+
+    def _require_trigram(self) -> None:
+        from . import fsio
+
+        if not fsio.exists(fsio.join(self.index_dir, "trigram_index")):
+            raise ValueError(
+                "no trigram_index sidecar — build with code_search=True"
+            )
+
+    def substring_search(self, needle: str, ignore_case: bool = False) -> DataFrame:
+        """Exact substring search over raw text (doc_id, n_occ) via the
+        trigram prefilter; verification always runs against the LIVE
+        docs frame, so upserted/deleted docs are correct by construction."""
+        from .trigram import substring_search as _ss
+
+        self._require_trigram()
+        return _ss(
+            self.spark, self.index_dir, self.docs, needle,
+            id_col=self.id_col, text_col=self.text_col, ignore_case=ignore_case,
+        )
+
+    def grep(self, pattern: str) -> DataFrame:
+        """Line-level regex grep (doc_id, line_no, line), trigram-pruned."""
+        from .trigram import trigram_grep
+
+        self._require_trigram()
+        return trigram_grep(
+            self.spark, self.index_dir, self.docs, pattern,
+            id_col=self.id_col, text_col=self.text_col,
+        )
+
+    def regex_count(self, pattern: str) -> DataFrame:
+        """Per-doc regex match counts (doc_id, n_matches), trigram-pruned."""
+        from .trigram import regex_search as _rs
+
+        self._require_trigram()
+        return _rs(
+            self.spark, self.index_dir, self.docs, pattern,
+            id_col=self.id_col, text_col=self.text_col,
+        )
+
+    def symbol_search(
+        self, name: str, kind: str | None = None, prefix: bool = False
+    ) -> DataFrame:
+        """Definition lookup (doc_id, line_no, kind, name) with the
+        SEGMENT delete mask applied: a symbol row written at generation
+        g is live iff its doc has no del_gen or g >= del_gen — replaced
+        docs' old definitions retire exactly when their postings do."""
+        from . import fsio
+        from .analytics import symbols as SY
+
+        if not fsio.exists(fsio.join(self.index_dir, SY.SYMBOLS_DIR)):
+            raise ValueError("no symbols sidecar — build with code_search=True")
+        rows = SY.symbol_search(self.spark, self.index_dir, name, kind=kind, prefix=prefix)
+        dels = self.si.deletes_df()
+        if dels is not None:
+            rows = rows.join(dels, "doc_id", "left").filter(
+                F.col("del_gen").isNull() | (F.col("gen") >= F.col("del_gen"))
+            ).drop("del_gen")
+        return rows.select("doc_id", "line_no", "kind", "name").orderBy(
+            "name", "doc_id", "line_no"
+        )
