@@ -439,6 +439,16 @@ def _combined_fields_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.round("score", 6).alias("score"))
 
 
+def _trigram_ci_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive substring via case-variant trigram groups."""
+    from fugu_spark import trigram as TG
+
+    return TG.substring_search(
+        spark, _tri_dir(spark, sf_dir), _docs(spark, sf_dir),
+        "MERGE Join", ignore_case=True,
+    )
+
+
 def _trigram_grep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fugu_spark import trigram as TG
 
@@ -1868,6 +1878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trigram_regex": _trigram_regex_q,
         "trigram_substring_served": _trigram_served_q,
         "trigram_grep": _trigram_grep_q,
+        "trigram_substring_ci": _trigram_ci_q,
         # BM25F-style term-centric field blending (search.py)
         "combined_fields": _combined_fields_q,
         # adjacency_matrix + rare_terms aggs (aggs.py)
@@ -3258,6 +3269,11 @@ csc AS (
 )
 SELECT doc_id, round(sum(sc), 6) AS score FROM csc
 GROUP BY doc_id ORDER BY sum(sc) DESC, doc_id ASC LIMIT 10""",
+        "trigram_substring_ci": """
+        SELECT doc_id,
+               CAST((length(lower(text)) - length(replace(lower(text), 'merge join', '')))
+                    / length('merge join') AS BIGINT) AS n_occ
+        FROM documents WHERE instr(lower(text), 'merge join') > 0 ORDER BY doc_id""",
         # --- symbols: the oracle re-derives the "def <word>():" corpus
         # with unnest + generate_subscripts over the same word list
         "sym_extract": _SYM_ORACLE + "SELECT doc_id, line_no, kind, name FROM syms ORDER BY doc_id, line_no",

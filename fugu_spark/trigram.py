@@ -520,23 +520,27 @@ def trigram_grep(
     pattern: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    ignore_case: bool = False,
 ) -> DataFrame:
     """Line-level grep (doc_id, line_no, line — ripgrep shape, same
     contract as analytics.codesearch.grep) accelerated by the trigram
     prefilter: the split/posexplode/rlike pipeline runs over CANDIDATE
     docs only, so the per-line regex work scales with the rarest
     required trigram's df instead of total corpus lines. Patterns with
-    no provable factor degrade to exactly the full grep scan."""
+    no provable factor degrade to exactly the full grep scan.
+    ``ignore_case`` folds through the analyzer as (?i) — required
+    groups become ASCII case-variant alternates (AND of ORs), so the
+    prefilter stays sound for case-insensitive matching too."""
     from .analytics.codesearch import grep
 
-    groups = regex_required(pattern)
+    groups = regex_required(("(?i)" if ignore_case else "") + pattern)
     base = docs.select(F.col(id_col).cast("long").alias(id_col), text_col)
     if groups:
         cand = candidate_docs(spark, index_dir, groups).withColumnRenamed(
             "doc_id", id_col
         )
         base = base.join(cand, id_col)
-    return grep(base, pattern, id_col=id_col, text_col=text_col)
+    return grep(base, pattern, id_col=id_col, text_col=text_col, ignore_case=ignore_case)
 
 
 # ---------------------------------------------------------------------------

@@ -205,6 +205,19 @@ def test_trigram_grep_parity(spark, tri_index, pattern):
         assert (7, 2, "value2 = hash(obj)") in got
 
 
+def test_trigram_grep_ignore_case(spark, tri_index):
+    from fugu_spark.analytics.codesearch import grep
+
+    d, docs = tri_index
+    want = {tuple(r) for r in grep(docs, "MERGE", ignore_case=True).collect()}
+    got = {
+        tuple(r)
+        for r in TG.trigram_grep(spark, d, docs, "MERGE", ignore_case=True).collect()
+    }
+    assert got == want
+    assert {g[0] for g in got} == {0, 1, 4, 9}  # incl. uppercase doc 1
+
+
 # ------------------------------------------------------------- served parity
 
 
