@@ -1055,6 +1055,33 @@ def _dsl_q(spark, sf_dir):
     return out.select("doc_id", F.round("score", 6).alias("score"))
 
 
+def _span_near_q(spark, sf_dir):
+    """span_near (queryparse.Leaf.near; fugu_spark/dsl.py span_near node —
+    Lucene SpanNearQuery with in_order=false, DSL-only like Lucene's):
+    UNORDERED proximity 'merge' within a 3-slack window of 'sort'.
+    Pinned tf semantics (Leaf.near docstring): one merged position-sorted
+    sweep; tf = positions q where the latest occurrence of every clause
+    term at-or-before q fits in a window of slop + n − 1. The oracle
+    recomputes the same sweep with per-term running-max window functions."""
+    from fugu_spark.dsl import search_dsl
+
+    docs, idx = _index(spark, sf_dir)
+    out = search_dsl(
+        idx,
+        {"span_near": {
+            "clauses": [
+                {"span_term": {"_all": "merge"}},
+                {"span_term": {"_all": "sort"}},
+            ],
+            "slop": 3,
+            "in_order": False,
+        }},
+        k=10,
+        docs=docs,
+    )
+    return out.select("doc_id", F.round("score", 6).alias("score"))
+
+
 def _sig_text_q(spark, sf_dir):
     """ES significant_text (JLH over index TOKENS): the terms that
     characterize the matched set of 'merge' vs the corpus — fg df from a
@@ -1920,6 +1947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_sig_text": _sig_text_q,
         "ir_metrics": _ir_metrics_q,
         "bm25_dsl": _dsl_q,
+        "bm25_span_near": _span_near_q,
         "index_stats": _index_stats_q,
         "stream_window_counts": _stream_window_q,
         "stream_dedup": _stream_dedup_q,
@@ -3854,6 +3882,30 @@ ORDER BY 1.0 + COALESCE(txt.s, 0) DESC, d.doc_id ASC LIMIT 10""",
         "bm25_phrase": _PHRASE_SQL,
         "bm25_phrase_slop": _PHRASE_SLOP_SQL,
         "bm25_segments_phrase_slop": _PHRASE_SLOP_SQL,
+        # span_near 'merge NEAR/3 sort' (unordered; window = slop + n − 1 = 4).
+        # Pinned merged-sweep tf (queryparse.Leaf.near): per-term running-max
+        # window functions recompute "latest occurrence at-or-before q".
+        "bm25_span_near": f"""WITH {_TOK},
+occ AS (SELECT doc_id, pos, term FROM tok WHERE term IN ('merge', 'sort')),
+w AS (
+  SELECT doc_id, pos,
+    MAX(CASE WHEN term = 'merge' THEN pos END) OVER
+      (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS l0,
+    MAX(CASE WHEN term = 'sort' THEN pos END) OVER
+      (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS l1
+  FROM occ),
+phr AS (
+  SELECT doc_id, count(*) AS tfp FROM w
+  WHERE l0 IS NOT NULL AND l1 IS NOT NULL AND pos - least(l0, l1) <= 4
+  GROUP BY 1),
+idfs AS (
+  SELECT sum(ln(1 + (s.n - t.df + 0.5) / (t.df + 0.5))) AS idf_sum
+  FROM tstat t, stats s WHERE t.term IN ('merge', 'sort')
+)
+SELECT p.doc_id,
+       round(i.idf_sum * p.tfp * 2.2 / (p.tfp + 1.2 * (0.25 + 0.75 * d.doc_len / s.avgdl)), 6) AS score
+FROM phr p JOIN dl d USING (doc_id), stats s, idfs i
+ORDER BY 2 DESC, doc_id ASC LIMIT 10""",
         # range clauses filter (no score contribution — dates.extract_date_ranges
         # pin); derived date = epoch 2024-01-01 + doc_id%365 days, so the
         # [2024-03-01, 2024-06-01) window is a pure doc_id predicate

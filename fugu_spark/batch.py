@@ -132,6 +132,14 @@ def _compile_checks(plan, qid) -> None:
         raise ValueError(
             f"query {qid!r}: range/exists leaves not supported in batch mode"
         )
+    if any(l.near for l in plan.leaves):
+        # the batch phrase kernel keys signatures by (field, terms,
+        # slop) and runs the ORDERED chain; silently scoring an
+        # unordered span_near leaf through it would be wrong — route
+        # such queries through the single-query engines instead
+        raise ValueError(
+            f"query {qid!r}: span_near (unordered) leaves not supported in batch mode"
+        )
 
 
 def _batch_expander(sources: dict):

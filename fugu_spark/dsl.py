@@ -19,6 +19,10 @@ Supported node types (the subset the engine's plan language expresses):
   {"regexp":       {FIELD: "pat"}}           anchored whole-term regex
   {"fuzzy":        {FIELD: {"value": V, "fuzziness": 1|2}}}
   {"range":        {FIELD: {"gte"/"gt"/"lte"/"lt": V}}}   lexicographic text range
+  {"span_near":    {"clauses": [{"span_term": {FIELD: V}}, ...],
+                    "slop": N, "in_order": bool}}  proximity: in_order=true is the
+                                             ordered sloppy phrase, false (default)
+                                             the unordered span_near leaf
   {"bool": {"must": [...], "should": [...], "must_not": [...],
             "minimum_should_match": M}}      M at the TOP level only
   {"match_all": {}}
@@ -88,6 +92,8 @@ def _compile_node(node: dict, occur: str, mode: str) -> list:
         raise ValueError("match_all is only valid as the TOP-LEVEL query")
     if typ == "bool":
         return [(occur, _compile_bool(body, mode))]
+    if typ == "span_near":
+        return [(occur, _compile_span_near(body, mode, occur))]
     if typ not in _LEAF_TYPES:
         raise ValueError(f"unsupported DSL node type {typ!r}")
 
@@ -154,6 +160,43 @@ def _compile_node(node: dict, occur: str, mode: str) -> list:
     raise AssertionError(typ)
 
 
+def _compile_span_near(body: dict, mode: str, occur: str) -> Leaf:
+    """{"span_near": {"clauses": [{"span_term": {F: V}}, ...],
+    "slop": N, "in_order": true|false, "boost": B}} → one proximity
+    Leaf. ``in_order=true`` maps onto the engine's existing ORDERED
+    sloppy-phrase leaf (the "a b"~N semantics — queryparse.Leaf.slop);
+    ``in_order=false`` (ES's default) sets Leaf.near, the unordered
+    merged-sweep count (Leaf.near docstring). Lucene requires every
+    span clause on the same field; so does this compiler."""
+    if set(body) - {"clauses", "slop", "in_order", "boost"}:
+        raise ValueError(
+            f"unsupported span_near keys {sorted(set(body) - {'clauses', 'slop', 'in_order', 'boost'})}"
+        )
+    clauses = body.get("clauses")
+    if not isinstance(clauses, (list, tuple)) or len(clauses) < 2:
+        raise ValueError("span_near expects a clauses list of >= 2 span_term nodes")
+    terms: list[str] = []
+    fields: set = set()
+    for c in clauses:
+        if not isinstance(c, dict) or len(c) != 1 or "span_term" not in c:
+            raise ValueError(f"span_near clause must be a span_term node, got {c!r}")
+        f, v, _ = _field_body(c["span_term"])
+        fields.add(f)
+        terms.append(_one_token(v, mode, "span_term"))
+    if len(fields) != 1:
+        raise ValueError(f"span_near clauses must share one field, got {sorted(map(str, fields))}")
+    slop = int(body.get("slop", 0))
+    in_order = bool(body.get("in_order", False))
+    return Leaf(
+        terms=tuple(terms),
+        boost=float(body.get("boost", 1.0)),
+        occur=occur,
+        slop=slop,
+        near=not in_order,
+        fld=fields.pop(),
+    )
+
+
 def _compile_bool(body: dict, mode: str) -> BoolNode:
     if set(body) - {"must", "should", "must_not", "minimum_should_match"}:
         raise ValueError(f"unsupported bool keys {sorted(set(body) - {'must', 'should', 'must_not', 'minimum_should_match'})}")
@@ -205,7 +248,7 @@ def compile_query(dsl: dict, mode: str = DEFAULT_MODE) -> QueryPlan:
         leaves = [
             Leaf(terms=c.terms, boost=c.boost, occur=occ, slop=c.slop,
                  prefix_last=c.prefix_last, fuzzy=c.fuzzy, synonym=c.synonym,
-                 regex=c.regex, rng=c.rng, fld=c.fld)
+                 regex=c.regex, near=c.near, rng=c.rng, fld=c.fld)
             for occ, c in root.children
         ]
         return QueryPlan(leaves=leaves)

@@ -102,12 +102,13 @@ def explain(
             pf = _phrase_frame(cand, leaf, df_map, stats, k1, b)
             if pf is None:
                 continue
-            idf_sum = sum(idf_py(df_map[t], stats.n_docs) for t in leaf.terms)
+            ph = tuple(dict.fromkeys(leaf.terms)) if leaf.near else leaf.terms
+            idf_sum = sum(idf_py(df_map[t], stats.n_docs) for t in ph)
             frames.append(
                 pf.filter(F.col("doc_id") == doc_id).select(
                     F.lit(i).alias("leaf_id"),
                     F.lit(leaf.occur).alias("occur"),
-                    F.lit("phrase").alias("kind"),
+                    F.lit("span_near" if leaf.near else "phrase").alias("kind"),
                     F.lit(" ".join(leaf.terms)).alias("term"),
                     F.lit(None).cast("long").alias("tf"),
                     F.lit(None).cast("long").alias("df"),

@@ -124,6 +124,21 @@ class Leaf:
     # open side. Pinned Lucene/Tantivy semantics: CONSTANT score — a doc
     # containing any indexed term in the range scores boost × 1.0.
     rng: tuple[str | None, str | None, bool, bool] | None = None
+    # Unordered proximity (Lucene SpanNearQuery with in_order=false,
+    # reachable only through the structured DSL's span_near node — the
+    # string syntax has no spelling for it, matching Lucene's parser).
+    # Only meaningful with ≥2 terms; ``slop`` carries the window slack.
+    # Pinned semantics (documented divergence from Lucene's span-cover
+    # counting): over the doc's merged, position-sorted occurrences of
+    # the clause terms, tf = number of positions q such that the LATEST
+    # occurrence at-or-before q of every clause term fits in the window
+    # q − min(latest) ≤ slop + n − 1. Every Lucene minimal span is
+    # counted at its right endpoint exactly once, so matching docs are
+    # identical to Lucene's; only the per-doc tf of overlapping matches
+    # can differ. Duplicate clause terms collapse to one clause (a
+    # single occurrence satisfies both). near=True with slop=0 still
+    # means UNORDERED adjacency — it does not reduce to the phrase.
+    near: bool = False
     # Field-qualified clause ('name:foo', 'name:"a b"') — Tantivy's
     # QueryParser resolves the prefix against the index schema (the
     # reference's docs schema indexes id/text/namespace/name/… —

@@ -189,11 +189,79 @@ def _sloppy_phrase_frame(
     )
 
 
+def _span_near_frame(
+    cand: DataFrame, leaf: Leaf, df_map: dict[str, int], stats, k1: float, b: float
+) -> DataFrame | None:
+    """Scored frame for an UNORDERED span_near leaf (Leaf.near docstring):
+    tf = count of merged positions q where the latest at-or-before-q
+    occurrence of every clause term fits in a window of slop + n − 1.
+
+    One pass over the doc's merged, position-sorted occurrences — a
+    single JVM ``aggregate`` whose state is (latest position per clause,
+    tf). Runs entirely in higher-order array expressions like the
+    ordered sloppy chain: no Python in the row path, and the n−1
+    doc_id joins are the same shape Catalyst already plans for the
+    adjacency phrase (sort-merge or broadcast per AQE)."""
+    terms = tuple(dict.fromkeys(leaf.terms))  # duplicates collapse (pinned)
+    if any(t not in df_map for t in terms):
+        return None
+    n = len(terms)
+    out = cand.filter(F.col("term") == terms[0]).select(
+        "doc_id",
+        F.expr("transform(positions, p -> struct(CAST(p AS INT) AS pos, 0 AS tid))").alias("occ"),
+        "doc_len",
+    )
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = cand.filter(F.col("term") == t).select(
+            F.col("doc_id").alias("doc_id_r"),
+            F.expr(
+                f"transform(positions, p -> struct(CAST(p AS INT) AS pos, {i} AS tid))"
+            ).alias("occ_r"),
+        )
+        out = (
+            out.join(nxt, out["doc_id"] == nxt["doc_id_r"], "inner")
+            .withColumn("occ", F.concat("occ", "occ_r"))
+            .drop("doc_id_r", "occ_r")
+        )
+    w = leaf.slop + n - 1
+    # positions are unique within a doc (one token per position), so the
+    # ascending sort gives a strict merged order and x.pos is the window
+    # max at each step; `upd` is the per-term latest-occurrence vector
+    # after absorbing x.
+    upd = "transform(acc.last, (v, i) -> IF(i = x.tid, x.pos, v))"
+    out = out.withColumn(
+        "tfp",
+        F.expr(
+            f"""aggregate(
+              array_sort(occ),
+              named_struct('last', array_repeat(-1, {n}), 'tf', 0),
+              (acc, x) -> named_struct(
+                'last', {upd},
+                'tf', acc.tf + IF(array_min({upd}) >= 0
+                                  AND x.pos - array_min({upd}) <= {w}, 1, 0)),
+              acc -> acc.tf
+            )"""
+        ),
+    ).filter(F.col("tfp") > 0)
+    idf_sum = sum(idf_py(df_map[t], stats.n_docs) for t in terms)
+    return out.select(
+        "doc_id",
+        (
+            F.lit(idf_sum)
+            * _tf_norm(F.col("tfp"), F.col("doc_len"), stats.avgdl, k1, b)
+            * F.lit(leaf.boost)
+        ).alias("score"),
+    )
+
+
 def _phrase_frame(
     cand: DataFrame, leaf: Leaf, df_map: dict[str, int], stats, k1: float, b: float
 ) -> DataFrame | None:
     """(doc_id, tf_phrase, doc_len) for adjacent-position phrase matches
-    (slop=0), or the sloppy-chain frame when the leaf carries a slop."""
+    (slop=0), the sloppy-chain frame when the leaf carries a slop, or the
+    unordered span-near frame when the leaf carries the near flag."""
+    if leaf.near:
+        return _span_near_frame(cand, leaf, df_map, stats, k1, b)
     if any(t not in df_map for t in leaf.terms):
         return None
     if leaf.slop:

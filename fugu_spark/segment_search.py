@@ -702,7 +702,14 @@ def search_segments(
             "point-in-time queries without sidecar filters, or use "
             "doc_filter with a snapshot docs table"
         )
-    plan = parse_query(query_text, mode=mode)
+    if isinstance(query_text, dict):
+        # structured-DSL query (fugu_spark.dsl — the only spelling for
+        # span_near etc.) compiles onto the same plan shapes
+        from .dsl import compile_query
+
+        plan = compile_query(query_text, mode=mode)
+    else:
+        plan = parse_query(query_text, mode=mode)
     if needs_expansion(plan):
         plan = expand_plan(plan, _segment_expander(si))
     if synonyms:

@@ -546,10 +546,11 @@ class LocalSearcher:
             if any(t not in meta for t in leaf.terms):
                 continue
             if leaf.is_phrase:
-                docs, tfp, dls = self._phrase_freq(leaf.terms, postings, slop=leaf.slop)
+                ph = tuple(dict.fromkeys(leaf.terms)) if leaf.near else leaf.terms
+                docs, tfp, dls = self._phrase_freq(ph, postings, slop=leaf.slop, near=leaf.near)
                 if len(docs) == 0:
                     continue
-                idf_sum = sum(meta[t]["idf"] for t in leaf.terms)
+                idf_sum = sum(meta[t]["idf"] for t in ph)
                 score = idf_sum * _tf_norm(tfp, dls, avgdl, k1, b) * leaf.boost
                 parts.append((docs, i, score))
             else:
@@ -591,7 +592,7 @@ class LocalSearcher:
         score = idf * _tf_norm(tf_sum, dls, self.avgdl, self.k1, self.b) * leaf.boost
         return uniq, score
 
-    def _phrase_freq(self, terms: list[str], postings: dict, slop: int = 0):
+    def _phrase_freq(self, terms: list[str], postings: dict, slop: int = 0, near: bool = False):
         """Adjacency-chain phrase tf per doc (pre-filter ordinals).
 
         Fully vectorized: (doc, pos) pairs are packed into uint64 keys
@@ -604,7 +605,15 @@ class LocalSearcher:
         a searchsorted + running-max pass per term carries the latest
         possible chain start to each candidate end; the final span check
         also requires same-doc rank, so cross-doc carries (which the
-        packing makes strictly smaller) can never produce a match."""
+        packing makes strictly smaller) can never produce a match.
+
+        ``near`` switches to the UNORDERED span_near count (same pinned
+        semantics as search._span_near_frame; caller passes de-duplicated
+        terms): one merged-sorted sweep carrying each term's latest
+        packed key; a window ending at key q is valid when every term
+        has been seen and q − min(latest) ≤ slop + n − 1. A latest key
+        from a previous doc differs in the rank bits, making the
+        difference ≥ 2³² > window, so cross-doc state never matches."""
         empty = (np.empty(0, np.int64),) * 3
         # dense rank domain over docs present for EVERY phrase term
         common = postings[terms[0]]["doc_ids"]
@@ -627,7 +636,27 @@ class LocalSearcher:
             flat_pos = np.concatenate(pos_arrays) if pos_arrays else np.empty(0, np.uint64)
             return (np.repeat(ranks, lens) << np.uint64(32)) | flat_pos
 
-        if slop:
+        if near:
+            arrs = [np.sort(packed_keys(t)) for t in terms]
+            if any(len(a) == 0 for a in arrs):
+                return empty
+            merged = np.concatenate(arrs).astype(np.int64)
+            tids = np.repeat(np.arange(len(arrs)), [len(a) for a in arrs])
+            order = np.argsort(merged, kind="mergesort")
+            merged, tids = merged[order], tids[order]
+            big = np.iinfo(np.int64).max
+            min_last = np.full(len(merged), big)
+            seen_all = np.ones(len(merged), bool)
+            for i in range(len(terms)):
+                last = np.maximum.accumulate(np.where(tids == i, merged, -1))
+                seen_all &= last >= 0
+                min_last = np.minimum(min_last, np.where(last >= 0, last, big))
+            w = np.int64(slop + len(terms) - 1)
+            valid = seen_all & (merged - min_last <= w)
+            if not valid.any():
+                return empty
+            keys = merged[valid].astype(np.uint64)
+        elif slop:
             keys = np.sort(packed_keys(terms[0]))
             starts = keys.copy()  # latest chain start per candidate end
             for t in terms[1:]:
@@ -815,7 +844,14 @@ class LocalSearcher:
                 "filters/date_ranges are not generation-pinned (the sidecar "
                 "indexes read live rows) — run point-in-time queries bare"
             )
-        plan = parse_query(query_text, mode=self.mode)
+        if isinstance(query_text, dict):
+            # structured-DSL query (fugu_spark.dsl — the only spelling
+            # for span_near etc.) compiles onto the same plan shapes
+            from .dsl import compile_query
+
+            plan = compile_query(query_text, mode=self.mode)
+        else:
+            plan = parse_query(query_text, mode=self.mode)
         if any(l.prefix_last or l.regex for l in plan.leaves):
             # prefix leaves ('term*', '"a b"*') and regex leaves
             # ('/pat/') serve locally: expansion is a [prefix, successor)
@@ -1156,8 +1192,9 @@ class LocalSearcher:
             if any(t not in meta for t in node.terms):
                 return None
             if node.is_phrase:
-                docs, tfp, dls = self._phrase_freq(node.terms, postings, slop=node.slop)
-                idf_sum = sum(meta[t]["idf"] for t in node.terms)
+                ph = tuple(dict.fromkeys(node.terms)) if node.near else node.terms
+                docs, tfp, dls = self._phrase_freq(ph, postings, slop=node.slop, near=node.near)
+                idf_sum = sum(meta[t]["idf"] for t in ph)
                 s = idf_sum * _tf_norm(tfp, dls, avgdl, k1, b) * node.boost
                 return pd.Series(s, index=docs, dtype="float64")
             t = node.terms[0]

@@ -10,9 +10,12 @@ from fugu_spark.session import get_spark
 # fixtures cache() index frames they never unpersist. Bound the heap
 # (the engine default 48g lets RSS balloon over a long suite — the JVM
 # died ~25 min in on two full runs) and clear the block store between
-# modules so storage memory stays flat. 12g is ~100× what any
-# sf0.001-scale fixture needs.
-os.environ.setdefault("FUGU_SPARK_DRIVER_MEM", "12g")
+# modules so storage memory stays flat. 12g turned out too tight:
+# tests/test_serve.py alone OOMs the shared JVM at 12g (exact-count
+# distributed comparisons), killing every later test with
+# ConnectionRefused; 24g passes it standalone and keeps the suite cap
+# half the engine default.
+os.environ.setdefault("FUGU_SPARK_DRIVER_MEM", "24g")
 
 
 @pytest.fixture(scope="session")

@@ -56,9 +56,29 @@ class PyIndex:
                 ends.add(combo[-1])
         return len(ends)
 
+    @staticmethod
+    def _near_tf(pos_lists: list[list[int]], slop: int) -> int:
+        """Reference for the UNORDERED span_near tf (queryparse.Leaf.near
+        pinned semantics): sweep the merged position-sorted occurrences;
+        count positions where the latest occurrence of every clause term
+        fits in a window of slop + n − 1."""
+        n = len(pos_lists)
+        w = slop + n - 1
+        merged = sorted((p, i) for i, ps in enumerate(pos_lists) for p in ps)
+        last = [-1] * n
+        tf = 0
+        for p, i in merged:
+            last[i] = p
+            lo = min(last)
+            if lo >= 0 and p - lo <= w:
+                tf += 1
+        return tf
+
     def phrase_scores(
-        self, terms, boost: float = 1.0, k1=1.2, b=0.75, slop: int = 0
+        self, terms, boost: float = 1.0, k1=1.2, b=0.75, slop: int = 0, near: bool = False
     ) -> dict[int, float]:
+        if near:
+            terms = tuple(dict.fromkeys(terms))  # duplicates collapse (pinned)
         if any(self.df(t) == 0 for t in terms):
             return {}
         idf_sum = sum(idf_py(self.df(t), self.n_docs) for t in terms)
@@ -67,7 +87,9 @@ class PyIndex:
         for t in terms[1:]:
             docs &= set(self.postings[t])
         for doc_id in docs:
-            if slop:
+            if near:
+                tfp = self._near_tf([self.postings[t][doc_id] for t in terms], slop)
+            elif slop:
                 tfp = self._slop_tf([self.postings[t][doc_id] for t in terms], slop)
             else:
                 cur = set(self.postings[terms[0]][doc_id])
@@ -88,7 +110,9 @@ class PyIndex:
 
         if isinstance(node, Leaf):
             if node.is_phrase:
-                return self.phrase_scores(node.terms, node.boost, k1, b, node.slop)
+                return self.phrase_scores(
+                    node.terms, node.boost, k1, b, node.slop, near=node.near
+                )
             return self.term_scores(node.terms[0], node.boost, k1, b)
         musts, shoulds, nots = [], [], []
         for occ, child in node.children:
@@ -125,6 +149,19 @@ class PyIndex:
             base = {d: s for d, s in base.items() if d not in f}
         return base
 
+    def search_dsl(self, dsl: dict, k: int = 10, k1=1.2, b=0.75):
+        """Evaluate a structured-DSL query (fugu_spark.dsl shapes, incl.
+        span_near) through the nested-boolean oracle path."""
+        from fugu_spark.dsl import compile_query
+        from fugu_spark.queryparse import BoolNode
+
+        plan = compile_query(dsl, mode=self.mode)
+        root = plan.root or BoolNode(
+            children=tuple((l.occur, l) for l in plan.leaves)
+        )
+        scored = self._eval_node(root, k1, b) or {}
+        return sorted(scored.items(), key=lambda x: (-x[1], x[0]))[:k]
+
     def search(self, query: str | None, k: int = 10, k1=1.2, b=0.75):
         plan = parse_query(query, mode=self.mode)
         if plan.is_all:
@@ -137,7 +174,9 @@ class PyIndex:
         for leaf in plan.leaves:
             if leaf.is_phrase:
                 leaf_maps.append(
-                    self.phrase_scores(leaf.terms, leaf.boost, k1, b, leaf.slop)
+                    self.phrase_scores(
+                        leaf.terms, leaf.boost, k1, b, leaf.slop, near=leaf.near
+                    )
                 )
             else:
                 leaf_maps.append(self.term_scores(leaf.terms[0], leaf.boost, k1, b))
