@@ -1082,6 +1082,57 @@ def _span_near_q(spark, sf_dir):
     return out.select("doc_id", F.round("score", 6).alias("score"))
 
 
+def _ann_filtered_q(spark, sf_dir):
+    """Filtered kNN (similarity.cosine_topk where=): brute-force cosine
+    top-10 restricted to label=1 rows — the ES knn `filter` /
+    vector-store pre-filter shape. The predicate applies BEFORE any
+    similarity work (pushes to the scan; top-k holds k true neighbors
+    from the allowed set)."""
+    emb = _emb(spark, sf_dir)
+    qvec = list(emb.filter(F.col("vec_id") == 0).first().embedding)
+    out = similarity.cosine_topk(emb, qvec, k=10, where=F.col("label") == 1)
+    return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
+def _ann_lsh_filtered_q(spark, sf_dir):
+    """Filtered kNN on the LSH path at FULL probe (max_probe == n_planes
+    accepts every signature) — degenerates to the exact filtered scan,
+    so the brute-force filtered SQL is a REAL oracle for the
+    filter-then-probe composition (same trick as ann_lsh_top10)."""
+    emb = _emb(spark, sf_dir)
+    qvec = list(emb.filter(F.col("vec_id") == 0).first().embedding)
+    out = similarity.lsh_topk(
+        emb, qvec, k=10, n_planes=12, max_probe=12, where=F.col("label") == 1
+    )
+    return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
+def _delete_by_query_q(spark, sf_dir):
+    """ES _delete_by_query through the engine facade: tombstone every
+    doc matching 'sort' (full boolean match set via
+    search_segments(k=None) — ids never collected to the driver), then
+    COMPACT so stats rewrite: the index must equal a fresh build over
+    the surviving docs, which is exactly what the oracle recomputes."""
+    import os
+    import shutil
+
+    import fugu_spark
+    from fugu_spark.engine import FuguSparkEngine
+
+    d = (
+        f"/tmp/fugu_entry_dbq_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_v{fugu_spark.__version__}"
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    eng = FuguSparkEngine.build(
+        _docs(spark, sf_dir), index_dir=d, id_col="doc_id", text_col="text"
+    )
+    eng.delete_by_query("sort")
+    eng.compact()
+    out = eng.search("merge join", k=10)
+    return out.select("doc_id", F.round("score", 6).alias("score"))
+
+
 def _sig_text_q(spark, sf_dir):
     """ES significant_text (JLH over index TOKENS): the terms that
     characterize the matched set of 'merge' vs the corpus — fg df from a
@@ -1948,6 +1999,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ir_metrics": _ir_metrics_q,
         "bm25_dsl": _dsl_q,
         "bm25_span_near": _span_near_q,
+        "ann_filtered": _ann_filtered_q,
+        "ann_lsh_filtered": _ann_lsh_filtered_q,
+        "delete_by_query": _delete_by_query_q,
         "index_stats": _index_stats_q,
         "stream_window_counts": _stream_window_q,
         "stream_dedup": _stream_dedup_q,
@@ -2761,6 +2815,42 @@ SELECT doc_id, round(sum(sc), 6) AS score FROM scored WHERE term IN ('merge', 'j
 GROUP BY doc_id ORDER BY sum(sc) DESC, doc_id ASC LIMIT 10"""
 
 
+def _dbq_sql() -> str:
+    """delete_by_query('sort') + compact ≡ fresh build over the docs
+    whose token set lacks 'sort' — the oracle recomputes BM25 stats
+    over exactly that surviving corpus (same shape as _compact_sql)."""
+    corpus = """
+  SELECT doc_id, text FROM documents
+  WHERE doc_id NOT IN (
+    SELECT DISTINCT doc_id
+    FROM (SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS l
+          FROM documents),
+         unnest(generate_series(1, len(l))) AS t(i)
+    WHERE l[i] = 'sort')"""
+    return f"""WITH corpus AS ({corpus}),
+tok AS (
+  SELECT doc_id, l[i] AS term
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS l
+        FROM corpus),
+       unnest(generate_series(1, len(l))) AS t(i)
+),
+post AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS doc_len FROM tok GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM corpus) AS n,
+         (SELECT sum(doc_len) FROM dl)::DOUBLE / (SELECT count(*) FROM corpus) AS avgdl
+),
+tstat AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+scored AS (
+  SELECT p.doc_id, p.term, {_SCORE} AS sc
+  FROM post p JOIN tstat t USING (term) JOIN dl d USING (doc_id), stats s
+)
+SELECT doc_id, round(sum(sc), 6) AS score FROM scored WHERE term IN ('merge', 'join')
+GROUP BY doc_id ORDER BY sum(sc) DESC, doc_id ASC LIMIT 10"""
+
+
 _METADATA_FACETS_SQL = """
 SELECT doc_id, '/metadata/team/t' || (doc_id % 3)::VARCHAR AS facet FROM documents
 UNION ALL SELECT doc_id, '/metadata/tags/alpha' FROM documents
@@ -2971,6 +3061,24 @@ _EXACT_ANN_TOP10_SQL = """
                / (sqrt(sum(e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))
                   * sqrt(sum(q.qe[i]::DOUBLE * q.qe[i]::DOUBLE))) AS cosine
       FROM embeddings e, q, unnest(generate_series(1, len(e.embedding))) t(i)
+      GROUP BY e.vec_id
+    )
+    SELECT vec_id, round(cosine, 6) AS score FROM sc
+    ORDER BY cosine DESC, vec_id ASC LIMIT 10"""
+
+
+# Filtered kNN: identical brute-force cosine, restricted to label = 1
+# BEFORE the top-k (pre-filter semantics — the top-10 holds 10 true
+# neighbors from the allowed set, never an under-filled post-filter).
+_FILTERED_ANN_TOP10_SQL = """
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    sc AS (
+      SELECT e.vec_id,
+             sum(e.embedding[i]::DOUBLE * q.qe[i]::DOUBLE)
+               / (sqrt(sum(e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))
+                  * sqrt(sum(q.qe[i]::DOUBLE * q.qe[i]::DOUBLE))) AS cosine
+      FROM embeddings e, q, unnest(generate_series(1, len(e.embedding))) t(i)
+      WHERE e.label = 1
       GROUP BY e.vec_id
     )
     SELECT vec_id, round(cosine, 6) AS score FROM sc
@@ -4019,6 +4127,11 @@ FROM own o JOIN tstat t USING (term) ORDER BY o.term""",
         # exact → shared brute-force top-10 oracle
         "ann_ivf_top10": _EXACT_ANN_TOP10_SQL,
         "ann_lsh_top10": _EXACT_ANN_TOP10_SQL,
+        # filtered kNN: pre-filter (label=1) then exact / full-probe LSH —
+        # both equal the brute-force scan over the allowed set
+        "ann_filtered": _FILTERED_ANN_TOP10_SQL,
+        "ann_lsh_filtered": _FILTERED_ANN_TOP10_SQL,
+        "delete_by_query": _dbq_sql(),
         "ann_lsh_probe2": _lsh_probe_oracle_sql(),
         "minhash_pairs": _minhash_oracle_sql(),
         "simhash_sigs": _SIMHASH_SQL,

@@ -45,9 +45,19 @@ def cosine_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    where: Column | None = None,
 ) -> DataFrame:
-    """Exact brute-force cosine top-k: (id, score), (score DESC, id ASC)."""
+    """Exact brute-force cosine top-k: (id, score), (score DESC, id ASC).
+
+    ``where`` is an optional metadata predicate (filtered kNN — the
+    ES knn `filter` / vector-store pre-filter shape). It is applied
+    BEFORE any similarity work, so it pushes down to the parquet scan
+    and the top-k always holds k true neighbors from the allowed set —
+    post-filtering an unfiltered top-k would under-fill k whenever the
+    filter is selective."""
     q = _query_lit(query_vec)
+    if where is not None:
+        embeddings = embeddings.filter(where)
     return (
         embeddings.select(
             F.col(id_col), cosine_expr(F.col(vec_col), q).alias("score")
@@ -63,10 +73,13 @@ def batch_cosine_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    where: Column | None = None,
 ) -> DataFrame:
     """Batch ANN: MANY query vectors, ONE Spark job — the embedding
     analog of batch retrieval (hard-negative mining, eval sweeps,
-    dedup-vs-index at training-pipeline scale).
+    dedup-vs-index at training-pipeline scale). ``where`` (filtered
+    kNN) pre-filters the row set before the matmul kernel — one shared
+    predicate for every query in the batch, pushed to the scan.
 
     → DataFrame(query_id, vec_id, score, rank ≤ k), score = cosine.
 
@@ -123,6 +136,8 @@ def batch_cosine_topk(
 
         yield pd.DataFrame(rows)
 
+    if where is not None:
+        embeddings = embeddings.filter(where)
     cand = embeddings.select(id_col, vec_col).mapInPandas(
         part_topk, schema="query_id long, vec_id long"
     )
@@ -221,6 +236,7 @@ def lsh_topk(
     n_planes: int = 12,
     max_probe: int = 2,
     seed: int = 42,
+    where: Column | None = None,
 ) -> DataFrame:
     """ANN top-k: prune to rows whose LSH signature is within
     ``max_probe`` bits of the query's, then exact cosine re-rank.
@@ -228,13 +244,22 @@ def lsh_topk(
     If ``embeddings`` already carries an ``lsh_sig`` column (from
     :func:`build_ann_index`, same n_planes/seed), it is used as-is — the
     scale path; otherwise the signature is computed inline (ad-hoc path,
-    one full scan)."""
+    one full scan).
+
+    ``where`` (filtered kNN) pre-filters on metadata before the
+    signature prune, so both predicates reach the same scan and recall
+    is measured against the allowed set — the strategy every
+    filter-aware ANN engine uses when the filter is cheap columnar
+    metadata (post-filtering the probe set under-fills k at high
+    selectivity)."""
     qsig = query_signature(query_vec, n_planes, seed)
     if "lsh_sig" in embeddings.columns:
         df = embeddings
     else:
         planes = _planes(len(query_vec), n_planes, seed)
         df = embeddings.withColumn("lsh_sig", lsh_signature_expr(F.col(vec_col), planes))
+    if where is not None:
+        df = df.filter(where)
     q = _query_lit(query_vec)
     return (
         df.filter(F.bit_count(F.col("lsh_sig").bitwiseXOR(F.lit(qsig))) <= max_probe)
@@ -309,14 +334,21 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    where: Column | None = None,
 ) -> DataFrame:
     """ANN top-k over an IVF-indexed frame: probe the ``nprobe`` nearest
     cells, exact cosine re-rank inside them. ``nprobe == n_centroids``
-    degenerates to the exact brute-force scan (pinned in tests)."""
+    degenerates to the exact brute-force scan (pinned in tests).
+
+    ``where`` (filtered kNN) composes with the cell prune: both are
+    scan predicates on the indexed frame (cell-directory pruning +
+    columnar metadata filter), applied before any vector math."""
     qv = np.asarray(query_vec, dtype=np.float64)
     d = ((centroids - qv[None, :]) ** 2).sum(axis=1)
     probes = [int(c) for c in d.argsort(kind="stable")[:nprobe]]
     q = _query_lit(query_vec)
+    if where is not None:
+        indexed = indexed.filter(where)
     return (
         indexed.filter(F.col("ivf_cell").isin(probes))
         .select(F.col(id_col), cosine_expr(F.col(vec_col), q).alias("score"))

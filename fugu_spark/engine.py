@@ -788,6 +788,49 @@ class FuguSparkEngine:
         self.docs = self.docs.join(ids, self.id_col, "left_anti").cache()
         return self
 
+    def delete_by_query(
+        self,
+        query: str | dict | None,
+        filters: list[str] | None = None,
+        date_ranges: dict[str, tuple[str | None, str | None]] | None = None,
+        min_should_match: int = 0,
+    ) -> "FuguSparkEngine":
+        """ES ``_delete_by_query``: tombstone every document matching the
+        query — full boolean/phrase/DSL semantics plus facet filters and
+        date ranges, exactly what :meth:`search` would match (no top-k
+        cap, no per_page clamp). The match set is computed with
+        ``search_segments(k=None)`` and flows into :meth:`delete` as a
+        DataFrame end-to-end — ids are never collected to the driver, so
+        a delete matching 10⁹ docs shuffles ids, not documents. Deletes
+        are generational tombstones like :meth:`delete`; reclaim space
+        with :meth:`compact` / :meth:`maybe_compact` (whose
+        max_delete_ratio trigger is built for exactly this op)."""
+        from .dates import DATE_FIELDS, extract_date_ranges
+
+        date_cols = tuple(c for c in DATE_FIELDS if c in self.docs.columns)
+        if query and isinstance(query, str) and date_cols:
+            query, extracted = extract_date_ranges(query, date_cols)
+            if extracted:
+                date_ranges = {**(date_ranges or {}), **extracted}
+        doc_filter = None
+        for col, (start, end) in (date_ranges or {}).items():
+            rng = date_range_filter(F.col(col), start, end)
+            doc_filter = rng if doc_filter is None else (doc_filter & rng)
+        matched = search_segments(
+            self.si,
+            query,
+            k=None,
+            docs=self.docs,
+            id_col=self.id_col,
+            doc_filter=doc_filter,
+            mode=self.mode,
+            k1=self.k1,
+            b=self.b,
+            filter_paths=filters or None,
+            min_should_match=min_should_match,
+        )
+        return self.delete(matched.select(F.col("doc_id").alias(self.id_col)))
+
     def maybe_compact(
         self, max_generations: int = 8, max_delete_ratio: float = 0.25
     ) -> bool:

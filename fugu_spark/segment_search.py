@@ -666,7 +666,7 @@ def date_index_docs(si: SegmentIndex, date_ranges: dict) -> DataFrame:
 def search_segments(
     si: SegmentIndex,
     query_text: str | None,
-    k: int = 10,
+    k: int | None = 10,
     docs: DataFrame | None = None,
     id_col: str = "doc_id",
     doc_filter: Column | None = None,
@@ -684,6 +684,13 @@ def search_segments(
     synonyms: dict | None = None,
 ) -> DataFrame:
     """Top-k search over the segment index → DataFrame(doc_id, score).
+
+    ``k=None`` returns the FULL matched set (one row per matching doc,
+    scored, unsorted — no top-k). That is the shape index-maintenance
+    consumers need (delete-by-query, tagging, exports): the match set
+    stays a distributed frame, never ranked or truncated, and the
+    MaxScore pruned path is skipped since score pruning is only
+    rank-safe under a k budget.
 
     MaxScore/block-max pruning costs one extra θ-seeding job, so it only
     engages for pure-OR queries whose posting volume exceeds
@@ -738,7 +745,7 @@ def search_segments(
         # would drop docs that win on the sort key)
         and sort_by is None
     )
-    if pure_or and use_wand:
+    if pure_or and use_wand and k is not None:
         meta = _term_meta(si, plan.all_terms())
         if sum(m["df"] for m in meta.values()) >= wand_min_postings:
             return _search_maxscore(si, plan, k, k1, b, meta=meta)
@@ -822,6 +829,10 @@ def search_segments(
         # field order, so slice-then-threshold would under-fill the page
         # (equivalent on the relevance path, where scores ARE monotone)
         scored = scored.filter(F.col("score") >= min_score)
+    if k is None:
+        if sort_by is not None:
+            raise ValueError("sort_by requires a k (full-set mode is unsorted)")
+        return scored
     if sort_by is not None:
         if docs is None:
             raise ValueError("sort_by requires docs")
