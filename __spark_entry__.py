@@ -2160,9 +2160,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # family (trigram code search, symbols, aggs, federation, snapshot,
     # hybrid, percolate, MLT, code-payload scoring, ...). Every entry NOT
     # in the window is verified by the full local sweep
-    # (CORRECTNESS_LOCAL_r05.json: 165/165 green) and the pytest suite;
-    # never-windowed new entries should lead the r06 window together with
-    # the r03-stale block below.
+    # (CORRECTNESS_LOCAL_r05.json: 169/169 green) and the pytest suite;
+    # never-windowed new entries (incl. the late-round bm25_span_near,
+    # ann_filtered, ann_lsh_filtered, delete_by_query) should lead the
+    # r06 window together with the r03-stale block below.
     _WINDOW = [
         "bm25_streamed",
         "batch_search_rich",
