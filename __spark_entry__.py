@@ -846,6 +846,22 @@ def _fvf_q(spark, sf_dir):
     return top_k(out, k=10).select("doc_id", F.round("score", 6).alias("score"))
 
 
+def _decay_gauss_q(spark, sf_dir):
+    """ES function_score gauss decay: BM25('merge') × exp(−dist²/2σ²)
+    on n_chars (origin 2000, scale 1500, offset 100, decay 0.5) — the
+    distance-relevance blend (resultops.decay_score, pure column
+    exprs), top 10."""
+    from fugu_spark.resultops import decay_score
+    from fugu_spark.search import top_k
+
+    base = _matched_set(spark, sf_dir, "merge")
+    out = decay_score(
+        base, _docs(spark, sf_dir), "n_chars", origin=2000.0, scale=1500.0,
+        kind="gauss", offset=100.0, decay=0.5,
+    )
+    return top_k(out, k=10).select("doc_id", F.round("score", 6).alias("score"))
+
+
 _TT_CACHE: dict[str, object] = {}
 
 
@@ -2151,6 +2167,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_range_syntax": _eng_search_q(
             "merge date_created:[2024-03-01T00:00:00Z TO 2024-06-01T00:00:00Z}", 100
         ),
+        # late round-5: function_score decay (gauss) — lead the r06 window
+        "bm25_decay_gauss": _decay_gauss_q,
     }
     # Driver cap: CORRECTNESS_r{N} verifies only the FIRST 50 entries, so
     # the window is chosen explicitly rather than by dict position. It
@@ -2162,8 +2180,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # in the window is verified by the full local sweep
     # (CORRECTNESS_LOCAL_r05.json: 169/169 green) and the pytest suite;
     # never-windowed new entries (incl. the late-round bm25_span_near,
-    # ann_filtered, ann_lsh_filtered, delete_by_query) should lead the
-    # r06 window together with the r03-stale block below.
+    # ann_filtered, ann_lsh_filtered, delete_by_query, bm25_decay_gauss)
+    # should lead the r06 window together with the r03-stale block below.
     _WINDOW = [
         "bm25_streamed",
         "batch_search_rich",
@@ -4025,6 +4043,17 @@ WHERE sc.term = 'merge'
   AND (1704067200 + (sc.doc_id % 365) * 86400) >= 1709251200
   AND (1704067200 + (sc.doc_id % 365) * 86400) <  1717200000
 GROUP BY sc.doc_id ORDER BY sum(sc.sc) DESC, sc.doc_id ASC LIMIT 100""",
+        # function_score gauss decay on n_chars: multiplier
+        # exp(−max(0,|v−2000|−100)² / 2σ²), σ² = 1500² / (2·ln 2)
+        "bm25_decay_gauss": f"""WITH {_TOK}, {_SCORED},
+base AS (SELECT doc_id, sum(sc) AS s FROM scored WHERE term = 'merge' GROUP BY 1),
+dec AS (
+  SELECT b.doc_id,
+         b.s * exp(-pow(greatest(abs(d.n_chars - 2000.0) - 100.0, 0.0), 2)
+                   / (2.0 * (1500.0 * 1500.0 / (2.0 * ln(2.0))))) AS s
+  FROM base b JOIN documents d USING (doc_id))
+SELECT doc_id, round(s, 6) AS score FROM dec
+ORDER BY s DESC, doc_id ASC LIMIT 10""",
         "bm25_boost": _BOOST_SQL,
         "bm25_or_k100": _topk_sql("term IN ('merge','join')", k=100),
         "bm25_filtered_lang": _FILTERED_SQL,

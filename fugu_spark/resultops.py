@@ -20,6 +20,8 @@ semi-join against the seed's vocabulary).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -310,6 +312,64 @@ def field_value_factor(
         "left",
     )
     return keyed.select("doc_id", (F.col("score") * fac).alias("score"))
+
+
+def decay_score(
+    scored: DataFrame,
+    docs: DataFrame,
+    field: str,
+    origin: float,
+    scale: float,
+    kind: str = "gauss",
+    offset: float = 0.0,
+    decay: float = 0.5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES function_score decay (gauss / exp / linear): multiply each
+    matched doc's relevance score by a distance decay on a numeric
+    field — the multiplier is ``decay`` exactly ``scale`` away from
+    ``origin`` and 1.0 within ``offset`` of it.
+
+    With dist = max(0, |field − origin| − offset), the Lucene formulas:
+
+      gauss   exp(−dist² / 2σ²),  σ² = scale² / (2·ln(1/decay))
+      exp     exp(ln(decay) · dist / scale)
+      linear  max(0, (s − dist) / s),  s = scale / (1 − decay)
+
+    Date fields: cast to epoch seconds caller-side and pass origin/scale
+    in seconds. A NULL/missing field leaves the score unchanged
+    (multiplier 1.0 — the ES behavior for docs without the field).
+
+    Same plan shape as :func:`field_value_factor`: matched set joined to
+    the (id, field)-pruned docs scan; the decay is a pure JVM column
+    expression, no UDF."""
+    if scale <= 0:
+        raise ValueError(f"scale must be > 0, got {scale}")
+    if not (0.0 < decay < 1.0):
+        raise ValueError(f"decay must be in (0, 1), got {decay}")
+    dist = F.greatest(
+        F.abs(F.col("_fv").cast("double") - F.lit(float(origin))) - F.lit(float(offset)),
+        F.lit(0.0),
+    )
+    if kind == "gauss":
+        sigma2 = scale * scale / (2.0 * math.log(1.0 / decay))
+        mult = F.exp(-(dist * dist) / F.lit(2.0 * sigma2))
+    elif kind == "exp":
+        mult = F.exp(F.lit(math.log(decay) / scale) * dist)
+    elif kind == "linear":
+        s = scale / (1.0 - decay)
+        mult = F.greatest((F.lit(s) - dist) / F.lit(s), F.lit(0.0))
+    else:
+        raise ValueError(f"kind must be gauss/exp/linear, got {kind!r}")
+    keyed = scored.join(
+        docs.select(F.col(id_col).cast("long").alias("doc_id"), F.col(field).alias("_fv")),
+        "doc_id",
+        "left",
+    )
+    return keyed.select(
+        "doc_id",
+        (F.col("score") * F.coalesce(mult, F.lit(1.0))).alias("score"),
+    )
 
 
 def term_vectors(

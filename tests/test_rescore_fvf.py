@@ -111,3 +111,88 @@ class TestFieldValueFactor:
         base = search(index, "merge", k=10)
         with pytest.raises(ValueError):
             field_value_factor(base, docs_df, "n_chars", modifier="exp")
+
+
+class TestDecayScore:
+    """function_score decay (gauss/exp/linear) — hand-derived multipliers
+    per the Lucene formulas, missing-field neutrality, parameter guards."""
+
+    ORIGIN, SCALE, OFFSET, DECAY = 40.0, 20.0, 5.0, 0.5
+
+    def _want_mult(self, v, kind):
+        dist = max(0.0, abs(v - self.ORIGIN) - self.OFFSET)
+        if kind == "gauss":
+            sigma2 = self.SCALE**2 / (2.0 * math.log(1.0 / self.DECAY))
+            return math.exp(-(dist**2) / (2.0 * sigma2))
+        if kind == "exp":
+            return math.exp(math.log(self.DECAY) / self.SCALE * dist)
+        s = self.SCALE / (1.0 - self.DECAY)
+        return max(0.0, (s - dist) / s)
+
+    @pytest.mark.parametrize("kind", ["gauss", "exp", "linear"])
+    def test_kinds(self, index, docs_df, oracle, kind):
+        from fugu_spark.resultops import decay_score
+
+        base = search(index, "merge", k=100)
+        want_base = dict(oracle.search("merge", k=100))
+        got = {
+            r.doc_id: r.score
+            for r in decay_score(
+                base, docs_df, "n_chars", self.ORIGIN, self.SCALE,
+                kind=kind, offset=self.OFFSET, decay=self.DECAY,
+            ).collect()
+        }
+        assert set(got) == set(want_base)
+        for d, s in got.items():
+            assert s == pytest.approx(
+                want_base[d] * self._want_mult(len(DOCS[d]), kind), abs=1e-9
+            ), (kind, d)
+
+    def test_at_scale_distance_multiplier_is_decay(self, index, docs_df, spark):
+        """A doc exactly scale+offset from origin scores base × decay —
+        the defining point of all three curves."""
+        from fugu_spark.resultops import decay_score
+
+        base = search(index, "merge", k=100)
+        some = base.limit(1).collect()[0]
+        pinned = docs_df.withColumn(
+            "n_chars",
+            F.when(F.col("doc_id") == some.doc_id,
+                   F.lit(self.ORIGIN + self.OFFSET + self.SCALE)).otherwise(F.col("n_chars")),
+        )
+        for kind in ("gauss", "exp", "linear"):
+            got = {
+                r.doc_id: r.score
+                for r in decay_score(
+                    base, pinned, "n_chars", self.ORIGIN, self.SCALE,
+                    kind=kind, offset=self.OFFSET, decay=self.DECAY,
+                ).collect()
+            }
+            assert got[some.doc_id] == pytest.approx(some.score * self.DECAY, abs=1e-9)
+
+    def test_missing_field_is_neutral(self, index, docs_df):
+        from fugu_spark.resultops import decay_score
+
+        base = search(index, "merge", k=100)
+        holes = docs_df.withColumn(
+            "n_chars", F.when(F.col("doc_id") % 2 == 0, F.col("n_chars"))
+        )
+        plain = {r.doc_id: r.score for r in base.collect()}
+        got = {
+            r.doc_id: r.score
+            for r in decay_score(base, holes, "n_chars", self.ORIGIN, self.SCALE).collect()
+        }
+        for d, s in got.items():
+            if d % 2 != 0:
+                assert s == pytest.approx(plain[d], abs=1e-9)
+
+    def test_param_guards(self, index, docs_df):
+        from fugu_spark.resultops import decay_score
+
+        base = search(index, "merge", k=10)
+        with pytest.raises(ValueError):
+            decay_score(base, docs_df, "n_chars", 0.0, 0.0)
+        with pytest.raises(ValueError):
+            decay_score(base, docs_df, "n_chars", 0.0, 10.0, decay=1.0)
+        with pytest.raises(ValueError):
+            decay_score(base, docs_df, "n_chars", 0.0, 10.0, kind="cosine")
