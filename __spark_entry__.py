@@ -862,6 +862,18 @@ def _decay_gauss_q(spark, sf_dir):
     return top_k(out, k=10).select("doc_id", F.round("score", 6).alias("score"))
 
 
+def _boosting_q(spark, sf_dir):
+    """ES boosting query: BM25('merge join') with docs matching the
+    phrase "merge join" demoted ×0.3 (resultops.boosting — demotion,
+    not exclusion), top 10."""
+    from fugu_spark.resultops import boosting
+
+    _, idx = _index(spark, sf_dir)
+    return boosting(idx, "merge join", '"merge join"', 0.3, k=10).select(
+        "doc_id", F.round("score", 6).alias("score")
+    )
+
+
 _TT_CACHE: dict[str, object] = {}
 
 
@@ -2167,8 +2179,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_range_syntax": _eng_search_q(
             "merge date_created:[2024-03-01T00:00:00Z TO 2024-06-01T00:00:00Z}", 100
         ),
-        # late round-5: function_score decay (gauss) — lead the r06 window
+        # late round-5: function_score decay + boosting — lead the r06 window
         "bm25_decay_gauss": _decay_gauss_q,
+        "bm25_boosting": _boosting_q,
     }
     # Driver cap: CORRECTNESS_r{N} verifies only the FIRST 50 entries, so
     # the window is chosen explicitly rather than by dict position. It
@@ -2178,10 +2191,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # family (trigram code search, symbols, aggs, federation, snapshot,
     # hybrid, percolate, MLT, code-payload scoring, ...). Every entry NOT
     # in the window is verified by the full local sweep
-    # (CORRECTNESS_LOCAL_r05.json: 169/169 green) and the pytest suite;
+    # (CORRECTNESS_LOCAL_r05.json: 171/171 green) and the pytest suite;
     # never-windowed new entries (incl. the late-round bm25_span_near,
-    # ann_filtered, ann_lsh_filtered, delete_by_query, bm25_decay_gauss)
-    # should lead the r06 window together with the r03-stale block below.
+    # ann_filtered, ann_lsh_filtered, delete_by_query, bm25_decay_gauss,
+    # bm25_boosting) should lead the r06 window with the r03-stale block.
     _WINDOW = [
         "bm25_streamed",
         "batch_search_rich",
@@ -4053,6 +4066,20 @@ dec AS (
                    / (2.0 * (1500.0 * 1500.0 / (2.0 * ln(2.0))))) AS s
   FROM base b JOIN documents d USING (doc_id))
 SELECT doc_id, round(s, 6) AS score FROM dec
+ORDER BY s DESC, doc_id ASC LIMIT 10""",
+        # boosting query: phrase matches demoted x0.3, never excluded
+        "bm25_boosting": f"""WITH {_TOK}, {_SCORED},
+base AS (SELECT doc_id, sum(sc) AS s FROM scored
+         WHERE term IN ('merge', 'join') GROUP BY 1),
+phr AS (
+  SELECT DISTINCT a.doc_id
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'merge' AND b.term = 'join'),
+dem AS (
+  SELECT b.doc_id,
+         b.s * CASE WHEN p.doc_id IS NOT NULL THEN 0.3 ELSE 1.0 END AS s
+  FROM base b LEFT JOIN phr p USING (doc_id))
+SELECT doc_id, round(s, 6) AS score FROM dem
 ORDER BY s DESC, doc_id ASC LIMIT 10""",
         "bm25_boost": _BOOST_SQL,
         "bm25_or_k100": _topk_sql("term IN ('merge','join')", k=100),

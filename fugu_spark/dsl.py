@@ -19,6 +19,8 @@ Supported node types (the subset the engine's plan language expresses):
   {"regexp":       {FIELD: "pat"}}           anchored whole-term regex
   {"fuzzy":        {FIELD: {"value": V, "fuzziness": 1|2}}}
   {"range":        {FIELD: {"gte"/"gt"/"lte"/"lt": V}}}   lexicographic text range
+  {"exists":       {"field": NAME}}          docs with any term in NAME (the
+                                             string twin of `NAME:*`)
   {"span_near":    {"clauses": [{"span_term": {FIELD: V}}, ...],
                     "slop": N, "in_order": bool}}  proximity: in_order=true is the
                                              ordered sloppy phrase, false (default)
@@ -94,6 +96,12 @@ def _compile_node(node: dict, occur: str, mode: str) -> list:
         return [(occur, _compile_bool(body, mode))]
     if typ == "span_near":
         return [(occur, _compile_span_near(body, mode, occur))]
+    if typ == "exists":
+        # ES nests the name under "field", not as a {FIELD: body} key
+        if not isinstance(body, dict) or not isinstance(body.get("field"), str):
+            raise ValueError('exists expects {"field": NAME}')
+        return [(occur, Leaf(terms=(), boost=float(body.get("boost", 1.0)),
+                             fld=body["field"], rng=(None, None, True, True)))]
     if typ not in _LEAF_TYPES:
         raise ValueError(f"unsupported DSL node type {typ!r}")
 

@@ -314,6 +314,46 @@ def field_value_factor(
     return keyed.select("doc_id", (F.col("score") * fac).alias("score"))
 
 
+def boosting(
+    index: InvertedIndex,
+    positive: str,
+    negative: str,
+    negative_boost: float = 0.5,
+    k: int = 10,
+    mode: str = DEFAULT_MODE,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """ES/Lucene `boosting` query: docs matching ``positive`` keep their
+    relevance score, but those ALSO matching ``negative`` have it
+    multiplied by ``negative_boost`` (demotion, not exclusion — the
+    middle ground between a plain query and a must_not). The negative
+    query contributes no recall: its matched set only flags rows.
+
+    Plan: positive matched set LEFT-joined to the negative matched
+    set's doc_ids (the negative side prunes to one column before the
+    join), multiplier is a JVM CASE expression, then bounded top-k —
+    the same two-matched-set shape as :func:`rescore`."""
+    if not (0.0 <= negative_boost <= 1.0):
+        raise ValueError(f"negative_boost must be in [0, 1], got {negative_boost}")
+    pplan = expand_plan(parse_query(positive, mode=mode), dict_expander({None: index}))
+    nplan = expand_plan(parse_query(negative, mode=mode), dict_expander({None: index}))
+    pos = execute_plan(index, pplan, k1=k1, b=b)
+    neg = (
+        execute_plan(index, nplan, k1=k1, b=b)
+        .select("doc_id")
+        .withColumn("_neg", F.lit(True))
+    )
+    out = pos.join(neg, "doc_id", "left").select(
+        "doc_id",
+        (
+            F.col("score")
+            * F.when(F.col("_neg"), F.lit(float(negative_boost))).otherwise(F.lit(1.0))
+        ).alias("score"),
+    )
+    return top_k(out, k=k)
+
+
 def decay_score(
     scored: DataFrame,
     docs: DataFrame,

@@ -118,3 +118,22 @@ def test_batch_accepts_dsl_dicts(spark, index, tmp_path):
     key = lambda r: (r.query_id, r.rank)
     assert sorted([(r.query_id, r.rank, r.doc_id, round(r.score, 9)) for r in strings]) == \
            sorted([(r.query_id, r.rank, r.doc_id, round(r.score, 9)) for r in dicts])
+
+
+def test_exists_leaf():
+    """{"exists": {"field": F}} compiles to the exact leaf the string
+    parser emits for `F:*` — identical plans, so identical execution
+    through every shared path."""
+    from fugu_spark.queryparse import parse_query
+
+    got = compile_query({"exists": {"field": "source"}}).leaves[0]
+    want = parse_query("source:*", fields=frozenset({"source"})).leaves[0]
+    assert got == want
+    assert got.rng == (None, None, True, True) and got.fld == "source"
+
+
+def test_exists_errors():
+    with pytest.raises(ValueError):
+        compile_query({"exists": {}})
+    with pytest.raises(ValueError):
+        compile_query({"exists": {"field": 3}})

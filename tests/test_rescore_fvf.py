@@ -196,3 +196,35 @@ class TestDecayScore:
             decay_score(base, docs_df, "n_chars", 0.0, 10.0, decay=1.0)
         with pytest.raises(ValueError):
             decay_score(base, docs_df, "n_chars", 0.0, 10.0, kind="cosine")
+
+
+class TestBoosting:
+    """ES boosting query: negative matches are demoted by negative_boost,
+    never excluded, and the negative side never recalls new docs."""
+
+    def test_demotes_negative_matches(self, index, oracle):
+        from fugu_spark.resultops import boosting
+
+        base = dict(oracle.search("merge join", k=100))
+        neg = dict(oracle.search('"merge join"', k=100))
+        want = {d: s * (0.3 if d in neg else 1.0) for d, s in base.items()}
+        got = {
+            r.doc_id: r.score
+            for r in boosting(index, "merge join", '"merge join"', 0.3, k=100).collect()
+        }
+        assert set(got) == set(want)
+        for d, s in got.items():
+            assert s == pytest.approx(want[d], abs=1e-9)
+
+    def test_negative_never_recalls(self, index, oracle):
+        from fugu_spark.resultops import boosting
+
+        base = dict(oracle.search("merge", k=100))
+        got = {r.doc_id for r in boosting(index, "merge", "join", 0.0, k=100).collect()}
+        assert got == set(base)
+
+    def test_guard(self, index):
+        from fugu_spark.resultops import boosting
+
+        with pytest.raises(ValueError):
+            boosting(index, "merge", "join", 1.5)
