@@ -862,6 +862,18 @@ def _decay_gauss_q(spark, sf_dir):
     return top_k(out, k=10).select("doc_id", F.round("score", 6).alias("score"))
 
 
+def _pinned_q(spark, sf_dir):
+    """ES pinned query: docs 42 and 7 promoted (in that order) ahead of
+    the organic BM25('merge join') tail, pinned docs deduped out of the
+    tail (resultops.pinned), top 10."""
+    from fugu_spark.resultops import pinned
+
+    _, idx = _index(spark, sf_dir)
+    return pinned(idx, [42, 7], "merge join", k=10).select(
+        "doc_id", F.round("score", 6).alias("score")
+    )
+
+
 def _boosting_q(spark, sf_dir):
     """ES boosting query: BM25('merge join') with docs matching the
     phrase "merge join" demoted ×0.3 (resultops.boosting — demotion,
@@ -2182,6 +2194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # late round-5: function_score decay + boosting — lead the r06 window
         "bm25_decay_gauss": _decay_gauss_q,
         "bm25_boosting": _boosting_q,
+        "bm25_pinned": _pinned_q,
     }
     # Driver cap: CORRECTNESS_r{N} verifies only the FIRST 50 entries, so
     # the window is chosen explicitly rather than by dict position. It
@@ -2191,10 +2204,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # family (trigram code search, symbols, aggs, federation, snapshot,
     # hybrid, percolate, MLT, code-payload scoring, ...). Every entry NOT
     # in the window is verified by the full local sweep
-    # (CORRECTNESS_LOCAL_r05.json: 171/171 green) and the pytest suite;
+    # (CORRECTNESS_LOCAL_r05.json: 172/172 green) and the pytest suite;
     # never-windowed new entries (incl. the late-round bm25_span_near,
     # ann_filtered, ann_lsh_filtered, delete_by_query, bm25_decay_gauss,
-    # bm25_boosting) should lead the r06 window with the r03-stale block.
+    # bm25_boosting, bm25_pinned) should lead the r06 window with the
+    # r03-stale block.
     _WINDOW = [
         "bm25_streamed",
         "batch_search_rich",
@@ -4066,6 +4080,19 @@ dec AS (
                    / (2.0 * (1500.0 * 1500.0 / (2.0 * ln(2.0))))) AS s
   FROM base b JOIN documents d USING (doc_id))
 SELECT doc_id, round(s, 6) AS score FROM dec
+ORDER BY s DESC, doc_id ASC LIMIT 10""",
+        # pinned query: ladder scores 1e9 - position for the pins, then
+        # the organic set minus the pins
+        "bm25_pinned": f"""WITH {_TOK}, {_SCORED},
+org AS (SELECT doc_id, sum(sc) AS s FROM scored
+        WHERE term IN ('merge', 'join') GROUP BY 1),
+pin(doc_id, s) AS (VALUES (42, 1000000000.0), (7, 999999999.0)),
+uni AS (
+  SELECT doc_id, s FROM pin
+  UNION ALL
+  SELECT o.doc_id, o.s FROM org o
+  WHERE o.doc_id NOT IN (SELECT doc_id FROM pin))
+SELECT doc_id, round(s, 6) AS score FROM uni
 ORDER BY s DESC, doc_id ASC LIMIT 10""",
         # boosting query: phrase matches demoted x0.3, never excluded
         "bm25_boosting": f"""WITH {_TOK}, {_SCORED},

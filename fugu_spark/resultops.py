@@ -314,6 +314,41 @@ def field_value_factor(
     return keyed.select("doc_id", (F.col("score") * fac).alias("score"))
 
 
+def pinned(
+    index: InvertedIndex,
+    ids: list[int] | tuple[int, ...],
+    organic: str,
+    k: int = 10,
+    mode: str = DEFAULT_MODE,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """ES `pinned` query (promoted/sponsored results): the listed doc
+    ids rank first, in the order given, ahead of every organic match;
+    a pinned doc never re-appears in the organic tail. Pinned scores
+    are the deterministic ladder 1e9 − position (pinned divergence:
+    ES uses descending floats below Float.MAX_VALUE; any ladder above
+    the organic range preserves its ordering contract), so the result
+    is a plain (score DESC, doc_id ASC) sort like every other query.
+
+    Plan: organic matched set ANTI-joined to the (broadcast-size) pin
+    list, unioned with the driver-built pinned frame — one bounded
+    top-k, no new shuffle shapes."""
+    if not ids:
+        raise ValueError("pinned requires at least one id")
+    if len(set(ids)) != len(ids):
+        raise ValueError("duplicate ids in pinned list")
+    plan = expand_plan(parse_query(organic, mode=mode), dict_expander({None: index}))
+    org = execute_plan(index, plan, k1=k1, b=b)
+    spark = org.sparkSession
+    pin = spark.createDataFrame(
+        [(int(d), float(1e9 - i)) for i, d in enumerate(ids)],
+        "doc_id long, score double",
+    )
+    organic_tail = org.join(F.broadcast(pin.select("doc_id")), "doc_id", "left_anti")
+    return top_k(pin.unionByName(organic_tail), k=k)
+
+
 def boosting(
     index: InvertedIndex,
     positive: str,

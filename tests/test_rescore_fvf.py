@@ -228,3 +228,41 @@ class TestBoosting:
 
         with pytest.raises(ValueError):
             boosting(index, "merge", "join", 1.5)
+
+
+class TestPinned:
+    """ES pinned query: promoted ids first in given order, organic tail
+    deduped, guards on empty/duplicate pins."""
+
+    def test_order_and_dedup(self, index, oracle):
+        from fugu_spark.resultops import pinned
+
+        base = dict(oracle.search("merge join", k=100))
+        some_organic = sorted(base)[:2]  # pin two docs that also match
+        out = pinned(index, [some_organic[1], some_organic[0]], "merge join", k=100).collect()
+        got_ids = [r.doc_id for r in out]
+        # pins lead, in the order given
+        assert got_ids[:2] == [some_organic[1], some_organic[0]]
+        # organic tail = base minus pinned, in base score order
+        want_tail = [d for d, _ in sorted(base.items(), key=lambda kv: (-kv[1], kv[0]))
+                     if d not in some_organic]
+        assert got_ids[2:] == want_tail
+        # organic scores unchanged
+        for r in out[2:]:
+            assert r.score == pytest.approx(base[r.doc_id], abs=1e-9)
+
+    def test_pin_outside_matched_set(self, index, oracle):
+        from fugu_spark.resultops import pinned
+
+        base = dict(oracle.search("merge", k=100))
+        missing = max(DOCS) + 50  # not in the corpus' matched set
+        got_ids = [r.doc_id for r in pinned(index, [missing], "merge", k=100).collect()]
+        assert got_ids[0] == missing and set(got_ids[1:]) == set(base)
+
+    def test_guards(self, index):
+        from fugu_spark.resultops import pinned
+
+        with pytest.raises(ValueError):
+            pinned(index, [], "merge")
+        with pytest.raises(ValueError):
+            pinned(index, [1, 1], "merge")
