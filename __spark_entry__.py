@@ -862,6 +862,19 @@ def _decay_gauss_q(spark, sf_dir):
     return top_k(out, k=10).select("doc_id", F.round("score", 6).alias("score"))
 
 
+def _terms_set_q(spark, sf_dir):
+    """ES terms_set: OR over (merge, join, sort) where each doc's own
+    required match count is doc_id % 3 + 1 (resultops.terms_set —
+    per-doc minimum_should_match_field), k=100."""
+    from fugu_spark.resultops import terms_set
+
+    docs, idx = _index(spark, sf_dir)
+    req = docs.withColumn("req", F.col("doc_id") % 3 + 1)
+    return terms_set(idx, ["merge", "join", "sort"], req, "req", k=100).select(
+        "doc_id", F.round("score", 6).alias("score")
+    )
+
+
 def _pinned_q(spark, sf_dir):
     """ES pinned query: docs 42 and 7 promoted (in that order) ahead of
     the organic BM25('merge join') tail, pinned docs deduped out of the
@@ -2195,6 +2208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_decay_gauss": _decay_gauss_q,
         "bm25_boosting": _boosting_q,
         "bm25_pinned": _pinned_q,
+        "bm25_terms_set": _terms_set_q,
     }
     # Driver cap: CORRECTNESS_r{N} verifies only the FIRST 50 entries, so
     # the window is chosen explicitly rather than by dict position. It
@@ -2204,10 +2218,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # family (trigram code search, symbols, aggs, federation, snapshot,
     # hybrid, percolate, MLT, code-payload scoring, ...). Every entry NOT
     # in the window is verified by the full local sweep
-    # (CORRECTNESS_LOCAL_r05.json: 172/172 green) and the pytest suite;
+    # (CORRECTNESS_LOCAL_r05.json: 173/173 green) and the pytest suite;
     # never-windowed new entries (incl. the late-round bm25_span_near,
     # ann_filtered, ann_lsh_filtered, delete_by_query, bm25_decay_gauss,
-    # bm25_boosting, bm25_pinned) should lead the r06 window with the
+    # bm25_boosting, bm25_pinned, bm25_terms_set) should lead the r06 window with the
     # r03-stale block.
     _WINDOW = [
         "bm25_streamed",
@@ -4081,6 +4095,16 @@ dec AS (
   FROM base b JOIN documents d USING (doc_id))
 SELECT doc_id, round(s, 6) AS score FROM dec
 ORDER BY s DESC, doc_id ASC LIMIT 10""",
+        # terms_set: distinct-match count gated per doc by doc_id%3+1
+        "bm25_terms_set": f"""WITH {_TOK}, {_SCORED},
+nm AS (SELECT doc_id, count(DISTINCT term) AS c FROM tok
+       WHERE term IN ('merge', 'join', 'sort') GROUP BY 1),
+agg AS (SELECT doc_id, sum(sc) AS s FROM scored
+        WHERE term IN ('merge', 'join', 'sort') GROUP BY 1)
+SELECT a.doc_id, round(a.s, 6) AS score
+FROM agg a JOIN nm USING (doc_id)
+WHERE nm.c >= (a.doc_id % 3 + 1)
+ORDER BY a.s DESC, a.doc_id ASC LIMIT 100""",
         # pinned query: ladder scores 1e9 - position for the pins, then
         # the organic set minus the pins
         "bm25_pinned": f"""WITH {_TOK}, {_SCORED},

@@ -30,7 +30,7 @@ from .postings import InvertedIndex
 from .queryparse import Leaf, QueryPlan, parse_query
 from .queryparse import expand_plan
 from .search import _tf_norm, dict_expander, execute_plan, top_k
-from .tokenizer import DEFAULT_MODE
+from .tokenizer import DEFAULT_MODE, tokenize_py
 
 
 def match_count(
@@ -312,6 +312,60 @@ def field_value_factor(
         "left",
     )
     return keyed.select("doc_id", (F.col("score") * fac).alias("score"))
+
+
+def terms_set(
+    index: InvertedIndex,
+    terms: list[str] | tuple[str, ...],
+    docs: DataFrame,
+    msm_col: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    mode: str = DEFAULT_MODE,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """ES `terms_set` query: an OR over ``terms`` where the minimum
+    number of matching terms is read PER DOCUMENT from ``msm_col``
+    (ES's minimum_should_match_field) — e.g. skill matching where each
+    doc declares how many of its listed codes are required. A doc
+    qualifies when distinct-matched-terms ≥ its own msm value; the
+    score is the plain BM25 sum of its matched leaves (bool-should
+    semantics). NULL msm values never match (ES errors per-shard;
+    filtering is the pinned table-side behavior).
+
+    Plan: the canonical OR leaf scoring, plus a distinct-match count
+    from the postings (map-side partial count on the same doc_id key),
+    joined to the (id, msm)-pruned docs scan — no Python, no new
+    shuffle shapes."""
+    toks = []
+    for t in terms:
+        tt = [w for w, _ in tokenize_py(str(t), mode=mode)]
+        if len(tt) != 1:
+            raise ValueError(f"terms_set term {t!r} must analyze to one token, got {tt}")
+        toks.append(tt[0])
+    if not toks:
+        raise ValueError("terms_set requires at least one term")
+    if len(set(toks)) != len(toks):
+        raise ValueError("duplicate terms in terms_set")
+    plan = QueryPlan(leaves=[Leaf(terms=(t,)) for t in toks])
+    scored = execute_plan(index, plan, k1=k1, b=b)
+    n_match = (
+        index.postings.filter(F.col("term").isin(list(toks)))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("_nm"))
+    )
+    req = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(msm_col).cast("long").alias("_req"),
+    )
+    out = (
+        scored.join(n_match, "doc_id")
+        .join(req, "doc_id", "left")
+        .filter(F.col("_req").isNotNull() & (F.col("_nm") >= F.col("_req")))
+        .select("doc_id", "score")
+    )
+    return top_k(out, k=k)
 
 
 def pinned(

@@ -266,3 +266,51 @@ class TestPinned:
             pinned(index, [], "merge")
         with pytest.raises(ValueError):
             pinned(index, [1, 1], "merge")
+
+
+class TestTermsSet:
+    """ES terms_set: per-doc minimum_should_match from a doc field —
+    hand-derived qualification + score identity with the OR query."""
+
+    TERMS = ["merge", "join", "sort"]
+
+    def _matched(self, d):
+        toks = {t for t, _ in __import__("fugu_spark.tokenizer", fromlist=["tokenize_py"])
+                .tokenize_py(DOCS[d])}
+        return sum(1 for t in self.TERMS if t in toks)
+
+    def test_per_doc_gate_and_scores(self, index, docs_df, oracle, spark):
+        from fugu_spark.resultops import terms_set
+
+        # per-doc requirement: doc_id % 3 + 1 ∈ {1, 2, 3}
+        req = docs_df.withColumn("req", F.col("doc_id") % 3 + 1)
+        base = dict(oracle.search("merge join sort", k=100))
+        got = {
+            r.doc_id: r.score
+            for r in terms_set(index, self.TERMS, req, "req", k=100).collect()
+        }
+        want = {
+            d: s for d, s in base.items() if self._matched(d) >= (d % 3 + 1)
+        }
+        assert got.keys() == want.keys()
+        for d, s in got.items():
+            assert s == pytest.approx(want[d], abs=1e-9)
+
+    def test_null_requirement_never_matches(self, index, docs_df):
+        from fugu_spark.resultops import terms_set
+
+        req = docs_df.withColumn(
+            "req", F.when(F.col("doc_id") % 2 == 0, F.lit(1))
+        )
+        got = {r.doc_id for r in terms_set(index, self.TERMS, req, "req", k=100).collect()}
+        assert got and all(d % 2 == 0 for d in got)
+
+    def test_guards(self, index, docs_df):
+        from fugu_spark.resultops import terms_set
+
+        with pytest.raises(ValueError):
+            terms_set(index, [], docs_df, "n_chars")
+        with pytest.raises(ValueError):
+            terms_set(index, ["merge", "merge"], docs_df, "n_chars")
+        with pytest.raises(ValueError):
+            terms_set(index, ["two words"], docs_df, "n_chars")
