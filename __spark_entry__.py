@@ -887,6 +887,18 @@ def _pinned_q(spark, sf_dir):
     )
 
 
+def _pinned_served_q(spark, sf_dir):
+    """Served-path pinned query (LocalSearcher.search_pinned): same
+    semantics and ladder as bm25_pinned, no Spark job on the query
+    path; identical oracle."""
+    from fugu_spark.serve import LocalSearcher
+
+    si = _seg_index(spark, sf_dir)
+    pdf = LocalSearcher(si.index_dir).search_pinned([42, 7], "merge join", k=10)
+    pdf["score"] = pdf["score"].round(6)
+    return spark.createDataFrame(pdf, "doc_id long, score double")
+
+
 def _boosting_q(spark, sf_dir):
     """ES boosting query: BM25('merge join') with docs matching the
     phrase "merge join" demoted ×0.3 (resultops.boosting — demotion,
@@ -2208,6 +2220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_decay_gauss": _decay_gauss_q,
         "bm25_boosting": _boosting_q,
         "bm25_pinned": _pinned_q,
+        "bm25_pinned_served": _pinned_served_q,
         "bm25_terms_set": _terms_set_q,
     }
     # Driver cap: CORRECTNESS_r{N} verifies only the FIRST 50 entries, so
@@ -2218,10 +2231,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # family (trigram code search, symbols, aggs, federation, snapshot,
     # hybrid, percolate, MLT, code-payload scoring, ...). Every entry NOT
     # in the window is verified by the full local sweep
-    # (CORRECTNESS_LOCAL_r05.json: 173/173 green) and the pytest suite;
+    # (CORRECTNESS_LOCAL_r05.json: 174/174 green) and the pytest suite;
     # never-windowed new entries (incl. the late-round bm25_span_near,
     # ann_filtered, ann_lsh_filtered, delete_by_query, bm25_decay_gauss,
-    # bm25_boosting, bm25_pinned, bm25_terms_set) should lead the r06 window with the
+    # bm25_boosting, bm25_pinned(+_served), bm25_terms_set) should lead the r06 window with the
     # r03-stale block.
     _WINDOW = [
         "bm25_streamed",
@@ -4108,6 +4121,17 @@ ORDER BY a.s DESC, a.doc_id ASC LIMIT 100""",
         # pinned query: ladder scores 1e9 - position for the pins, then
         # the organic set minus the pins
         "bm25_pinned": f"""WITH {_TOK}, {_SCORED},
+org AS (SELECT doc_id, sum(sc) AS s FROM scored
+        WHERE term IN ('merge', 'join') GROUP BY 1),
+pin(doc_id, s) AS (VALUES (42, 1000000000.0), (7, 999999999.0)),
+uni AS (
+  SELECT doc_id, s FROM pin
+  UNION ALL
+  SELECT o.doc_id, o.s FROM org o
+  WHERE o.doc_id NOT IN (SELECT doc_id FROM pin))
+SELECT doc_id, round(s, 6) AS score FROM uni
+ORDER BY s DESC, doc_id ASC LIMIT 10""",
+        "bm25_pinned_served": f"""WITH {_TOK}, {_SCORED},
 org AS (SELECT doc_id, sum(sc) AS s FROM scored
         WHERE term IN ('merge', 'join') GROUP BY 1),
 pin(doc_id, s) AS (VALUES (42, 1000000000.0), (7, 999999999.0)),

@@ -809,6 +809,37 @@ class LocalSearcher:
 
     # ------------------------------------------------------------- search
 
+    def search_pinned(
+        self,
+        ids: list[int] | tuple[int, ...],
+        query_text,
+        k: int = 10,
+        **kwargs,
+    ) -> pd.DataFrame:
+        """ES `pinned` query on the serving path: the listed ids lead in
+        the order given (deterministic 1e9 − position score ladder —
+        same pinned divergence as resultops.pinned, rank/score parity
+        pinned in tests), then the organic top-(k − pins) with pinned
+        docs deduped out. Fetches k organic rows (the worst case is
+        every pin also ranking organically), so cost is one ordinary
+        bounded search plus O(k) pandas work."""
+        if not ids:
+            raise ValueError("pinned requires at least one id")
+        if len(set(ids)) != len(ids):
+            raise ValueError("duplicate ids in pinned list")
+        pin = pd.DataFrame(
+            {"doc_id": [int(d) for d in ids],
+             "score": [1e9 - i for i in range(len(ids))]}
+        )
+        head = pin.head(k)
+        n_tail = k - len(head)
+        if n_tail <= 0:
+            return head.reset_index(drop=True)
+        org = self.search(query_text, k=k, **kwargs)
+        tail = org[~org["doc_id"].isin(set(pin["doc_id"]))].head(n_tail)
+        out = pd.concat([head, tail], ignore_index=True)
+        return out
+
     def search(
         self,
         query_text: str | None,

@@ -178,3 +178,33 @@ class TestCount:
         query with a tiny k returns fewer rows than the count."""
         _, si, ls, _ = setup
         assert ls.count("merge join") > len(ls.search("merge join", k=3))
+
+
+class TestSearchPinned:
+    """Served pinned query: pins lead in order with the ladder scores,
+    organic tail deduped — oracle-derived expectations."""
+
+    def test_pins_lead_then_organic(self, setup):
+        corpus, si, ls, oracle = setup
+        base = oracle.search("merge join", k=50)
+        pins = [base[3][0], base[0][0]]  # one mid-rank, one top organic doc
+        out = ls.search_pinned(pins, "merge join", k=10)
+        got = list(out.itertuples(index=False))
+        assert [g.doc_id for g in got[:2]] == pins
+        assert got[0].score == 1e9 and got[1].score == 1e9 - 1
+        want_tail = [d for d, _ in base if d not in set(pins)][:8]
+        assert [g.doc_id for g in got[2:]] == want_tail
+        for g, (ed, es) in zip(got[2:], [p for p in base if p[0] not in set(pins)][:8]):
+            assert g.score == pytest.approx(es, abs=1e-9)
+
+    def test_k_smaller_than_pins(self, setup):
+        _, _, ls, _ = setup
+        out = ls.search_pinned([11, 12, 13], "merge", k=2)
+        assert list(out["doc_id"]) == [11, 12]
+
+    def test_guards(self, setup):
+        _, _, ls, _ = setup
+        with pytest.raises(ValueError):
+            ls.search_pinned([], "merge")
+        with pytest.raises(ValueError):
+            ls.search_pinned([1, 1], "merge")
