@@ -862,6 +862,20 @@ def _decay_gauss_q(spark, sf_dir):
     return top_k(out, k=10).select("doc_id", F.round("score", 6).alias("score"))
 
 
+def _random_sample_q(spark, sf_dir):
+    """Deterministic seeded random_score sampling of the matched set
+    (resultops.random_score, pinned md5 formula): top 20 of
+    BM25('merge') matches by their seed-7 uniform — the reproducible
+    eval-sampling / A-B-bucketing shape."""
+    from fugu_spark.resultops import random_score
+    from fugu_spark.search import top_k
+
+    base = _matched_set(spark, sf_dir, "merge")
+    return top_k(random_score(base, seed=7), k=20).select(
+        "doc_id", F.round("score", 6).alias("score")
+    )
+
+
 def _terms_set_q(spark, sf_dir):
     """ES terms_set: OR over (merge, join, sort) where each doc's own
     required match count is doc_id % 3 + 1 (resultops.terms_set —
@@ -2222,6 +2236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_pinned": _pinned_q,
         "bm25_pinned_served": _pinned_served_q,
         "bm25_terms_set": _terms_set_q,
+        "random_sample": _random_sample_q,
     }
     # Driver cap: CORRECTNESS_r{N} verifies only the FIRST 50 entries, so
     # the window is chosen explicitly rather than by dict position. It
@@ -2231,11 +2246,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # family (trigram code search, symbols, aggs, federation, snapshot,
     # hybrid, percolate, MLT, code-payload scoring, ...). Every entry NOT
     # in the window is verified by the full local sweep
-    # (CORRECTNESS_LOCAL_r05.json: 174/174 green) and the pytest suite;
+    # (CORRECTNESS_LOCAL_r05.json: 175/175 green) and the pytest suite;
     # never-windowed new entries (incl. the late-round bm25_span_near,
     # ann_filtered, ann_lsh_filtered, delete_by_query, bm25_decay_gauss,
-    # bm25_boosting, bm25_pinned(+_served), bm25_terms_set) should lead the r06 window with the
-    # r03-stale block.
+    # bm25_boosting, bm25_pinned(+_served), bm25_terms_set, random_sample)
+    # should lead the r06 window with the r03-stale block.
     _WINDOW = [
         "bm25_streamed",
         "batch_search_rich",
@@ -4108,6 +4123,15 @@ dec AS (
   FROM base b JOIN documents d USING (doc_id))
 SELECT doc_id, round(s, 6) AS score FROM dec
 ORDER BY s DESC, doc_id ASC LIMIT 10""",
+        # seeded random_score: identical md5 formula both engines
+        "random_sample": f"""WITH {_TOK}, {_SCORED},
+m AS (SELECT DISTINCT doc_id FROM scored WHERE term = 'merge'),
+r AS (SELECT doc_id,
+             (('0x' || substr(md5(doc_id::VARCHAR || ':7'), 1, 8))::UBIGINT)::DOUBLE
+               / 4294967296.0 AS s
+      FROM m)
+SELECT doc_id, round(s, 6) AS score FROM r
+ORDER BY s DESC, doc_id ASC LIMIT 20""",
         # terms_set: distinct-match count gated per doc by doc_id%3+1
         "bm25_terms_set": f"""WITH {_TOK}, {_SCORED},
 nm AS (SELECT doc_id, count(DISTINCT term) AS c FROM tok

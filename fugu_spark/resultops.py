@@ -314,6 +314,42 @@ def field_value_factor(
     return keyed.select("doc_id", (F.col("score") * fac).alias("score"))
 
 
+def random_score(
+    scored: DataFrame,
+    seed: int = 0,
+    weight: float = 1.0,
+    mode: str = "replace",
+) -> DataFrame:
+    """ES function_score `random_score` with an explicit seed: a
+    DETERMINISTIC per-(seed, doc) uniform value in [0, 1) — the
+    reproducible-sampling / A-B-bucketing function (same seed → same
+    ordering on every run and every engine). Pinned formula (ES's
+    internal hash is unspecified): first 8 hex chars of
+    md5("<doc_id>:<seed>") as a 32-bit int, divided by 2³².
+
+    ``mode``: 'replace' (score := weight × r, ES's random sort use) or
+    'multiply' (score ×= weight × r, the function_score combine).
+    Pure JVM md5/conv column expressions over the matched set — no
+    shuffle, no Python."""
+    if mode not in ("replace", "multiply"):
+        raise ValueError(f"mode must be replace/multiply, got {mode!r}")
+    r = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.lit(str(int(seed))))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    val = F.lit(float(weight)) * r
+    score = val if mode == "replace" else F.col("score") * val
+    return scored.select("doc_id", score.alias("score"))
+
+
 def terms_set(
     index: InvertedIndex,
     terms: list[str] | tuple[str, ...],

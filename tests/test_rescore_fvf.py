@@ -314,3 +314,51 @@ class TestTermsSet:
             terms_set(index, ["merge", "merge"], docs_df, "n_chars")
         with pytest.raises(ValueError):
             terms_set(index, ["two words"], docs_df, "n_chars")
+
+
+class TestRandomScore:
+    """Deterministic seeded random_score: pinned md5 formula, seed
+    sensitivity, replace vs multiply."""
+
+    def _want(self, d, seed):
+        import hashlib
+
+        h = hashlib.md5(f"{d}:{seed}".encode()).hexdigest()[:8]
+        return int(h, 16) / 2**32
+
+    def test_pinned_formula_and_determinism(self, index):
+        from fugu_spark.resultops import random_score
+
+        base = search(index, "merge", k=100)
+        got = {r.doc_id: r.score for r in random_score(base, seed=7).collect()}
+        again = {r.doc_id: r.score for r in random_score(base, seed=7).collect()}
+        assert got == again
+        for d, s in got.items():
+            assert s == pytest.approx(self._want(d, 7), abs=1e-12)
+            assert 0.0 <= s < 1.0
+
+    def test_seed_changes_order(self, index):
+        from fugu_spark.resultops import random_score
+
+        base = search(index, "merge", k=100)
+        a = [r.doc_id for r in random_score(base, seed=1).orderBy(F.desc("score")).collect()]
+        b = [r.doc_id for r in random_score(base, seed=2).orderBy(F.desc("score")).collect()]
+        assert set(a) == set(b) and a != b
+
+    def test_multiply_mode(self, index, oracle):
+        from fugu_spark.resultops import random_score
+
+        want_base = dict(oracle.search("merge", k=100))
+        base = search(index, "merge", k=100)
+        got = {
+            r.doc_id: r.score
+            for r in random_score(base, seed=3, weight=2.0, mode="multiply").collect()
+        }
+        for d, s in got.items():
+            assert s == pytest.approx(want_base[d] * 2.0 * self._want(d, 3), abs=1e-9)
+
+    def test_bad_mode(self, index):
+        from fugu_spark.resultops import random_score
+
+        with pytest.raises(ValueError):
+            random_score(search(index, "merge", k=10), mode="add")
