@@ -862,6 +862,18 @@ def _decay_gauss_q(spark, sf_dir):
     return top_k(out, k=10).select("doc_id", F.round("score", 6).alias("score"))
 
 
+def _phrase_suggest_q(spark, sf_dir):
+    """ES phrase suggester: per-word dictionary candidates for the
+    misspelled query 'port ag' (candidates {part, sort} x {a, agg})
+    re-ranked as whole phrases by the
+    corpus add-0.1 bigram LM (resultops.phrase_suggest), top 5."""
+    from fugu_spark.resultops import phrase_suggest
+
+    docs, idx = _index(spark, sf_dir)
+    out = phrase_suggest(idx, docs, "port ag", n=5)
+    return out.select("suggestion", F.round("score", 6).alias("score"))
+
+
 def _random_sample_q(spark, sf_dir):
     """Deterministic seeded random_score sampling of the matched set
     (resultops.random_score, pinned md5 formula): top 20 of
@@ -2237,6 +2249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_pinned_served": _pinned_served_q,
         "bm25_terms_set": _terms_set_q,
         "random_sample": _random_sample_q,
+        "phrase_suggest": _phrase_suggest_q,
     }
     # Driver cap: CORRECTNESS_r{N} verifies only the FIRST 50 entries, so
     # the window is chosen explicitly rather than by dict position. It
@@ -2246,10 +2259,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # family (trigram code search, symbols, aggs, federation, snapshot,
     # hybrid, percolate, MLT, code-payload scoring, ...). Every entry NOT
     # in the window is verified by the full local sweep
-    # (CORRECTNESS_LOCAL_r05.json: 175/175 green) and the pytest suite;
+    # (CORRECTNESS_LOCAL_r05.json: 176/176 green) and the pytest suite;
     # never-windowed new entries (incl. the late-round bm25_span_near,
     # ann_filtered, ann_lsh_filtered, delete_by_query, bm25_decay_gauss,
-    # bm25_boosting, bm25_pinned(+_served), bm25_terms_set, random_sample)
+    # bm25_boosting, bm25_pinned(+_served), bm25_terms_set, random_sample,
+    # phrase_suggest)
     # should lead the r06 window with the r03-stale block.
     _WINDOW = [
         "bm25_streamed",
@@ -4123,6 +4137,29 @@ dec AS (
   FROM base b JOIN documents d USING (doc_id))
 SELECT doc_id, round(s, 6) AS score FROM dec
 ORDER BY s DESC, doc_id ASC LIMIT 10""",
+        # phrase suggester: per-word levenshtein candidates (top 5 by
+        # distance, df DESC, term) scored by the add-0.1 bigram LM
+        "phrase_suggest": f"""WITH {_TOK},
+dict AS (SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf
+         FROM tok GROUP BY 1),
+tot AS (SELECT count(*)::DOUBLE AS n, count(DISTINCT term)::DOUBLE AS v FROM tok),
+c0 AS (SELECT term, cf, row_number() OVER (
+         ORDER BY levenshtein(term, 'port'), df DESC, term) AS rk
+       FROM dict WHERE levenshtein(term, 'port') <= 1),
+c1 AS (SELECT term, cf, row_number() OVER (
+         ORDER BY levenshtein(term, 'ag'), df DESC, term) AS rk
+       FROM dict WHERE levenshtein(term, 'ag') <= 1),
+big AS (SELECT a.term AS w0, b.term AS w1, count(*)::DOUBLE AS c
+        FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        GROUP BY 1, 2),
+sc AS (SELECT p0.term || ' ' || p1.term AS suggestion,
+              ln((p0.cf + 0.1) / (t.n + 0.1 * t.v))
+            + ln((coalesce(bg.c, 0) + 0.1) / (p0.cf + 0.1 * t.v)) AS s
+       FROM (SELECT * FROM c0 WHERE rk <= 5) p0
+       CROSS JOIN (SELECT * FROM c1 WHERE rk <= 5) p1
+       LEFT JOIN big bg ON bg.w0 = p0.term AND bg.w1 = p1.term, tot t)
+SELECT suggestion, round(s, 6) AS score FROM sc
+ORDER BY s DESC, suggestion ASC LIMIT 5""",
         # seeded random_score: identical md5 formula both engines
         "random_sample": f"""WITH {_TOK}, {_SCORED},
 m AS (SELECT DISTINCT doc_id FROM scored WHERE term = 'merge'),

@@ -314,6 +314,101 @@ def field_value_factor(
     return keyed.select("doc_id", (F.col("score") * fac).alias("score"))
 
 
+def phrase_suggest(
+    index: InvertedIndex,
+    docs: DataFrame,
+    text: str,
+    text_col: str = "text",
+    n: int = 5,
+    max_distance: int = 1,
+    per_word: int = 5,
+    alpha: float = 0.1,
+    mode: str = DEFAULT_MODE,
+) -> DataFrame:
+    """ES `phrase` suggester ("did you mean" for WHOLE queries): per-word
+    spelling candidates from the term dictionary re-ranked as full
+    phrases by an add-α bigram language model over the corpus — the
+    step beyond the term-level :func:`spell_suggest` (ES backs it with
+    a shard Laplace/StupidBackoff word LM the same way).
+
+    Pinned model (ES's smoothing internals are configurable/unspecified):
+      candidates per word  dictionary terms with levenshtein ≤
+                           ``max_distance`` (the word itself at 0),
+                           top ``per_word`` by (distance, df DESC, term)
+      score(w₁..w_k)       ln (cf(w₁)+α)/(N+αV)
+                           + Σᵢ ln (c(wᵢ₋₁,wᵢ)+α)/(cf(wᵢ₋₁)+αV)
+    with c(a,b) = adjacent-pair count in the corpus token stream, cf/N/V
+    from the index's own dictionary and stats. Returns
+    DataFrame(suggestion, score), (score DESC, suggestion ASC), top n.
+
+    Scale shape: candidate generation is the spell_suggest dictionary
+    scan per word; the bigram counts are ONE corpus token-stream pass
+    filtered to the candidate pair set BEFORE its aggregation. Driver
+    state is O(per_word²·k) (collected candidates + pair counts),
+    independent of corpus size; phrase enumeration (≤ per_word^k,
+    k ≤ 4) happens on those collected scalars."""
+    from .analytics.textstats import simple_tokens
+
+    words = [w for w, _ in tokenize_py(text, mode=mode)]
+    if not 2 <= len(words) <= 4:
+        raise ValueError(f"phrase_suggest takes 2-4 words, got {len(words)}")
+    if per_word < 1 or max_distance < 0:
+        raise ValueError("per_word >= 1 and max_distance >= 0 required")
+
+    # per-slot candidates: bounded collects (≤ per_word rows each)
+    slot_cands: list[list[tuple[str, int]]] = []
+    for w in words:
+        cand = (
+            index.terms.filter(
+                (F.length("term") >= len(w) - max_distance)
+                & (F.length("term") <= len(w) + max_distance)
+            )
+            .withColumn("distance", F.levenshtein(F.col("term"), F.lit(w)))
+            .filter(F.col("distance") <= max_distance)
+            .orderBy(F.asc("distance"), F.desc("df"), F.asc("term"))
+            .limit(per_word)
+            .select("term", "cf")
+        )
+        slot_cands.append([(r.term, r.cf) for r in cand.collect()])
+    if any(not c for c in slot_cands):
+        return docs.sparkSession.createDataFrame([], "suggestion string, score double")
+
+    # distinct adjacent candidate pairs; ONE filtered corpus pass
+    prevs = sorted({t for i in range(len(words) - 1) for t, _ in slot_cands[i]})
+    nexts = sorted({t for i in range(1, len(words)) for t, _ in slot_cands[i]})
+    stream = docs.select(
+        F.col("doc_id").alias("__did"),
+        F.posexplode(simple_tokens(F.col(text_col))).alias("pos", "w"),
+    )
+    w_doc = Window.partitionBy("__did").orderBy("pos")
+    pair_counts = {
+        (r.prev, r.w): r.c
+        for r in (
+            stream.withColumn("prev", F.lag("w").over(w_doc))
+            .filter(F.col("prev").isin(prevs) & F.col("w").isin(nexts))
+            .groupBy("prev", "w")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()  # bounded: ≤ per_word² · (k−1) rows
+        )
+    }
+    n_tok = float(index.stats.total_tokens)
+    v = float(index.terms.count())
+
+    # enumerate phrases over the collected scalars (≤ per_word^k, k ≤ 4)
+    combos = [[(t, cf)] for t, cf in slot_cands[0]]
+    for cands in slot_cands[1:]:
+        combos = [c + [tc] for c in combos for tc in cands]
+    rows = []
+    for combo in combos:
+        (w0, cf0) = combo[0]
+        s = math.log((cf0 + alpha) / (n_tok + alpha * v))
+        for (a, cfa), (b, _) in zip(combo, combo[1:]):
+            s += math.log((pair_counts.get((a, b), 0) + alpha) / (cfa + alpha * v))
+        rows.append((" ".join(t for t, _ in combo), s))
+    out = docs.sparkSession.createDataFrame(rows, "suggestion string, score double")
+    return out.orderBy(F.desc("score"), F.asc("suggestion")).limit(n)
+
+
 def random_score(
     scored: DataFrame,
     seed: int = 0,

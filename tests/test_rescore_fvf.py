@@ -362,3 +362,88 @@ class TestRandomScore:
 
         with pytest.raises(ValueError):
             random_score(search(index, "merge", k=10), mode="add")
+
+
+class TestPhraseSuggest:
+    """ES phrase suggester: whole-query did-you-mean via per-word
+    dictionary candidates re-ranked by the corpus bigram LM — expected
+    values recomputed in pure Python from the fixture corpus."""
+
+    @staticmethod
+    def _lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    def _model(self):
+        import re
+
+        streams = {d: [t for t in re.split(r"[^a-z0-9]+", DOCS[d].lower()) if t]
+                   for d in DOCS}
+        cf, df, big = {}, {}, {}
+        for toks in streams.values():
+            for t in toks:
+                cf[t] = cf.get(t, 0) + 1
+            for t in set(toks):
+                df[t] = df.get(t, 0) + 1
+            for a, b in zip(toks, toks[1:]):
+                big[(a, b)] = big.get((a, b), 0) + 1
+        return cf, df, big, sum(cf.values()), len(cf)
+
+    def _expected(self, words, per_word=5, max_distance=1, alpha=0.1):
+        import math
+
+        cf, df, big, n_tok, v = self._model()
+        slots = []
+        for w in words:
+            cands = sorted(
+                ((self._lev(t, w), -df[t], t) for t in cf
+                 if self._lev(t, w) <= max_distance),
+            )[:per_word]
+            slots.append([t for _, _, t in cands])
+        combos = [[t] for t in slots[0]]
+        for s in slots[1:]:
+            combos = [c + [t] for c in combos for t in s]
+        out = []
+        for c in combos:
+            sc = math.log((cf[c[0]] + alpha) / (n_tok + alpha * v))
+            for a, b in zip(c, c[1:]):
+                sc += math.log((big.get((a, b), 0) + alpha) / (cf[a] + alpha * v))
+            out.append((" ".join(c), sc))
+        return sorted(out, key=lambda kv: (-kv[1], kv[0]))
+
+    def test_corrects_misspelling(self, index, docs_df):
+        from fugu_spark.resultops import phrase_suggest
+
+        got = [
+            (r.suggestion, r.score)
+            for r in phrase_suggest(
+                index, docs_df.withColumnRenamed("content", "text"), "mergw joim", n=5
+            ).collect()
+        ]
+        want = self._expected(["mergw", "joim"])[:5]
+        assert [g[0] for g in got] == [w[0] for w in want]
+        for (gs, gv), (ws, wv) in zip(got, want):
+            assert gv == pytest.approx(wv, abs=1e-9), gs
+        assert got[0][0] == "merge join"
+
+    def test_no_candidates_is_empty(self, index, docs_df):
+        from fugu_spark.resultops import phrase_suggest
+
+        out = phrase_suggest(
+            index, docs_df.withColumnRenamed("content", "text"), "zzzzqqq xylophone"
+        )
+        assert out.count() == 0
+
+    def test_guards(self, index, docs_df):
+        from fugu_spark.resultops import phrase_suggest
+
+        d = docs_df.withColumnRenamed("content", "text")
+        with pytest.raises(ValueError):
+            phrase_suggest(index, d, "merge")
+        with pytest.raises(ValueError):
+            phrase_suggest(index, d, "a b c d e merge join sort scan table")
