@@ -711,6 +711,29 @@ def _agg_date_histogram(spark, sf_dir):
     return out
 
 
+def _agg_extended_stats(spark, sf_dir):
+    """ES extended_stats over n_chars: stats quintet + sum_of_squares /
+    population variance / std_deviation (aggs.extended_stats_agg)."""
+    from fugu_spark.aggs import extended_stats_agg
+
+    return extended_stats_agg(_docs(spark, sf_dir), "n_chars")
+
+
+def _agg_pipeline(spark, sf_dir):
+    """ES pipeline aggs (derivative, cumulative_sum, moving_avg w=3)
+    chained over the monthly date_histogram of the derived DATE column
+    (aggs.pipeline_agg — one window over the bucket frame each)."""
+    from fugu_spark.aggs import date_histogram_agg, pipeline_agg
+
+    d = _docs(spark, sf_dir).withColumn(
+        "d", F.date_add(F.lit("2024-01-01").cast("date"), (F.col("doc_id") % 365).cast("int"))
+    )
+    out = date_histogram_agg(d, "d", "month")
+    out = pipeline_agg(out, "doc_count", "derivative")
+    out = pipeline_agg(out, "doc_count", "cumulative_sum")
+    return pipeline_agg(out, "doc_count", "moving_avg", window=3)
+
+
 def _agg_range(spark, sf_dir):
     """range agg on n_chars: half-open [from, to) buckets with ES key
     strings; values outside every range drop (ES semantics)."""
@@ -2250,6 +2273,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_terms_set": _terms_set_q,
         "random_sample": _random_sample_q,
         "phrase_suggest": _phrase_suggest_q,
+        "agg_extended_stats": _agg_extended_stats,
+        "agg_pipeline": _agg_pipeline,
     }
     # Driver cap: CORRECTNESS_r{N} verifies only the FIRST 50 entries, so
     # the window is chosen explicitly rather than by dict position. It
@@ -2259,11 +2284,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # family (trigram code search, symbols, aggs, federation, snapshot,
     # hybrid, percolate, MLT, code-payload scoring, ...). Every entry NOT
     # in the window is verified by the full local sweep
-    # (CORRECTNESS_LOCAL_r05.json: 176/176 green) and the pytest suite;
+    # (CORRECTNESS_LOCAL_r05.json: 178/178 green) and the pytest suite;
     # never-windowed new entries (incl. the late-round bm25_span_near,
     # ann_filtered, ann_lsh_filtered, delete_by_query, bm25_decay_gauss,
     # bm25_boosting, bm25_pinned(+_served), bm25_terms_set, random_sample,
-    # phrase_suggest)
+    # phrase_suggest, agg_extended_stats, agg_pipeline)
     # should lead the r06 window with the r03-stale block.
     _WINDOW = [
         "bm25_streamed",
@@ -3619,6 +3644,30 @@ ORDER BY score DESC, doc_id ASC LIMIT 10""",
                      AS key,
                    count(*) AS doc_count
             FROM documents GROUP BY 1 ORDER BY 1""",
+        "agg_extended_stats": """
+            SELECT count(n_chars::DOUBLE) AS n_chars_count,
+                   min(n_chars::DOUBLE) AS n_chars_min,
+                   max(n_chars::DOUBLE) AS n_chars_max,
+                   sum(n_chars::DOUBLE) AS n_chars_sum,
+                   round(avg(n_chars::DOUBLE), 6) AS n_chars_avg,
+                   round(sum(n_chars::DOUBLE * n_chars::DOUBLE), 6)
+                     AS n_chars_sum_of_squares,
+                   round(var_pop(n_chars::DOUBLE), 6) AS n_chars_variance,
+                   round(stddev_pop(n_chars::DOUBLE), 6) AS n_chars_std_deviation
+            FROM documents""",
+        "agg_pipeline": """
+            WITH h AS (
+              SELECT CAST(date_trunc('month', DATE '2024-01-01' + (doc_id % 365)::INT) AS DATE)
+                       AS key,
+                     count(*) AS doc_count
+              FROM documents GROUP BY 1)
+            SELECT key, doc_count,
+                   doc_count - lag(doc_count) OVER (ORDER BY key) AS derivative,
+                   sum(doc_count) OVER (ORDER BY key
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumulative_sum,
+                   round(avg(doc_count) OVER (ORDER BY key
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_avg
+            FROM h ORDER BY key""",
         "agg_range": """
             WITH r AS (
               SELECT CASE WHEN n_chars < 200 THEN '*-200'

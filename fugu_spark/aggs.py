@@ -292,6 +292,63 @@ def stats_agg(
     return scope_to_matches(docs, matched, id_col).agg(*Stats(field).exprs())
 
 
+def extended_stats_agg(
+    docs: DataFrame,
+    field: str,
+    matched: DataFrame | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES `extended_stats`: the `stats` quintet plus sum_of_squares,
+    POPULATION variance, and std_deviation (ES's defaults; its sampling
+    variants are knobs over the same sums). One grand-total aggregate
+    with map-side partials — identical shuffle shape to stats_agg."""
+    c = F.col(field).cast("double")
+    p = field
+    return scope_to_matches(docs, matched, id_col).agg(
+        F.count(c).alias(f"{p}_count"),
+        F.min(c).alias(f"{p}_min"),
+        F.max(c).alias(f"{p}_max"),
+        F.sum(c).alias(f"{p}_sum"),
+        F.round(F.avg(c), 6).alias(f"{p}_avg"),
+        F.round(F.sum(c * c), 6).alias(f"{p}_sum_of_squares"),
+        F.round(F.var_pop(c), 6).alias(f"{p}_variance"),
+        F.round(F.stddev_pop(c), 6).alias(f"{p}_std_deviation"),
+    )
+
+
+def pipeline_agg(
+    buckets: DataFrame,
+    value_col: str,
+    kind: str = "derivative",
+    key_col: str = "key",
+    window: int = 3,
+    out_col: str | None = None,
+) -> DataFrame:
+    """ES pipeline aggregations over a parent bucket frame (the output
+    of date_histogram_agg / histogram_agg): `derivative` (value − the
+    previous bucket's value; NULL on the first bucket, which ES omits),
+    `cumulative_sum`, and `moving_avg` (moving_fn avg over the trailing
+    ``window`` buckets including the current one). One window function
+    ordered by the bucket key over the (already aggregated,
+    bucket-count-sized) frame — never the raw corpus."""
+    if kind not in ("derivative", "cumulative_sum", "moving_avg"):
+        raise ValueError(f"kind must be derivative/cumulative_sum/moving_avg, got {kind!r}")
+    name = out_col or kind
+    w = Window.orderBy(key_col)
+    v = F.col(value_col)
+    if kind == "derivative":
+        expr = v - F.lag(value_col).over(w)
+    elif kind == "cumulative_sum":
+        expr = F.sum(value_col).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    else:
+        if window < 1:
+            raise ValueError(f"window must be >= 1, got {window}")
+        expr = F.round(
+            F.avg(value_col).over(w.rowsBetween(-(window - 1), 0)), 6
+        )
+    return buckets.withColumn(name, expr).orderBy(key_col)
+
+
 def percentiles_agg(
     docs: DataFrame,
     field: str,

@@ -311,3 +311,57 @@ def test_rare_terms(spark):
     r2 = rare_terms_agg(frame, "term", max_doc_count=2).collect()
     assert [(r.key, r.doc_count) for r in r2] == [
         ("alone", 1), ("once", 1), ("twice", 2)]
+
+
+class TestExtendedStatsAndPipeline:
+    """extended_stats (sum_of_squares / population variance / stddev) and
+    the derivative / cumulative_sum / moving_avg pipeline aggs — hand-
+    derived on the fixture corpus."""
+
+    def test_extended_stats(self, docs_df):
+        from fugu_spark.aggs import extended_stats_agg
+
+        vals = [float(len(t)) for t in DOCS.values()]
+        n = len(vals)
+        mean = sum(vals) / n
+        row = extended_stats_agg(docs_df, "n_chars").collect()[0]
+        assert row.n_chars_count == n
+        assert row.n_chars_min == min(vals) and row.n_chars_max == max(vals)
+        assert row.n_chars_sum == pytest.approx(sum(vals))
+        assert row.n_chars_sum_of_squares == pytest.approx(
+            round(sum(v * v for v in vals), 6)
+        )
+        var = sum((v - mean) ** 2 for v in vals) / n
+        assert row.n_chars_variance == pytest.approx(var, abs=1e-5)
+        assert row.n_chars_std_deviation == pytest.approx(var**0.5, abs=1e-5)
+
+    def test_pipeline_kinds(self, docs_df):
+        from fugu_spark.aggs import date_histogram_agg, pipeline_agg
+
+        hist = date_histogram_agg(docs_df, "ts", "month")
+        base = [(r.key, r.doc_count) for r in hist.collect()]
+        der = {r.key: r.derivative for r in pipeline_agg(hist, "doc_count").collect()}
+        cum = {r.key: r.cumulative_sum
+               for r in pipeline_agg(hist, "doc_count", "cumulative_sum").collect()}
+        mov = {r.key: r.moving_avg
+               for r in pipeline_agg(hist, "doc_count", "moving_avg", window=2).collect()}
+        run = 0
+        for i, (k, c) in enumerate(base):
+            run += c
+            assert cum[k] == run
+            if i == 0:
+                assert der[k] is None
+            else:
+                assert der[k] == c - base[i - 1][1]
+            lo = max(0, i - 1)
+            w_vals = [c2 for _, c2 in base[lo : i + 1]]
+            assert mov[k] == pytest.approx(round(sum(w_vals) / len(w_vals), 6))
+
+    def test_pipeline_guards(self, docs_df):
+        from fugu_spark.aggs import date_histogram_agg, pipeline_agg
+
+        hist = date_histogram_agg(docs_df, "ts", "month")
+        with pytest.raises(ValueError):
+            pipeline_agg(hist, "doc_count", "percentile")
+        with pytest.raises(ValueError):
+            pipeline_agg(hist, "doc_count", "moving_avg", window=0)
