@@ -734,6 +734,25 @@ def _agg_pipeline(spark, sf_dir):
     return pipeline_agg(out, "doc_count", "moving_avg", window=3)
 
 
+def _agg_weighted_avg(spark, sf_dir):
+    """ES weighted_avg of n_chars weighted by doc_id
+    (aggs.weighted_avg_agg)."""
+    from fugu_spark.aggs import weighted_avg_agg
+
+    d = _docs(spark, sf_dir).withColumn("wt", F.col("doc_id").cast("double"))
+    return weighted_avg_agg(d, "n_chars", "wt")
+
+
+def _agg_matrix_stats(spark, sf_dir):
+    """ES matrix_stats over (doc_id, n_chars): means, population
+    variances, covariance, Pearson correlation in one aggregate
+    (aggs.matrix_stats_agg)."""
+    from fugu_spark.aggs import matrix_stats_agg
+
+    d = _docs(spark, sf_dir).withColumn("did", F.col("doc_id").cast("double"))
+    return matrix_stats_agg(d, "did", "n_chars")
+
+
 def _agg_range(spark, sf_dir):
     """range agg on n_chars: half-open [from, to) buckets with ES key
     strings; values outside every range drop (ES semantics)."""
@@ -2275,6 +2294,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_suggest": _phrase_suggest_q,
         "agg_extended_stats": _agg_extended_stats,
         "agg_pipeline": _agg_pipeline,
+        "agg_weighted_avg": _agg_weighted_avg,
+        "agg_matrix_stats": _agg_matrix_stats,
     }
     # Driver cap: CORRECTNESS_r{N} verifies only the FIRST 50 entries, so
     # the window is chosen explicitly rather than by dict position. It
@@ -2284,11 +2305,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # family (trigram code search, symbols, aggs, federation, snapshot,
     # hybrid, percolate, MLT, code-payload scoring, ...). Every entry NOT
     # in the window is verified by the full local sweep
-    # (CORRECTNESS_LOCAL_r05.json: 178/178 green) and the pytest suite;
+    # (CORRECTNESS_LOCAL_r05.json: 180/180 green) and the pytest suite;
     # never-windowed new entries (incl. the late-round bm25_span_near,
     # ann_filtered, ann_lsh_filtered, delete_by_query, bm25_decay_gauss,
     # bm25_boosting, bm25_pinned(+_served), bm25_terms_set, random_sample,
-    # phrase_suggest, agg_extended_stats, agg_pipeline)
+    # phrase_suggest, agg_extended_stats, agg_pipeline, agg_weighted_avg,
+    # agg_matrix_stats)
     # should lead the r06 window with the r03-stale block.
     _WINDOW = [
         "bm25_streamed",
@@ -3644,6 +3666,19 @@ ORDER BY score DESC, doc_id ASC LIMIT 10""",
                      AS key,
                    count(*) AS doc_count
             FROM documents GROUP BY 1 ORDER BY 1""",
+        "agg_weighted_avg": """
+            SELECT round(sum(n_chars::DOUBLE * doc_id::DOUBLE)
+                         / sum(doc_id::DOUBLE), 6) AS weighted_avg
+            FROM documents""",
+        "agg_matrix_stats": """
+            SELECT count(doc_id::DOUBLE) AS doc_count,
+                   round(avg(doc_id::DOUBLE), 6) AS did_mean,
+                   round(avg(n_chars::DOUBLE), 6) AS n_chars_mean,
+                   round(var_pop(doc_id::DOUBLE), 6) AS did_variance,
+                   round(var_pop(n_chars::DOUBLE), 6) AS n_chars_variance,
+                   round(covar_pop(doc_id::DOUBLE, n_chars::DOUBLE), 6) AS covariance,
+                   round(corr(doc_id::DOUBLE, n_chars::DOUBLE), 6) AS correlation
+            FROM documents""",
         "agg_extended_stats": """
             SELECT count(n_chars::DOUBLE) AS n_chars_count,
                    min(n_chars::DOUBLE) AS n_chars_min,

@@ -316,6 +316,50 @@ def extended_stats_agg(
     )
 
 
+def weighted_avg_agg(
+    docs: DataFrame,
+    value_field: str,
+    weight_field: str,
+    matched: DataFrame | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES `weighted_avg`: Σ(value × weight) / Σ(weight), NULL-valued rows
+    excluded WITH their weights (ES skips missing values). Same
+    single-aggregate shape as stats_agg."""
+    v = F.col(value_field).cast("double")
+    w = F.col(weight_field).cast("double")
+    keep = F.when(v.isNotNull() & w.isNotNull(), True)
+    return scope_to_matches(docs, matched, id_col).agg(
+        F.round(
+            F.sum(F.when(keep, v * w)) / F.sum(F.when(keep, w)), 6
+        ).alias("weighted_avg")
+    )
+
+
+def matrix_stats_agg(
+    docs: DataFrame,
+    field_a: str,
+    field_b: str,
+    matched: DataFrame | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES `matrix_stats` for a field pair: per-field count/mean/variance
+    plus POPULATION covariance and Pearson correlation — the numeric-
+    column relationship report. One grand-total aggregate (all moments
+    fold into the same partial-aggregated pass)."""
+    a = F.col(field_a).cast("double")
+    b = F.col(field_b).cast("double")
+    return scope_to_matches(docs, matched, id_col).agg(
+        F.count(a).alias("doc_count"),
+        F.round(F.avg(a), 6).alias(f"{field_a}_mean"),
+        F.round(F.avg(b), 6).alias(f"{field_b}_mean"),
+        F.round(F.var_pop(a), 6).alias(f"{field_a}_variance"),
+        F.round(F.var_pop(b), 6).alias(f"{field_b}_variance"),
+        F.round(F.covar_pop(a, b), 6).alias("covariance"),
+        F.round(F.corr(a, b), 6).alias("correlation"),
+    )
+
+
 def pipeline_agg(
     buckets: DataFrame,
     value_col: str,

@@ -365,3 +365,43 @@ class TestExtendedStatsAndPipeline:
             pipeline_agg(hist, "doc_count", "percentile")
         with pytest.raises(ValueError):
             pipeline_agg(hist, "doc_count", "moving_avg", window=0)
+
+
+class TestWeightedAvgAndMatrixStats:
+    def test_weighted_avg(self, docs_df):
+        from fugu_spark.aggs import weighted_avg_agg
+
+        # weight = doc_id, value = n_chars
+        w = docs_df.withColumn("wt", F.col("doc_id").cast("double"))
+        vals = {i: float(len(t)) for i, t in DOCS.items()}
+        want = sum(v * i for i, v in vals.items()) / sum(vals)  # Σvw/Σw, w=i
+        want = sum(vals[i] * i for i in vals) / sum(i for i in vals)
+        row = weighted_avg_agg(w, "n_chars", "wt").collect()[0]
+        assert row.weighted_avg == pytest.approx(round(want, 6), abs=1e-6)
+
+    def test_weighted_avg_null_values_drop_their_weights(self, docs_df):
+        from fugu_spark.aggs import weighted_avg_agg
+
+        holes = docs_df.withColumn(
+            "v", F.when(F.col("doc_id") % 2 == 0, F.col("n_chars"))
+        ).withColumn("wt", F.lit(1.0))
+        vals = {i: float(len(t)) for i, t in DOCS.items() if i % 2 == 0}
+        want = sum(vals.values()) / len(vals)
+        row = weighted_avg_agg(holes, "v", "wt").collect()[0]
+        assert row.weighted_avg == pytest.approx(round(want, 6), abs=1e-6)
+
+    def test_matrix_stats(self, docs_df):
+        from fugu_spark.aggs import matrix_stats_agg
+
+        d = docs_df.withColumn("did", F.col("doc_id").cast("double"))
+        xs = [float(i) for i in DOCS]
+        ys = [float(len(t)) for t in DOCS.values()]
+        n = len(xs)
+        mx, my = sum(xs) / n, sum(ys) / n
+        cov = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / n
+        vx = sum((x - mx) ** 2 for x in xs) / n
+        vy = sum((y - my) ** 2 for y in ys) / n
+        row = matrix_stats_agg(d, "did", "n_chars").collect()[0]
+        assert row.doc_count == n
+        assert row.covariance == pytest.approx(cov, abs=1e-5)
+        assert row.correlation == pytest.approx(cov / (vx**0.5 * vy**0.5), abs=1e-6)
