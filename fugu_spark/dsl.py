@@ -21,6 +21,9 @@ Supported node types (the subset the engine's plan language expresses):
   {"range":        {FIELD: {"gte"/"gt"/"lte"/"lt": V}}}   lexicographic text range
   {"exists":       {"field": NAME}}          docs with any term in NAME (the
                                              string twin of `NAME:*`)
+  {"match_bool_prefix": {FIELD: TEXT}}       analyzed; every token a should term
+                                             leaf, the LAST a dictionary prefix
+                                             (string twin of `a b c*`)
   {"span_near":    {"clauses": [{"span_term": {FIELD: V}}, ...],
                     "slop": N, "in_order": bool}}  proximity: in_order=true is the
                                              ordered sloppy phrase, false (default)
@@ -48,8 +51,8 @@ from .tokenizer import DEFAULT_MODE, tokenize_py
 __all__ = ["compile_query", "search_dsl"]
 
 _LEAF_TYPES = (
-    "match", "match_phrase", "term", "terms", "prefix", "wildcard",
-    "regexp", "fuzzy", "range",
+    "match", "match_bool_prefix", "match_phrase", "term", "terms", "prefix",
+    "wildcard", "regexp", "fuzzy", "range",
 )
 
 
@@ -119,6 +122,15 @@ def _compile_node(node: dict, occur: str, mode: str) -> list:
         return [
             (occur, Leaf(terms=(t,), boost=boost, fld=field)) for t in ts
         ]
+    if typ == "match_bool_prefix":
+        ts = _toks(value, mode)
+        if not ts:
+            raise ValueError(f"match_bool_prefix text {value!r} analyzes to no tokens")
+        leaves = [(occur, Leaf(terms=(t,), boost=boost, fld=field)) for t in ts[:-1]]
+        leaves.append(
+            (occur, Leaf(terms=(ts[-1],), boost=boost, fld=field, prefix_last=True))
+        )
+        return leaves
     if typ == "match_phrase":
         ts = _toks(value, mode)
         if not ts:

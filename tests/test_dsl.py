@@ -137,3 +137,16 @@ def test_exists_errors():
         compile_query({"exists": {}})
     with pytest.raises(ValueError):
         compile_query({"exists": {"field": 3}})
+
+
+def test_match_bool_prefix_twin(index):
+    """{"match_bool_prefix": {_all: "merge qui"}} ≡ string `merge qui*`
+    (terms as should leaves, last as dictionary prefix)."""
+    got = _rows(search_dsl(index, {"match_bool_prefix": {"_all": "merge qui"}}, k=20))
+    want = _rows(search(index, "merge qui*", k=20))
+    assert got == want and got
+
+
+def test_match_bool_prefix_errors():
+    with pytest.raises(ValueError):
+        compile_query({"match_bool_prefix": {"_all": "??"}})
