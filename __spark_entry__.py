@@ -734,6 +734,24 @@ def _agg_pipeline(spark, sf_dir):
     return pipeline_agg(out, "doc_count", "moving_avg", window=3)
 
 
+def _agg_date_hist_empty(spark, sf_dir):
+    """date_histogram with min_doc_count=0 over a deliberately GAPPED
+    derived DATE column (docs kept only for Jan and late-May..Dec):
+    every calendar month between the extremes appears, gaps at 0."""
+    from fugu_spark.aggs import date_histogram_agg
+
+    d = (
+        _docs(spark, sf_dir)
+        .filter((F.col("doc_id") % 365 < 30) | (F.col("doc_id") % 365 >= 150))
+        .withColumn(
+            "d",
+            F.date_add(F.lit("2024-01-01").cast("date"), (F.col("doc_id") % 365).cast("int")),
+        )
+    )
+    out = date_histogram_agg(d, "d", "month", min_doc_count=0)
+    return out.select("key", F.col("doc_count").cast("long").alias("doc_count"))
+
+
 def _agg_weighted_avg(spark, sf_dir):
     """ES weighted_avg of n_chars weighted by doc_id
     (aggs.weighted_avg_agg)."""
@@ -2296,6 +2314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_pipeline": _agg_pipeline,
         "agg_weighted_avg": _agg_weighted_avg,
         "agg_matrix_stats": _agg_matrix_stats,
+        "agg_date_hist_empty": _agg_date_hist_empty,
     }
     # Driver cap: CORRECTNESS_r{N} verifies only the FIRST 50 entries, so
     # the window is chosen explicitly rather than by dict position. It
@@ -2305,12 +2324,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # family (trigram code search, symbols, aggs, federation, snapshot,
     # hybrid, percolate, MLT, code-payload scoring, ...). Every entry NOT
     # in the window is verified by the full local sweep
-    # (CORRECTNESS_LOCAL_r05.json: 180/180 green) and the pytest suite;
+    # (CORRECTNESS_LOCAL_r05.json: 181/181 green) and the pytest suite;
     # never-windowed new entries (incl. the late-round bm25_span_near,
     # ann_filtered, ann_lsh_filtered, delete_by_query, bm25_decay_gauss,
     # bm25_boosting, bm25_pinned(+_served), bm25_terms_set, random_sample,
     # phrase_suggest, agg_extended_stats, agg_pipeline, agg_weighted_avg,
-    # agg_matrix_stats)
+    # agg_matrix_stats, agg_date_hist_empty)
     # should lead the r06 window with the r03-stale block.
     _WINDOW = [
         "bm25_streamed",
@@ -3666,6 +3685,20 @@ ORDER BY score DESC, doc_id ASC LIMIT 10""",
                      AS key,
                    count(*) AS doc_count
             FROM documents GROUP BY 1 ORDER BY 1""",
+        "agg_date_hist_empty": """
+            WITH base AS (
+              SELECT CAST(date_trunc('month', DATE '2024-01-01' + (doc_id % 365)::INT) AS DATE)
+                       AS key,
+                     count(*) AS doc_count
+              FROM documents
+              WHERE (doc_id % 365) < 30 OR (doc_id % 365) >= 150
+              GROUP BY 1),
+            ext AS (SELECT min(key) AS lo, max(key) AS hi FROM base),
+            spine AS (
+              SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS DATE) AS key
+              FROM ext)
+            SELECT s.key, coalesce(b.doc_count, 0)::BIGINT AS doc_count
+            FROM spine s LEFT JOIN base b USING (key) ORDER BY s.key""",
         "agg_weighted_avg": """
             SELECT round(sum(n_chars::DOUBLE * doc_id::DOUBLE)
                          / sum(doc_id::DOUBLE), 6) AS weighted_avg

@@ -224,19 +224,44 @@ def date_histogram_agg(
     metrics: Sequence = (),
     matched: DataFrame | None = None,
     id_col: str = "doc_id",
+    min_doc_count: int = 1,
 ) -> DataFrame:
     """ES `date_histogram` with a calendar interval: buckets are
     `date_trunc(interval, ts)` (the same function DuckDB exposes, so the
     oracle recomputes keys exactly). Key column is a DATE for stable
-    cross-engine hashing."""
+    cross-engine hashing.
+
+    ``min_doc_count=0`` (ES): EVERY calendar bucket between the min and
+    max observed keys appears, gaps with doc_count 0 and NULL metrics —
+    the shape chart/downstream-pipeline consumers expect. The calendar
+    spine is `sequence(min_key, max_key, 1 interval)` off the
+    aggregate's own two-row extremes (bucket-count-sized, broadcast),
+    never a driver loop."""
     if calendar_interval not in _CAL_INTERVALS:
         raise ValueError(
             f"calendar_interval must be one of {_CAL_INTERVALS}, got {calendar_interval!r}"
         )
+    if min_doc_count not in (0, 1):
+        raise ValueError(f"min_doc_count must be 0 or 1, got {min_doc_count}")
     scoped = scope_to_matches(docs, matched, id_col)
     key = F.date_trunc(calendar_interval, F.col(field)).cast("date").alias("key")
     aggs = [F.count(F.lit(1)).alias("doc_count"), *_metric_exprs(metrics)]
-    return scoped.groupBy(key).agg(*aggs).orderBy("key")
+    out = scoped.groupBy(key).agg(*aggs)
+    if min_doc_count == 0:
+        # 'week' truncates to ISO Monday — sequence stepping 7 days keeps
+        # the alignment; the other intervals step by their own unit
+        step = {"day": "interval 1 day", "week": "interval 7 day",
+                "month": "interval 1 month", "quarter": "interval 3 month",
+                "year": "interval 1 year"}[calendar_interval]
+        spine = (
+            out.agg(F.min("key").alias("lo"), F.max("key").alias("hi"))
+            .select(F.explode(F.expr(f"sequence(lo, hi, {step})")).alias("key"))
+        )
+        out = (
+            spine.join(out, "key", "left")
+            .withColumn("doc_count", F.coalesce(F.col("doc_count"), F.lit(0)))
+        )
+    return out.orderBy("key")
 
 
 def range_agg(

@@ -405,3 +405,34 @@ class TestWeightedAvgAndMatrixStats:
         assert row.doc_count == n
         assert row.covariance == pytest.approx(cov, abs=1e-5)
         assert row.correlation == pytest.approx(cov / (vx**0.5 * vy**0.5), abs=1e-6)
+
+
+class TestDateHistogramEmptyBuckets:
+    """min_doc_count=0: every calendar bucket between the observed
+    extremes appears, gaps at doc_count 0 (ES shape)."""
+
+    def test_gaps_filled(self, spark):
+        from datetime import date
+
+        from fugu_spark.aggs import date_histogram_agg
+
+        rows = [(1, "2024-01-10"), (2, "2024-01-20"), (3, "2024-05-02")]
+        df = spark.createDataFrame(rows, "doc_id long, d string").withColumn(
+            "d", F.col("d").cast("date")
+        )
+        got = [(r.key, r.doc_count)
+               for r in date_histogram_agg(df, "d", "month", min_doc_count=0).collect()]
+        assert got == [
+            (date(2024, 1, 1), 2), (date(2024, 2, 1), 0), (date(2024, 3, 1), 0),
+            (date(2024, 4, 1), 0), (date(2024, 5, 1), 1),
+        ]
+        dense = [(r.key, r.doc_count)
+                 for r in date_histogram_agg(df, "d", "month").collect()]
+        assert dense == [(date(2024, 1, 1), 2), (date(2024, 5, 1), 1)]
+
+    def test_guard(self, spark):
+        from fugu_spark.aggs import date_histogram_agg
+
+        df = spark.createDataFrame([(1, "2024-01-10")], "doc_id long, d string")
+        with pytest.raises(ValueError):
+            date_histogram_agg(df, "d", "month", min_doc_count=2)
