@@ -55,6 +55,10 @@ __all__ = [
     "significant_terms_agg",
     "significant_text_agg",
     "filters_agg",
+    "extended_stats_agg",
+    "pipeline_agg",
+    "weighted_avg_agg",
+    "matrix_stats_agg",
     "scope_to_matches",
 ]
 
@@ -200,17 +204,32 @@ def histogram_agg(
 ) -> DataFrame:
     """ES `histogram` bucket agg: fixed-interval numeric buckets keyed
     by their lower bound (floor(v / interval) * interval, ES bucketing).
-    Buckets below ``min_doc_count`` are dropped (ES default 0 keeps
-    empties only within [min,max] — at 100 TB materializing empty
-    buckets is driver work, so the Spark-first default is 1)."""
+    Buckets below ``min_doc_count`` are dropped; ``min_doc_count=0``
+    materializes EVERY bucket between the observed extremes (ES shape),
+    gaps at doc_count 0 — the spine is a sequence over bucket ordinals
+    off the aggregate's own two-row extremes (bucket-count-sized, no
+    driver loop), ordinal × interval reproducing the key expression
+    bit-identically (floor yields a LONG, so both sides are the same
+    long × double product)."""
     scoped = scope_to_matches(docs, matched, id_col)
-    key = (F.floor(F.col(field) / F.lit(float(interval))) * F.lit(float(interval))).alias(
-        "key"
-    )
+    iv = float(interval)
+    key = (F.floor(F.col(field) / F.lit(iv)) * F.lit(iv)).alias("key")
     aggs = [F.count(F.lit(1)).alias("doc_count"), *_metric_exprs(metrics)]
     out = scoped.groupBy(key).agg(*aggs)
     if min_doc_count > 0:
         out = out.filter(F.col("doc_count") >= min_doc_count)
+    else:
+        spine = (
+            out.agg(
+                F.round(F.min("key") / iv).cast("long").alias("lo"),
+                F.round(F.max("key") / iv).cast("long").alias("hi"),
+            )
+            .select(F.explode(F.expr("sequence(lo, hi)")).alias("n"))
+            .select((F.col("n") * F.lit(iv)).alias("key"))
+        )
+        out = spine.join(out, "key", "left").withColumn(
+            "doc_count", F.coalesce(F.col("doc_count"), F.lit(0))
+        )
     return out.orderBy("key")
 
 

@@ -436,3 +436,16 @@ class TestDateHistogramEmptyBuckets:
         df = spark.createDataFrame([(1, "2024-01-10")], "doc_id long, d string")
         with pytest.raises(ValueError):
             date_histogram_agg(df, "d", "month", min_doc_count=2)
+
+
+def test_histogram_empty_buckets(spark):
+    """Numeric histogram min_doc_count=0: gap buckets materialize at 0
+    between the observed extremes."""
+    from fugu_spark.aggs import histogram_agg
+
+    df = spark.createDataFrame([(1, 5.0), (2, 7.0), (3, 42.0)], "doc_id long, v double")
+    got = [(r.key, r.doc_count)
+           for r in histogram_agg(df, "v", 10.0, min_doc_count=0).collect()]
+    assert got == [(0.0, 2), (10.0, 0), (20.0, 0), (30.0, 0), (40.0, 1)]
+    dense = [(r.key, r.doc_count) for r in histogram_agg(df, "v", 10.0).collect()]
+    assert dense == [(0.0, 2), (40.0, 1)]
