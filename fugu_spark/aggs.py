@@ -46,6 +46,7 @@ __all__ = [
     "terms_agg",
     "histogram_agg",
     "date_histogram_agg",
+    "auto_date_histogram_agg",
     "range_agg",
     "stats_agg",
     "percentiles_agg",
@@ -281,6 +282,44 @@ def date_histogram_agg(
             .withColumn("doc_count", F.coalesce(F.col("doc_count"), F.lit(0)))
         )
     return out.orderBy("key")
+
+
+def auto_date_histogram_agg(
+    docs: DataFrame,
+    field: str,
+    buckets: int = 10,
+    metrics: Sequence = (),
+    matched: DataFrame | None = None,
+    id_col: str = "doc_id",
+    min_doc_count: int = 1,
+) -> DataFrame:
+    """ES `auto_date_histogram`: pick the interval for the caller — the
+    FINEST calendar interval from the day/week/month/quarter/year ladder
+    whose distinct-bucket count is ≤ ``buckets`` (year is the floor
+    regardless). Returns the date_histogram frame plus a constant
+    `interval` column (ES reports the chosen interval in the response).
+
+    The choice costs ONE tiny job: a single aggregate computing all five
+    candidate distinct-bucket counts at once (5 count_distincts over
+    date_truncs — one two-row-output pass, map-side partials), then the
+    ordinary date_histogram at the winner."""
+    scoped = scope_to_matches(docs, matched, id_col)
+    counts = scoped.agg(
+        *[
+            F.count_distinct(F.date_trunc(iv, F.col(field))).alias(iv)
+            for iv in _CAL_INTERVALS
+        ]
+    ).collect()[0]
+    chosen = _CAL_INTERVALS[-1]
+    for iv in _CAL_INTERVALS:
+        if counts[iv] <= buckets:
+            chosen = iv
+            break
+    out = date_histogram_agg(
+        docs, field, chosen, metrics=metrics, matched=matched,
+        id_col=id_col, min_doc_count=min_doc_count,
+    )
+    return out.withColumn("interval", F.lit(chosen))
 
 
 def range_agg(

@@ -449,3 +449,44 @@ def test_histogram_empty_buckets(spark):
     assert got == [(0.0, 2), (10.0, 0), (20.0, 0), (30.0, 0), (40.0, 1)]
     dense = [(r.key, r.doc_count) for r in histogram_agg(df, "v", 10.0).collect()]
     assert dense == [(0.0, 2), (40.0, 1)]
+
+
+class TestAutoDateHistogram:
+    """auto_date_histogram: finest ladder interval with <= target
+    buckets; year is the floor."""
+
+    def _df(self, spark, dates):
+        return spark.createDataFrame(
+            [(i, d) for i, d in enumerate(dates)], "doc_id long, d string"
+        ).withColumn("d", F.col("d").cast("date"))
+
+    def test_picks_finest_fitting(self, spark):
+        from fugu_spark.aggs import auto_date_histogram_agg
+
+        # 3 days in one week -> day fits a target of 10
+        df = self._df(spark, ["2024-03-04", "2024-03-05", "2024-03-06"])
+        out = auto_date_histogram_agg(df, "d", buckets=10)
+        assert out.collect()[0].interval == "day"
+        # 40 consecutive days -> day has 40 buckets > 10, week fits (6)
+        df = self._df(spark, [f"2024-03-{(i % 31) + 1:02d}" for i in range(31)]
+                      + [f"2024-04-{i:02d}" for i in range(1, 10)])
+        assert auto_date_histogram_agg(df, "d", buckets=10).collect()[0].interval == "week"
+
+    def test_year_is_floor(self, spark):
+        from fugu_spark.aggs import auto_date_histogram_agg
+
+        df = self._df(spark, [f"{y}-06-15" for y in range(2000, 2020)])
+        out = auto_date_histogram_agg(df, "d", buckets=10)
+        rows = out.collect()
+        assert rows[0].interval == "year" and len(rows) == 20
+
+    def test_bucket_values_match_plain_histogram(self, spark):
+        from fugu_spark.aggs import auto_date_histogram_agg, date_histogram_agg
+
+        df = self._df(spark, ["2024-01-01", "2024-01-20", "2024-02-02", "2024-05-09"])
+        # 4 distinct days and 4 distinct weeks both exceed 3; the 3
+        # distinct months fit -> month chosen
+        auto = [(r.key, r.doc_count)
+                for r in auto_date_histogram_agg(df, "d", buckets=3).collect()]
+        plain = [(r.key, r.doc_count) for r in date_histogram_agg(df, "d", "month").collect()]
+        assert auto == plain
