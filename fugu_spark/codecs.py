@@ -546,6 +546,7 @@ def decode_posting_blocks_batched(
     doc_lens_enc: list,
     pos_counts_enc: list | None = None,
     positions_enc: list | None = None,
+    flat_positions: bool = False,
 ) -> dict:
     """Decode MANY posting blocks in a few vectorized passes (the batch
     form of :func:`decode_posting_block`; value-identical, pinned by
@@ -555,6 +556,13 @@ def decode_posting_blocks_batched(
       block_starts — int64 offsets of each block in the concat
       positions — list of per-doc int arrays (only when pos streams
       given); pos_counts — per-doc counts, length Σ n_docs
+
+    ``flat_positions=True`` skips the per-doc ``np.split`` and returns
+    ``positions_flat`` (one uint64 array of Σ pos_counts values) +
+    ``pos_offsets`` (int64, length Σ n_docs + 1) instead of
+    ``positions`` — the split into ~one tiny array per DOC was the
+    dominant cold phrase-query cost (r6 profile: np.split ≈ 80% of the
+    batched decode), and every consumer re-concatenated them anyway.
 
     Per-block delta→absolute for doc ids (and per-doc for positions)
     uses one global cumsum with a carry subtraction at block/doc starts
@@ -589,6 +597,14 @@ def decode_posting_blocks_batched(
             nz = dstarts > 0
             corr2[nz] = g2[dstarts[nz] - 1]
             flat = g2 - np.repeat(corr2, pcounts.astype(np.int64))
+        else:
+            flat = np.array([], dtype=np.uint64)
+        if flat_positions:
+            out["positions_flat"] = flat
+            out["pos_offsets"] = np.concatenate([[0], np.cumsum(pcounts)]).astype(
+                np.int64
+            )
+        elif flat.size:
             out["positions"] = np.split(
                 flat, np.cumsum(pcounts)[:-1].astype(np.int64)
             )

@@ -84,6 +84,23 @@ def _apply_cursor(out: pd.DataFrame, search_after: tuple | None) -> pd.DataFrame
     return out[(sc < s) | ((sc == s) & (di > d))]
 
 
+def _segmented_gather(
+    flat: np.ndarray, offs: np.ndarray, idx: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Select segments ``idx`` from a flat array partitioned by ``offs``
+    (len(offs) == n_segments + 1) → (new_flat, new_offs). Fully
+    vectorized — the flat-positions analog of ``[arrs[i] for i in idx]``."""
+    lens = offs[idx + 1] - offs[idx]
+    total = int(lens.sum())
+    if total == 0:
+        return flat[:0], np.zeros(len(idx) + 1, dtype=np.int64)
+    ends = np.cumsum(lens)
+    out_idx = np.repeat(offs[idx], lens) + np.arange(total, dtype=np.int64) - np.repeat(
+        ends - lens, lens
+    )
+    return flat[out_idx], np.concatenate([[0], ends]).astype(np.int64)
+
+
 def _prefix_upper_bound(prefix: str) -> str | None:
     """Smallest string (in UTF-8 byte order) greater than every string
     with this prefix: increment the last incrementable code point,
@@ -312,8 +329,8 @@ class LocalSearcher:
     @staticmethod
     def _post_nbytes(p: dict) -> int:
         n = int(p["doc_ids"].nbytes + p["tfs"].nbytes + p["doc_lens"].nbytes)
-        if p.get("positions"):
-            n += sum(int(a.nbytes) for a in p["positions"])
+        if p.get("pos_flat") is not None:
+            n += int(p["pos_flat"].nbytes + p["pos_offsets"].nbytes)
         return n
 
     def _cache_get(self, term: str, need_pos: bool) -> dict | None:
@@ -350,7 +367,7 @@ class LocalSearcher:
         terms' contributions), cache them, merge with the hits."""
         if self._post_cache_cap <= 0:
             rows = self._block_rows(live_terms, meta, need_pos)
-            return self._decode_rows(prune(rows), need_pos)
+            return self._decode_with_seed(prune(rows), need_pos)
         hit = {t: self._cache_get(t, need_pos) for t in live_terms}
         missing = [t for t in live_terms if hit[t] is None]
         if not missing:
@@ -359,7 +376,7 @@ class LocalSearcher:
             rows = self._block_rows(live_terms, meta, need_pos)
             before = rows["term"].value_counts()
             pruned = prune(rows)
-            postings = self._decode_rows(pruned, need_pos)
+            postings = self._decode_with_seed(pruned, need_pos)
             if len(pruned):
                 after = pruned["term"].value_counts()
                 for t in live_terms:
@@ -373,6 +390,24 @@ class LocalSearcher:
         out = {t: v for t, v in hit.items() if v is not None}
         out.update(fresh)
         return out
+
+    def _decode_with_seed(
+        self, pruned: pd.DataFrame, need_pos: bool
+    ) -> dict[str, dict]:
+        """Decode pruned block rows, reusing the postings the MaxScore
+        prune already decoded for its θ-seed term (the seed's blocks are
+        never pruned, so the main pass would decode the exact same rows
+        a second time — ~half the decode cost of a 2-term OR)."""
+        stash = getattr(self, "_seed_postings", None)
+        self._seed_postings = None
+        if stash and not need_pos:
+            seed = next(iter(stash))
+            sel = (pruned["term"] == seed).to_numpy() if len(pruned) else None
+            if sel is not None and sel.any():
+                out = self._decode_rows(pruned[~sel], need_pos)
+                out[seed] = stash[seed]
+                return out
+        return self._decode_rows(pruned, need_pos)
 
     def _decode_rows(
         self, rows: pd.DataFrame, need_pos: bool
@@ -398,6 +433,7 @@ class LocalSearcher:
             rows["doc_lens_enc"].tolist(),
             rows["pos_counts_enc"].tolist() if need_pos else None,
             rows["positions_enc"].tolist() if need_pos else None,
+            flat_positions=True,
         )
         doc_ids_all = dec["doc_ids"].view(np.int64)
         tfs_all = dec["tfs"].astype(np.int64)
@@ -408,6 +444,7 @@ class LocalSearcher:
         block_term_change = np.flatnonzero(terms[1:] != terms[:-1]) + 1
         term_block_starts = np.concatenate([[0], block_term_change, [len(rows)]])
         val_offs = np.concatenate([[0], np.cumsum(n_docs)]).astype(np.int64)
+        pos_offs_all = dec.get("pos_offsets")
         for k in range(len(term_block_starts) - 1):
             b0, b1 = term_block_starts[k], term_block_starts[k + 1]
             lo, hi = val_offs[b0], val_offs[b1]
@@ -415,21 +452,26 @@ class LocalSearcher:
             tfs = tfs_all[lo:hi]
             dls = dls_all[lo:hi]
             gens = gens_all[lo:hi]
-            positions = None
+            pos_flat = pos_offs = None
             if need_pos:
-                positions = dec["positions"][lo:hi]
+                p0 = pos_offs_all[lo]
+                pos_flat = dec["positions_flat"][p0 : pos_offs_all[hi]]
+                pos_offs = (pos_offs_all[lo : hi + 1] - p0).astype(np.int64)
             if self._deletes is not None:
                 dg = self._deletes.reindex(doc_ids).to_numpy(dtype=np.float64)
                 keep = np.isnan(dg) | (gens >= dg)
                 if not keep.all():
                     doc_ids, tfs, dls = doc_ids[keep], tfs[keep], dls[keep]
-                    if positions is not None:
-                        positions = [p for p, k2 in zip(positions, keep) if k2]
+                    if pos_flat is not None:
+                        pos_flat, pos_offs = _segmented_gather(
+                            pos_flat, pos_offs, np.flatnonzero(keep)
+                        )
             out[str(terms[b0])] = {
                 "doc_ids": doc_ids,
                 "tfs": tfs,
                 "doc_lens": dls,
-                "positions": positions,
+                "pos_flat": pos_flat,
+                "pos_offsets": pos_offs,
             }
         return out
 
@@ -630,10 +672,9 @@ class LocalSearcher:
             if not keep.any():
                 return np.empty(0, np.uint64)
             idx = np.flatnonzero(keep)
-            pos_arrays = [np.asarray(p["positions"][i], dtype=np.uint64) for i in idx]
-            lens = np.fromiter((len(a) for a in pos_arrays), dtype=np.int64, count=len(idx))
+            flat_pos, offs = _segmented_gather(p["pos_flat"], p["pos_offsets"], idx)
+            lens = offs[1:] - offs[:-1]
             ranks = np.searchsorted(common, ids[idx]).astype(np.uint64)
-            flat_pos = np.concatenate(pos_arrays) if pos_arrays else np.empty(0, np.uint64)
             return (np.repeat(ranks, lens) << np.uint64(32)) | flat_pos
 
         if near:
@@ -1005,52 +1046,87 @@ class LocalSearcher:
         parts = self._leaf_parts(plan, meta, postings)
         if not parts:
             return empty
-        frame = pd.DataFrame(
-            {
-                "doc_id": np.concatenate([p[0] for p in parts]),
-                "leaf_id": np.concatenate(
-                    [np.full(len(p[0]), p[1], dtype=np.int64) for p in parts]
-                ),
-                "score": np.concatenate([p[2] for p in parts]),
-            }
-        )
-        # deterministic fold order, as in _combine_frames: (leaf_id, score)
-        frame = frame.sort_values(["doc_id", "leaf_id", "score"], kind="mergesort")
-        if must_nots:
-            excl_docs = frame.loc[frame["leaf_id"].isin(sorted(must_nots)), "doc_id"].unique()
+        # combine on raw numpy arrays (lexsort + masks); ONLY the float
+        # group-sum stays on the pandas kernel so the accumulation
+        # (order AND compensation) is bit-identical to the r5 path —
+        # rank/score identity with search_segments is pinned in tests
+        if (
+            len(parts) == 1
+            and not musts
+            and not must_nots
+            and msm <= 1
+            and len(parts[0][0])
+            and bool(np.all(parts[0][0][1:] > parts[0][0][:-1]))
+        ):
+            # single live leaf over strictly-ascending (single-generation)
+            # doc ids: every doc appears once — the group-sum is identity
+            uniq_d = np.asarray(parts[0][0], dtype=np.int64)
+            sums = np.asarray(parts[0][2], dtype=np.float64)
         else:
-            excl_docs = np.array([], dtype=np.int64)
-        if musts:
-            mc = (
-                frame[frame["leaf_id"].isin(sorted(musts))]
-                .groupby("doc_id")["leaf_id"]
-                .nunique()
+            d = np.concatenate([p[0] for p in parts]).astype(np.int64, copy=False)
+            l = np.concatenate(
+                [np.full(len(p[0]), p[1], dtype=np.int64) for p in parts]
             )
-            ok_docs = mc[mc == len(musts)].index
-        else:
-            ok_docs = None
-        pos_frame = frame[~frame["leaf_id"].isin(sorted(must_nots))] if must_nots else frame
-        scores = pos_frame.groupby("doc_id", sort=False)["score"].sum()
-        if ok_docs is not None:
-            scores = scores[scores.index.isin(ok_docs)]
-        if len(excl_docs):
-            scores = scores[~scores.index.isin(excl_docs)]
-        if msm > 0:
-            scnt = (
-                frame[frame["leaf_id"].isin(should_ids)]
-                .groupby("doc_id")["leaf_id"]
-                .nunique()
-            )
-            scores = scores[scores.index.isin(scnt[scnt >= msm].index)]
+            s = np.concatenate([p[2] for p in parts]).astype(np.float64, copy=False)
+            # deterministic fold order, as in _combine_frames: (leaf_id, score)
+            order = np.lexsort((s, l, d))
+            d, l, s = d[order], l[order], s[order]
+            if must_nots:
+                mn_mask = np.isin(l, sorted(must_nots))
+                excl_docs = np.unique(d[mn_mask])
+                dp, sp = d[~mn_mask], s[~mn_mask]
+            else:
+                excl_docs = np.array([], dtype=np.int64)
+                dp, sp = d, s
+            scores = pd.Series(sp).groupby(dp, sort=False).sum()
+            uniq_d = scores.index.to_numpy()
+            sums = scores.to_numpy()
+            keep = np.ones(len(uniq_d), dtype=bool)
+            if musts:
+                mm = np.isin(l, sorted(musts))
+                dm, lm = d[mm], l[mm]
+                if len(dm):
+                    # distinct (doc, leaf) pairs: adjacent dedupe on the
+                    # (d, l)-sorted rows, then per-doc boundary counts
+                    up = np.concatenate(
+                        [[True], (dm[1:] != dm[:-1]) | (lm[1:] != lm[:-1])]
+                    )
+                    dmu = dm[up]
+                    db = np.concatenate([[True], dmu[1:] != dmu[:-1]])
+                    cnts = np.diff(np.append(np.flatnonzero(db), len(dmu)))
+                    ok_docs = dmu[db][cnts == len(musts)]
+                else:
+                    ok_docs = np.empty(0, dtype=np.int64)
+                keep &= np.isin(uniq_d, ok_docs)
+            if len(excl_docs):
+                keep &= ~np.isin(uniq_d, excl_docs)
+            if msm > 0:
+                sm = np.isin(l, should_ids)
+                ds_, ls_ = d[sm], l[sm]
+                if len(ds_):
+                    up = np.concatenate(
+                        [[True], (ds_[1:] != ds_[:-1]) | (ls_[1:] != ls_[:-1])]
+                    )
+                    dsu = ds_[up]
+                    db = np.concatenate([[True], dsu[1:] != dsu[:-1]])
+                    cnts = np.diff(np.append(np.flatnonzero(db), len(dsu)))
+                    msm_docs = dsu[db][cnts >= msm]
+                else:
+                    msm_docs = np.empty(0, dtype=np.int64)
+                keep &= np.isin(uniq_d, msm_docs)
+            if not keep.all():
+                uniq_d, sums = uniq_d[keep], sums[keep]
         if allowed is not None:
-            scores = scores[scores.index.isin(allowed)]
-        out = scores.reset_index()
-        out.columns = ["doc_id", "score"]
-        out = _apply_cursor(out, search_after)
-        out = out.sort_values(
-            ["score", "doc_id"], ascending=[False, True], kind="mergesort"
-        ).iloc[offset : offset + k]
-        return out.reset_index(drop=True)
+            amask = np.isin(uniq_d, allowed)
+            uniq_d, sums = uniq_d[amask], sums[amask]
+        if search_after is not None:
+            sa_s, sa_d = float(search_after[0]), int(search_after[1])
+            cmask = (sums < sa_s) | ((sums == sa_s) & (uniq_d > sa_d))
+            uniq_d, sums = uniq_d[cmask], sums[cmask]
+        sel = np.lexsort((uniq_d, -sums))[offset : offset + k]
+        return pd.DataFrame(
+            {"doc_id": uniq_d[sel], "score": sums[sel]}
+        )
 
     def more_like_this(
         self,
@@ -1342,6 +1418,9 @@ class LocalSearcher:
         seed_post = self._decode_rows(rows[rows["term"] == seed], need_pos=False)
         if seed not in seed_post:
             return rows
+        # stash for _decode_with_seed: the seed is fully decoded here and
+        # its blocks all survive the prune — don't decode them twice
+        self._seed_postings = {seed: seed_post[seed]}
         p = seed_post[seed]
         s = boosts[seed] * meta[seed]["idf"] * _tf_norm(p["tfs"], p["doc_lens"], avgdl, k1, b)
         if len(s) < k:
