@@ -370,33 +370,40 @@ def batched_stream_decode(bufs: list, counts: np.ndarray) -> np.ndarray:
     out = np.zeros(total, dtype=np.uint64)
     val_offs = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
 
-    v_idx: list[int] = []
-    p_by_w: dict[int, list[int]] = {}
-    exc_idx: list[int] = []
-    for i, buf in enumerate(bufs):
-        if counts[i] == 0:
-            continue
-        tag = buf[0]
-        if tag == CODEC_VARINT:
-            v_idx.append(i)
-        elif tag == CODEC_PFOR:
-            p_by_w.setdefault(buf[1], []).append(i)
-            if int.from_bytes(buf[2:4], "little"):
-                exc_idx.append(i)
-        else:
-            raise ValueError(f"unknown codec tag {tag}")
+    # classify all streams in one pass over the 4-byte headers — the
+    # per-buf dict/int.from_bytes loop was per-block Python overhead on
+    # cold queries with thousands of blocks
+    tags = np.fromiter(
+        (b[0] if len(b) else 255 for b in bufs), dtype=np.uint8, count=len(bufs)
+    )
+    live = counts > 0
+    known = (tags == CODEC_VARINT) | (tags == CODEC_PFOR)
+    if bool((live & ~known).any()):
+        bad = int(np.flatnonzero(live & ~known)[0])
+        raise ValueError(f"unknown codec tag {bufs[bad][0]}")
+    v_idx = np.flatnonzero(live & (tags == CODEC_VARINT))
+    p_idx = np.flatnonzero(live & (tags == CODEC_PFOR))
+    if p_idx.size:
+        heads = b"".join(bufs[i][1:4] for i in p_idx)
+        h = np.frombuffer(heads, np.uint8).reshape(-1, 3)
+        p_widths = h[:, 0].astype(np.int64)
+        p_nexc = h[:, 1].astype(np.int64) | (h[:, 2].astype(np.int64) << 8)
+    else:
+        p_widths = p_nexc = np.zeros(0, dtype=np.int64)
+    e_sel = p_nexc > 0
+    exc_idx = p_idx[e_sel]
 
-    if v_idx:
+    if v_idx.size:
         payload = b"".join(bufs[i][1:] for i in v_idx)
-        nv = int(counts[v_idx].sum())
+        ns = counts[v_idx]
+        nv = int(ns.sum())
         vals = varint_decode(payload, nv)
-        o = 0
-        for i in v_idx:
-            n = int(counts[i])
-            out[val_offs[i] : val_offs[i] + n] = vals[o : o + n]
-            o += n
+        seg = np.arange(nv, dtype=np.int64) - np.repeat(np.cumsum(ns) - ns, ns)
+        out[np.repeat(val_offs[v_idx], ns) + seg] = vals
 
-    for w, idxs in p_by_w.items():
+    for w in np.unique(p_widths):
+        w = int(w)
+        idxs = p_idx[p_widths == w]
         ns = counts[idxs]
         if w == 0:
             continue  # low bits all zero; exceptions patch below
@@ -444,33 +451,35 @@ def batched_stream_decode(bufs: list, counts: np.ndarray) -> np.ndarray:
         dest = np.repeat(val_offs[idxs], ns) + seg
         out[dest] = vals
 
-    if exc_idx:
+    if exc_idx.size:
         # one varint pass over every exception section: per stream the
         # section is [n_exc pos-deltas][n_exc high-bit values], in order
-        sections = []
-        n_excs = []
-        ws = []
-        for i in exc_idx:
-            buf = bufs[i]
-            w = buf[1]
-            plen = (int(counts[i]) * w + 7) // 8
-            sections.append(buf[4 + plen :])
-            n_excs.append(int.from_bytes(buf[2:4], "little"))
-            ws.append(w)
-        n_excs = np.asarray(n_excs, dtype=np.int64)
-        vals = varint_decode(b"".join(sections), int(2 * n_excs.sum()))
-        o = 0
-        pos_all = []
-        high_all = []
-        for k, ne in enumerate(n_excs):
-            ne = int(ne)
-            pos_all.append(
-                delta_decode(vals[o : o + ne]).astype(np.int64)
-                + val_offs[exc_idx[k]]
-            )
-            high_all.append(vals[o + ne : o + 2 * ne] << np.uint64(ws[k]))
-            o += 2 * ne
-        out[np.concatenate(pos_all)] |= np.concatenate(high_all)
+        ws = p_widths[e_sel]
+        n_excs = p_nexc[e_sel]
+        plens = (counts[exc_idx] * ws + 7) // 8
+        sections = b"".join(
+            bufs[i][4 + int(pl) :] for i, pl in zip(exc_idx, plens)
+        )
+        total_exc = int(n_excs.sum())
+        vals = varint_decode(sections, 2 * total_exc)
+        # vectorized patch across ALL exception sections: per stream k the
+        # section holds [ne pos-deltas][ne highs] at offset 2·Σ_{j<k} ne_j
+        starts = np.concatenate([[0], np.cumsum(n_excs)[:-1]]).astype(np.int64)
+        j = np.arange(total_exc, dtype=np.int64) - np.repeat(starts, n_excs)
+        base2 = 2 * np.repeat(starts, n_excs)
+        pos_deltas = vals[base2 + j]
+        highs = vals[base2 + np.repeat(n_excs, n_excs) + j]
+        # per-stream delta→absolute: global cumsum, carry reset at starts
+        g = np.cumsum(pos_deltas, dtype=np.uint64)
+        corr = np.zeros(len(starts), dtype=np.uint64)
+        if len(starts) > 1:
+            corr[1:] = g[starts[1:] - 1]
+        pos_abs = (g - np.repeat(corr, n_excs)).astype(np.int64) + np.repeat(
+            val_offs[np.asarray(exc_idx, dtype=np.int64)], n_excs
+        )
+        out[pos_abs] |= highs << np.repeat(
+            np.asarray(ws, dtype=np.uint64), n_excs
+        )
     return out
 
 
