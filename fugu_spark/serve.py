@@ -1062,6 +1062,52 @@ class LocalSearcher:
             # doc ids: every doc appears once — the group-sum is identity
             uniq_d = np.asarray(parts[0][0], dtype=np.int64)
             sums = np.asarray(parts[0][2], dtype=np.float64)
+        elif all(
+            len(p[0]) == 0 or bool(np.all(p[0][1:] > p[0][:-1])) for p in parts
+        ):
+            # every leaf's doc ids strictly ascend (single-generation
+            # postings — the common case): the leaf-major concat order
+            # already visits each doc's rows in ascending leaf_id with at
+            # most one row per leaf, i.e. exactly the (doc, leaf, score)
+            # fold order — so skip the global 3-key lexsort and group by
+            # hash factorization; the float group-sum stays on the same
+            # pandas kernel, so each doc's addend sequence is unchanged
+            d = np.concatenate([p[0] for p in parts]).astype(np.int64, copy=False)
+            s = np.concatenate([p[2] for p in parts]).astype(np.float64, copy=False)
+            codes, uniq_d = pd.factorize(d)
+            n_uniq = len(uniq_d)
+            spans = np.concatenate([[0], np.cumsum([len(p[0]) for p in parts])])
+            if must_nots:
+                pos_mask = np.ones(len(d), dtype=bool)
+                for j, p in enumerate(parts):
+                    if p[1] in must_nots:
+                        pos_mask[spans[j] : spans[j + 1]] = False
+                cp, sp = codes[pos_mask], s[pos_mask]
+                excl_docs = np.bincount(codes[~pos_mask], minlength=n_uniq) > 0
+            else:
+                cp, sp = codes, s
+                excl_docs = None
+            scores = pd.Series(sp).groupby(cp, sort=False).sum()
+            sums = np.zeros(n_uniq, dtype=np.float64)
+            sums[scores.index.to_numpy()] = scores.to_numpy()
+            keep = np.bincount(cp, minlength=n_uniq) > 0
+            if musts:
+                mm = np.zeros(len(d), dtype=bool)
+                for j, p in enumerate(parts):
+                    if p[1] in musts:
+                        mm[spans[j] : spans[j + 1]] = True
+                keep &= np.bincount(codes[mm], minlength=n_uniq) == len(musts)
+            if excl_docs is not None:
+                keep &= ~excl_docs
+            if msm > 0:
+                sm = np.zeros(len(d), dtype=bool)
+                shoulds = set(should_ids)
+                for j, p in enumerate(parts):
+                    if p[1] in shoulds:
+                        sm[spans[j] : spans[j + 1]] = True
+                keep &= np.bincount(codes[sm], minlength=n_uniq) >= msm
+            if not keep.all():
+                uniq_d, sums = uniq_d[keep], sums[keep]
         else:
             d = np.concatenate([p[0] for p in parts]).astype(np.int64, copy=False)
             l = np.concatenate(
@@ -1123,7 +1169,18 @@ class LocalSearcher:
             sa_s, sa_d = float(search_after[0]), int(search_after[1])
             cmask = (sums < sa_s) | ((sums == sa_s) & (uniq_d > sa_d))
             uniq_d, sums = uniq_d[cmask], sums[cmask]
-        sel = np.lexsort((uniq_d, -sums))[offset : offset + k]
+        m = offset + k
+        if 0 < 4 * m < len(sums):
+            # exact top-m via argpartition + tie-complete re-sort: every
+            # doc at or above the m-th score competes, so the (score
+            # DESC, doc_id ASC) order of the first m entries is identical
+            # to a full sort
+            part = np.argpartition(-sums, m - 1)[:m]
+            thr = sums[part].min()
+            cand = np.flatnonzero(sums >= thr)
+            sel = cand[np.lexsort((uniq_d[cand], -sums[cand]))][offset : offset + k]
+        else:
+            sel = np.lexsort((uniq_d, -sums))[offset : offset + k]
         return pd.DataFrame(
             {"doc_id": uniq_d[sel], "score": sums[sel]}
         )
