@@ -657,18 +657,37 @@ class LocalSearcher:
         from a previous doc differs in the rank bits, making the
         difference ≥ 2³² > window, so cross-doc state never matches."""
         empty = (np.empty(0, np.int64),) * 3
+
+        def _ascending(a: np.ndarray) -> bool:
+            return len(a) < 2 or bool(np.all(a[1:] > a[:-1]))
+
+        def _member(sorted_ref: np.ndarray, vals: np.ndarray) -> np.ndarray:
+            # membership of vals in a SORTED unique array via one binary
+            # search — np.isin re-sorts both sides on every call
+            pos = np.searchsorted(sorted_ref, vals)
+            ok = pos < len(sorted_ref)
+            ok[ok] = sorted_ref[pos[ok]] == vals[ok]
+            return ok
+
         # dense rank domain over docs present for EVERY phrase term
         common = postings[terms[0]]["doc_ids"]
+        common_sorted = _ascending(common)
         for t in terms[1:]:
-            common = np.intersect1d(common, postings[t]["doc_ids"])
+            ids = postings[t]["doc_ids"]
+            if common_sorted and _ascending(ids):
+                common = common[_member(ids, common)]
+            else:
+                common = np.intersect1d(common, ids)
+                common_sorted = True
         if len(common) == 0:
             return empty
-        common = np.sort(common)
+        if not common_sorted:
+            common = np.sort(common)
 
         def packed_keys(t: str) -> np.ndarray:
             p = postings[t]
             ids = p["doc_ids"]
-            keep = np.isin(ids, common)
+            keep = _member(common, ids)
             if not keep.any():
                 return np.empty(0, np.uint64)
             idx = np.flatnonzero(keep)
@@ -677,8 +696,16 @@ class LocalSearcher:
             ranks = np.searchsorted(common, ids[idx]).astype(np.uint64)
             return (np.repeat(ranks, lens) << np.uint64(32)) | flat_pos
 
+        def sorted_keys(t: str) -> np.ndarray:
+            # ascending doc ids + ascending in-doc positions make the
+            # packed keys already sorted — skip the O(n log n) re-sort
+            ks = packed_keys(t)
+            if len(ks) > 1 and not bool(np.all(ks[1:] > ks[:-1])):
+                ks = np.sort(ks)
+            return ks
+
         if near:
-            arrs = [np.sort(packed_keys(t)) for t in terms]
+            arrs = [sorted_keys(t) for t in terms]
             if any(len(a) == 0 for a in arrs):
                 return empty
             merged = np.concatenate(arrs).astype(np.int64)
@@ -698,10 +725,10 @@ class LocalSearcher:
                 return empty
             keys = merged[valid].astype(np.uint64)
         elif slop:
-            keys = np.sort(packed_keys(terms[0]))
+            keys = sorted_keys(terms[0])
             starts = keys.copy()  # latest chain start per candidate end
             for t in terms[1:]:
-                q = np.sort(packed_keys(t))
+                q = sorted_keys(t)
                 if len(keys) == 0 or len(q) == 0:
                     return empty
                 idx = np.searchsorted(keys, q, side="left")  # #predecessors < q
@@ -719,10 +746,12 @@ class LocalSearcher:
             if len(keys) == 0:
                 return empty
         else:
-            keys = np.sort(packed_keys(terms[0]))
+            keys = sorted_keys(terms[0])
             for t in terms[1:]:
-                # pos+1 within the same doc: low 32 bits hold pos (< 2^32)
-                keys = np.intersect1d(keys + np.uint64(1), np.sort(packed_keys(t)))
+                # pos+1 within the same doc: low 32 bits hold pos (< 2^32);
+                # both sides sorted unique → binary-search intersection
+                nxt = keys + np.uint64(1)
+                keys = nxt[_member(sorted_keys(t), nxt)]
                 if len(keys) == 0:
                     return empty
         ranks = (keys >> np.uint64(32)).astype(np.int64)
@@ -1087,9 +1116,13 @@ class LocalSearcher:
             else:
                 cp, sp = codes, s
                 excl_docs = None
-            scores = pd.Series(sp).groupby(cp, sort=False).sum()
-            sums = np.zeros(n_uniq, dtype=np.float64)
-            sums[scores.index.to_numpy()] = scores.to_numpy()
+            # group by the factorized codes directly (Categorical carries
+            # them, so groupby skips a second hash factorization); with
+            # observed=False the result is dense over 0..n_uniq-1, already
+            # aligned to uniq_d — same Cython group-sum kernel, same
+            # row-order accumulation, empty groups are 0.0 and masked off
+            cat = pd.Categorical.from_codes(cp, categories=pd.RangeIndex(n_uniq))
+            sums = pd.Series(sp).groupby(cat, observed=False).sum().to_numpy()
             keep = np.bincount(cp, minlength=n_uniq) > 0
             if musts:
                 mm = np.zeros(len(d), dtype=bool)
