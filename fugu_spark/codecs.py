@@ -56,6 +56,9 @@ def varint_decode(buf: bytes, n: int) -> np.ndarray:
     if n == 0:
         return np.array([], dtype=np.uint64)
     raw = np.frombuffer(buf, dtype=np.uint8)
+    if len(raw) == n:
+        # every value is a single byte (no continuation bits anywhere)
+        return raw.astype(np.uint64)
     is_last = (raw & 0x80) == 0
     ends = np.flatnonzero(is_last)[:n]
     starts = np.concatenate([[0], ends[:-1] + 1])
