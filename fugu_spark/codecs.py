@@ -25,16 +25,15 @@ def varint_encode_lens(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
         return b"", np.zeros(0, dtype=np.int64)
-    # bytes needed per value: ceil(bitlen/7), min 1
-    nbits = np.zeros(v.shape, dtype=np.int64)
-    tmp = v.copy()
-    while True:
-        nz = tmp > 0
-        if not nz.any():
+    # bytes needed per value: ceil(bitlen/7), min 1 — computed by
+    # threshold comparisons up to the batch max (no per-bit loop)
+    vmax = int(v.max())
+    nbytes = np.ones(v.shape, dtype=np.int64)
+    for k in range(1, 10):
+        t = np.uint64(1) << np.uint64(7 * k)
+        if vmax < int(t):
             break
-        nbits[nz] += 1
-        tmp = tmp >> np.uint64(1)
-    nbytes = np.maximum((nbits + 6) // 7, 1)
+        nbytes += v >= t
     offsets = np.concatenate([[0], np.cumsum(nbytes)])
     out = np.zeros(int(offsets[-1]), dtype=np.uint8)
     maxb = int(nbytes.max())
@@ -85,16 +84,20 @@ CODEC_PFOR = 1
 
 
 def _bitlen(values: np.ndarray) -> np.ndarray:
-    """Per-value bit length (0 for 0), vectorized."""
+    """Per-value bit length (0 for 0), vectorized.
+
+    frexp on the float64 conversion gives the bit length directly (the
+    per-bit shift loop ran up to 64 passes for full-range doc-id bases);
+    values ≥ 2^53 can round UP across a power-of-two boundary, which
+    overstates by one — fixed by one exact shift check."""
     v = np.asarray(values, dtype=np.uint64)
-    out = np.zeros(v.shape, dtype=np.int64)
-    tmp = v.copy()
-    while True:
-        nz = tmp > 0
-        if not nz.any():
-            break
-        out[nz] += 1
-        tmp = tmp >> np.uint64(1)
+    _, e = np.frexp(v.astype(np.float64))
+    out = np.minimum(e.astype(np.int64), 64)  # top values round to 2^64
+    big = v >= np.uint64(1 << 53)
+    if big.any():
+        sh = np.maximum(out - 1, 0).astype(np.uint64)
+        over = big & (out > 0) & ((v >> sh) == 0)
+        out[over] -= 1
     return out
 
 

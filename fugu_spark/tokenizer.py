@@ -287,18 +287,32 @@ def postings_batch(
     )
 
 
+# low-bit masks for a partial trailing word: _WORD_MASKS[k] keeps the
+# first k little-endian bytes of a uint64 (k = 0..8)
+_WORD_MASKS = _np.array([(1 << (8 * k)) - 1 for k in range(9)], dtype=_np.uint64)
+
+
 def _gather_words(low, starts, lens, word_idx: int):
     """Zero-padded 8-byte word #word_idx of each token as uint64.
     Tokens are alnum-only (no NUL byte), so zero padding encodes length
     within the word — distinct tokens ≤ 8·(word_idx+1) bytes get
-    distinct word tuples."""
-    import numpy as np
+    distinct word tuples.
 
+    One strided 8-byte window gather + a per-length low-bit mask — the
+    (n × 8) index-matrix + np.where formulation cost ~40% of the whole
+    ASCII tokenize kernel."""
+    import numpy as np
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    padded = np.concatenate([low, np.zeros(8, dtype=np.uint8)])
     base = starts + 8 * word_idx
-    idx = base[:, None] + np.arange(8)[None, :]
-    valid = (np.arange(8)[None, :] + 8 * word_idx) < lens[:, None]
-    out = np.where(valid, low[np.minimum(idx, len(low) - 1)], 0).astype(np.uint8)
-    return np.ascontiguousarray(out).view(np.uint64).ravel()
+    words = (
+        np.ascontiguousarray(sliding_window_view(padded, 8)[base])
+        .view(np.uint64)
+        .ravel()
+    )
+    rem = np.clip(lens - 8 * word_idx, 0, 8)
+    return words & _WORD_MASKS[rem]
 
 
 def _term_codes(low, k_starts, k_lens):
