@@ -212,6 +212,82 @@ def _check_no_not_only_groups(node, fields, metas, qid) -> bool:
     return False
 
 
+def _flat_kernel(n_musts: dict, msm: int, k: int):
+    """applyInPandas combiner for FLAT plans: per query, fold the
+    (leaf_id, score, is_not, is_must) contribution rows per doc and emit
+    the ranked top-k directly.
+
+    Bit-identical to the former JVM column fold — and to
+    search._combine_frames: rows sort by (doc_id, leaf_id, score,
+    is_not, is_must), the mirror of array_sort(collect_list(struct(
+    leaf_id, score, is_not, is_must))); the per-doc sum adds the
+    NOT-free scores left-to-right from 0.0 via rounds over the
+    within-doc rank (round j adds every doc's j-th part — the same
+    addend sequence as the sequential fold, vectorized over docs).
+    Gates (every must leaf distinct-matched, no NOT part, ≥ msm
+    distinct should leaves) are integer tallies. Emitting top-k here
+    replaces a window over every (query, doc) score with a per-query
+    argsort of the (already partitioned) survivors."""
+    import numpy as np
+    import pandas as pd
+
+    def combine(key, pdf):
+        qid = int(key[0])
+        nm = int(n_musts.get(qid, 0))
+        d = pdf["doc_id"].to_numpy(np.int64)
+        lid = pdf["leaf_id"].to_numpy(np.int64)
+        sc = pdf["score"].to_numpy(np.float64)
+        inot = pdf["is_not"].to_numpy(np.int64)
+        imust = pdf["is_must"].to_numpy(np.int64)
+        order = np.lexsort((imust, inot, sc, lid, d))
+        d, lid, sc = d[order], lid[order], sc[order]
+        inot, imust = inot[order], imust[order]
+        docs, gidx = np.unique(d, return_inverse=True)
+        n = len(docs)
+        keep = np.bincount(gidx[inot == 1], minlength=n) == 0
+        if nm > 0:
+            m = imust == 1
+            dm, lm = gidx[m], lid[m]
+            if len(dm):
+                up = np.concatenate([[True], (dm[1:] != dm[:-1]) | (lm[1:] != lm[:-1])])
+                keep &= np.bincount(dm[up], minlength=n) == nm
+            else:
+                keep[:] = False
+        if msm > 0:
+            sm = (inot == 0) & (imust == 0)
+            ds_, ls_ = gidx[sm], lid[sm]
+            if len(ds_):
+                up = np.concatenate(
+                    [[True], (ds_[1:] != ds_[:-1]) | (ls_[1:] != ls_[:-1])]
+                )
+                keep &= np.bincount(ds_[up], minlength=n) >= msm
+            else:
+                keep[:] = False
+        pos = inot == 0
+        gp, sp = gidx[pos], sc[pos]
+        score = np.zeros(n, dtype=np.float64)
+        if len(gp):
+            firsts = np.flatnonzero(np.concatenate([[True], gp[1:] != gp[:-1]]))
+            counts = np.diff(np.append(firsts, len(gp)))
+            rank = np.arange(len(gp), dtype=np.int64) - np.repeat(firsts, counts)
+            for j in range(int(counts.max())):
+                selj = rank == j
+                score[gp[selj]] += sp[selj]
+        kept = np.flatnonzero(keep)
+        dk, sk = docs[kept], score[kept]
+        sel = np.lexsort((dk, -sk))[:k]
+        return pd.DataFrame(
+            {
+                "query_id": np.full(len(sel), qid, dtype=np.int64),
+                "doc_id": dk[sel],
+                "score": sk[sel],
+                "rank": np.arange(1, len(sel) + 1, dtype=np.int32),
+            }
+        )
+
+    return combine
+
+
 def _tree_kernel(trees: dict, msm: int = 0):
     """applyInPandas combiner for nested plans: per query, fold the plan
     tree over (leaf_id, ci, score) contribution rows — vectorized over
@@ -610,75 +686,63 @@ def _batch_execute(
     for c in contribs[1:]:
         contrib = contrib.unionByName(c)
 
+    # ONE exchange for the whole combine: hash-cluster the contributions
+    # by query_id — a partitioning on a subset of the grouping keys
+    # satisfies the (query_id, doc_id) aggregation's distribution, the
+    # per-query tree kernel groups on it directly, and the per-query
+    # top-k window needs exactly it. Without this, Spark exchanges three
+    # times (agg on both keys → window re-shuffle; ~850 MB of shuffle at
+    # the 1k-query bench). Scores are unchanged: the fold order is fixed
+    # by array_sort before summation, not by row arrival.
+    contrib = contrib.repartition("query_id")
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+
+    def _topk(scored: DataFrame) -> DataFrame:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "doc_id", "score", "rank")
+        )
+
     scored_parts: list[DataFrame] = []
 
-    # ---- flat combine: pure column fold (search._combine_frames order) --
+    # ---- flat combine: per-query vectorized fold + ranked top-k ------
     if flat_qids:
         fc = contrib.filter(F.col("query_id").isin(sorted(flat_qids)))
-        nmdf = spark.createDataFrame(
-            [(q, n_musts[q]) for q in sorted(flat_qids)], "query_id long, n_musts int"
-        )
-        agg = fc.groupBy("query_id", "doc_id").agg(
-            F.array_sort(
-                F.collect_list(F.struct("leaf_id", "score", "is_not", "is_must"))
-            ).alias("parts"),
-            F.count_distinct(
-                F.when(F.col("is_must") == 1, F.col("leaf_id"))
-            ).alias("must_cnt"),
-            F.max("is_not").alias("excl"),
-        )
-        gated = agg.join(F.broadcast(nmdf), "query_id").filter(
-            (F.col("must_cnt") == F.col("n_musts")) & (F.col("excl") == 0)
-        )
-        if msm > 0:
-            # same projection trick as search._combine_frames: the count
-            # comes from the already-collected parts, no extra aggregate
-            should_cnt = F.size(
-                F.array_distinct(
-                    F.transform(
-                        F.filter(
-                            "parts",
-                            lambda p: (p["is_not"] == 0) & (p["is_must"] == 0),
-                        ),
-                        lambda p: p["leaf_id"],
-                    )
-                )
-            )
-            gated = gated.filter(should_cnt >= msm)
         scored_parts.append(
-            gated
-            .withColumn(
-                "score",
-                F.aggregate(
-                    F.filter("parts", lambda p: p["is_not"] == 0),
-                    F.lit(0.0),
-                    lambda acc, p: acc + p["score"],
-                ),
+            fc.select(
+                "query_id", "leaf_id", "doc_id", "score", "is_must", "is_not"
             )
-            .select("query_id", "doc_id", "score")
+            .groupBy("query_id")
+            .applyInPandas(
+                _flat_kernel(dict(n_musts), msm, k),
+                "query_id long, doc_id long, score double, rank int",
+            )
         )
 
     # ---- nested combine: vectorized tree fold ------------------------
     if nested_trees:
         nc = contrib.filter(F.col("query_id").isin(sorted(nested_trees)))
         scored_parts.append(
-            nc.select("query_id", "leaf_id", "ci", "doc_id", "score")
-            .groupBy("query_id")
-            .applyInPandas(
-                _tree_kernel(nested_trees, msm),
-                "query_id long, doc_id long, score double",
+            _topk(
+                nc.select("query_id", "leaf_id", "ci", "doc_id", "score")
+                .groupBy("query_id")
+                .applyInPandas(
+                    _tree_kernel(nested_trees, msm),
+                    "query_id long, doc_id long, score double",
+                )
             )
         )
 
-    scored = scored_parts[0]
+    # a query id lives in exactly one branch (flat XOR nested), so the
+    # per-branch top-k windows partition the result space — union of the
+    # ranked branches equals ranking the union, minus one re-shuffle of
+    # the combined score stream
+    out = scored_parts[0]
     for s in scored_parts[1:]:
-        scored = scored.unionByName(s)
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "doc_id", "score", "rank")
-    )
+        out = out.unionByName(s)
+    return out
 
 
 def _phrase_sig_frames(spark, sig_ids, decoded, fields, tfn) -> DataFrame | None:
