@@ -272,16 +272,21 @@ def _percolate_frames(
     per-batch caller (the streaming sink) unpersist after materializing,
     so long-running streams don't accumulate cached plans."""
     spark = docs.sparkSession
-    posts = build_postings(docs, id_col=id_col, text_col=text_col, mode=compiled.mode)
     # prune to the standing vocabulary BEFORE anything else: the doc
     # stream's vocab is unbounded, the query set's is metadata-sized.
-    # Small sets inline as an isin (codegen-able set lookup); big sets
-    # broadcast-semi-join — a 10^6-query vocabulary as an isin literal
-    # would blow up the expression tree.
+    # Small sets push INSIDE the tokenize kernel (non-vocabulary tokens
+    # never reach the posting-grouping passes — they are ~98% of the
+    # stream for a realistic standing set); big sets tokenize fully and
+    # broadcast-semi-join — a 10^6-term set would bloat every task
+    # closure and a 10^6-term isin literal the expression tree.
     vocab = compiled.all_terms
     if len(vocab) <= 8192:
-        posts = posts.filter(F.col("term").isin(vocab))
+        posts = build_postings(
+            docs, id_col=id_col, text_col=text_col, mode=compiled.mode,
+            vocab=frozenset(vocab),
+        )
     else:
+        posts = build_postings(docs, id_col=id_col, text_col=text_col, mode=compiled.mode)
         vdf = spark.createDataFrame([(t,) for t in vocab], "term string")
         posts = posts.join(F.broadcast(vdf), "term", "left_semi")
     persisted: DataFrame | None = None

@@ -62,8 +62,15 @@ def build_postings(
     text_col: str = "content",
     mode: str = DEFAULT_MODE,
     encode_positions: bool = False,
+    vocab: frozenset | None = None,
 ) -> DataFrame:
-    """Tokenize + aggregate per (doc, term): the B1 posting-extraction job."""
+    """Tokenize + aggregate per (doc, term): the B1 posting-extraction job.
+
+    ``vocab`` restricts the output to postings of those terms — same
+    rows as filtering afterwards (doc_len / position ordinals count all
+    tokens), but the non-vocabulary tokens never reach the grouping
+    kernel (percolation's shape: tiny standing vocabulary, unbounded
+    doc-stream vocabulary)."""
 
     CHUNK = 1024  # docs per inner chunk: bounds worker peak memory so
     # concurrent Python workers don't thrash caches/allocator
@@ -72,7 +79,7 @@ def build_postings(
         for whole in batches:
             for lo in range(0, len(whole), CHUNK):
                 pdf = whole.iloc[lo : lo + CHUNK].reset_index(drop=True)
-                grouped = postings_batch(pdf[text_col], mode, encode_positions)
+                grouped = postings_batch(pdf[text_col], mode, encode_positions, vocab)
                 if grouped.empty:
                     continue
                 ids = pdf[id_col].to_numpy()

@@ -234,7 +234,10 @@ def _group_tokens(idx, codes_or_terms, pos, n_terms: int | None = None, encode_p
 
 
 def postings_batch(
-    texts: pd.Series, mode: str = DEFAULT_MODE, encode_positions: bool = False
+    texts: pd.Series,
+    mode: str = DEFAULT_MODE,
+    encode_positions: bool = False,
+    vocab: frozenset | set | None = None,
 ) -> pd.DataFrame:
     """Batch → GROUPED postings ``(idx, term, tf, positions, doc_len)``.
 
@@ -244,7 +247,14 @@ def postings_batch(
     per-length byte matrices — Python strings are materialized only for
     the (small) per-batch vocabulary, never per token. Non-ASCII batches
     fall back to the general regex path (identical semantics, asserted in
-    tests)."""
+    tests).
+
+    ``vocab``: keep only postings whose term is in this set — identical
+    to filtering the full output on term membership (doc_len and
+    position ordinals still count every indexed token), but the drop
+    happens BEFORE grouping/position encoding, so a percolation-style
+    caller whose standing vocabulary covers ~2% of the token stream
+    skips ~all of the grouping cost."""
     import numpy as np
 
     pos_col = "pos_enc" if encode_positions else "positions"
@@ -258,12 +268,12 @@ def postings_batch(
     if mode == "tantivy_default":
         is_ascii = texts.map(lambda t: t is None or t.isascii())
         if bool(is_ascii.all()):
-            return _ascii_postings(texts, encode_positions)
+            return _ascii_postings(texts, encode_positions, vocab)
         if bool(is_ascii.any()):
             # per-doc split: byte path for ASCII docs (the overwhelming
             # majority in source code), regex path for the rest
-            fast = _ascii_postings(texts[is_ascii], encode_positions)
-            slow = postings_batch(texts[~is_ascii], mode, encode_positions)
+            fast = _ascii_postings(texts[is_ascii], encode_positions, vocab)
+            slow = postings_batch(texts[~is_ascii], mode, encode_positions, vocab)
             return pd.concat([fast, slow], ignore_index=True)
     # general path: per-token frame then group
     tok = tokenize_batch(texts, mode)
@@ -273,6 +283,12 @@ def postings_batch(
     pos = tok["pos"].to_numpy(dtype=np.int64)
     codes, uniques = pd.factorize(tok["term"].to_numpy(), sort=False)
     doc_len_map = pd.Series(idx).value_counts()
+    if vocab is not None:
+        vmask = np.fromiter((t in vocab for t in uniques), np.bool_, len(uniques))
+        tkeep = vmask[codes]
+        if not tkeep.any():
+            return _empty_postings(pos_col)
+        idx, pos, codes = idx[tkeep], pos[tkeep], codes[tkeep]
     g_idx, g_code, tf, positions = _group_tokens(
         idx, codes, pos, len(uniques), encode_positions
     )
@@ -389,7 +405,9 @@ def _term_codes(low, k_starts, k_lens):
     return codes, np.array(vocab, dtype=object)
 
 
-def _ascii_postings(texts: pd.Series, encode_positions: bool = False) -> pd.DataFrame | None:
+def _ascii_postings(
+    texts: pd.Series, encode_positions: bool = False, vocab=None
+) -> pd.DataFrame | None:
     """tantivy_default over an all-ASCII batch, byte-domain vectorized."""
     import numpy as np
 
@@ -432,6 +450,16 @@ def _ascii_postings(texts: pd.Series, encode_positions: bool = False) -> pd.Data
     k_doc, k_pos = doc_of[keep], pos[keep]
     codes, vocab_arr = _term_codes(low, k_starts, k_lens)
     doc_len = np.bincount(k_doc, minlength=len(values)).astype("int32")
+    if vocab is not None:
+        # drop non-vocabulary postings BEFORE grouping — doc_len and
+        # position ordinals above already counted every indexed token
+        vmask = np.fromiter(
+            (t in vocab for t in vocab_arr), np.bool_, len(vocab_arr)
+        )
+        tkeep = vmask[codes]
+        if not tkeep.any():
+            return _empty_postings(pos_col)
+        k_doc, k_pos, codes = k_doc[tkeep], k_pos[tkeep], codes[tkeep]
     g_idx, g_code, tf, positions = _group_tokens(
         k_doc, codes.astype(np.int64), k_pos, len(vocab_arr), encode_positions
     )
