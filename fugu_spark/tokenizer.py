@@ -92,6 +92,10 @@ _ALNUM = _np.zeros(256, dtype=bool)
 for _c in b"0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz":
     _ALNUM[_c] = True
 
+# ASCII lowercase lookup table (A-Z → a-z, all else identity)
+_LOWER_LUT = _np.arange(256, dtype=_np.uint8)
+_LOWER_LUT[65:91] += 32
+
 
 def classify_token(text: str) -> str:
     """Token class per the reference cascade (src/tokeinze.rs:192-235)."""
@@ -420,12 +424,15 @@ def _ascii_postings(
         return _empty_postings(pos_col)
     b = np.frombuffer(blob.encode("ascii"), dtype=np.uint8)
     mask = _ALNUM[b]
-    m8 = mask.astype(np.int8)
-    dif = np.diff(m8)
-    starts = np.flatnonzero(dif == 1) + 1
-    ends = np.flatnonzero(dif == -1) + 1
+    # run detection in ONE transition pass: boundaries alternate
+    # start/end, so the parity of the combined index array splits them
+    trans = np.flatnonzero(mask[1:] != mask[:-1]) + 1
     if mask[0]:
-        starts = np.concatenate([[0], starts])
+        starts = np.concatenate([[0], trans[1::2]])
+        ends = trans[0::2]
+    else:
+        starts = trans[0::2]
+        ends = trans[1::2]
     if mask[-1]:
         ends = np.concatenate([ends, [len(b)]])
     if len(starts) == 0:
@@ -442,10 +449,8 @@ def _ascii_postings(
     keep = lens < MAX_TOKEN_BYTES
     if not keep.any():
         return _empty_postings(pos_col)
-    # vectorized ASCII lowercase of the whole buffer
-    low = b.copy()
-    upper = (b >= 65) & (b <= 90)
-    low[upper] += 32
+    # vectorized ASCII lowercase of the whole buffer: one LUT gather
+    low = _LOWER_LUT[b]
     k_starts, k_lens = starts[keep], lens[keep]
     k_doc, k_pos = doc_of[keep], pos[keep]
     codes, vocab_arr = _term_codes(low, k_starts, k_lens)
