@@ -297,9 +297,12 @@ def encode_doc_streams(
         pos_b = high_b = b""
         pos_cum = high_cum = np.zeros(1, dtype=np.int64)
 
-    # bitpack low bits, batched by (width, block length): equal-length
-    # blocks of one width concatenate into a single packbits call, sliced
-    # at per-block byte boundaries (128·w bits is always byte-aligned)
+    # bitpack low bits: ONE bit-scatter pass per width over every block
+    # of that width (variable block lengths batch together; each block's
+    # frame starts byte-aligned, so the per-block byte slices are exact
+    # and identical to per-block bitpack_encode). The previous
+    # per-(width, block-length) grouping degenerated into hundreds of
+    # tiny matrix ops when many tail lengths met in one batched call.
     packed_bytes: dict[int, bytes] = {}
     for w in np.unique(best_w[pblocks]):
         w = int(w)
@@ -309,21 +312,42 @@ def encode_doc_streams(
                 packed_bytes[int(k)] = b""
             continue
         mask = np.uint64(0xFFFFFFFFFFFFFFFF) if w >= 64 else np.uint64((1 << w) - 1)
-        for cnt in np.unique(nk[sel]):
-            grp = sel[nk[sel] == cnt]
-            idx = (block_starts[grp][:, None] + np.arange(int(cnt), dtype=np.int64)).ravel()
+        full = sel[nk[sel] == BLOCK_SIZE]
+        if full.size:
+            # full blocks: one dense (n × w) unpack + a single packbits
+            # (BLOCK_SIZE·w bits per block is always byte-aligned)
+            idx = (
+                block_starts[full][:, None] + np.arange(BLOCK_SIZE, dtype=np.int64)
+            ).ravel()
             vals = v[idx] & mask
-            bits = ((vals[:, None] >> np.arange(w, dtype=np.uint64)) & np.uint64(1)).astype(np.uint8)
-            nbits = int(cnt) * w
-            if nbits % 8 == 0:
-                packed = np.packbits(bits.ravel(), bitorder="little").tobytes()
-                per = nbits >> 3
-                for j, k in enumerate(grp):
-                    packed_bytes[int(k)] = packed[j * per : (j + 1) * per]
-            else:
-                bm = bits.reshape(len(grp), nbits)
-                for j, k in enumerate(grp):
-                    packed_bytes[int(k)] = np.packbits(bm[j], bitorder="little").tobytes()
+            bits = (
+                (vals[:, None] >> np.arange(w, dtype=np.uint64)) & np.uint64(1)
+            ).astype(np.uint8)
+            packed = np.packbits(bits.ravel(), bitorder="little").tobytes()
+            per = (BLOCK_SIZE * w) >> 3
+            for j, k in enumerate(full):
+                packed_bytes[int(k)] = packed[j * per : (j + 1) * per]
+        tails = sel[nk[sel] != BLOCK_SIZE]
+        if tails.size:
+            # tail blocks (any mix of lengths): one bit-scatter per bit
+            # position; every block's frame starts byte-aligned so the
+            # per-block byte slices equal per-block bitpack_encode
+            cnts = nk[tails]
+            blen = (cnts * w + 7) >> 3
+            bstart = np.concatenate([[0], np.cumsum(blen)]).astype(np.int64)
+            seg_j = np.arange(int(cnts.sum()), dtype=np.int64) - np.repeat(
+                np.cumsum(cnts) - cnts, cnts
+            )
+            vals = v[np.repeat(block_starts[tails], cnts) + seg_j] & mask
+            base = np.repeat(bstart[:-1] * 8, cnts) + seg_j * w
+            bitbuf = np.zeros(int(bstart[-1]) * 8, dtype=np.uint8)
+            for bit in range(w):
+                bitbuf[base + bit] = (
+                    (vals >> np.uint64(bit)) & np.uint64(1)
+                ).astype(np.uint8)
+            packed = np.packbits(bitbuf, bitorder="little").tobytes()
+            for j, k in enumerate(tails):
+                packed_bytes[int(k)] = packed[bstart[j] : bstart[j + 1]]
 
     for k in pblocks:
         k = int(k)
