@@ -187,18 +187,24 @@ def _decode_seg_df(
                 pdf["doc_lens_enc"].tolist(),
                 pdf["pos_counts_enc"].tolist() if with_positions else None,
                 pdf["positions_enc"].tolist() if with_positions else None,
+                flat_positions=True,
             )
             total = dec["n_total"]
+            if with_positions:
+                # one int32 cast of the FLAT positions, then a single
+                # split — the per-doc astype chain cost ~2x the decode
+                flat32 = (
+                    dec["positions_flat"].astype(np.int64).astype("int32")
+                )
+                positions = np.split(flat32, dec["pos_offsets"][1:-1])
+            else:
+                positions = [np.array([], dtype="int32")] * total
             yield pd.DataFrame(
                 {
                     "doc_id": dec["doc_ids"].view(np.int64),
                     "term": np.repeat(pdf["term"].to_numpy(), n),
                     "tf": dec["tfs"].astype(np.int64).astype("int32"),
-                    "positions": [
-                        p.astype(np.int64).astype("int32") for p in dec["positions"]
-                    ]
-                    if with_positions
-                    else [np.array([], dtype="int32")] * total,
+                    "positions": positions,
                     "doc_len": dec["doc_lens"].astype(np.int64).astype("int32"),
                     "gen": np.repeat(
                         pdf["gen"].to_numpy(np.int64), n
