@@ -39,6 +39,10 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+# Cap on min_doc_count=0 spine size (ES search.max_buckets default):
+# beyond it the empty-bucket sequence raises instead of OOMing the job.
+MAX_SPINE_BUCKETS = 65536
+
 __all__ = [
     "Stats",
     "Percentiles",
@@ -220,12 +224,27 @@ def histogram_agg(
     if min_doc_count > 0:
         out = out.filter(F.col("doc_count") >= min_doc_count)
     else:
+        # min_doc_count=0 spine guard (ADVICE r5): one outlier value with
+        # a small interval makes sequence(lo, hi) astronomically large
+        # (Spark caps arrays at ~2^31 and a big spine OOMs first) — fail
+        # loudly at the ES search.max_buckets-style cap instead
         spine = (
             out.agg(
                 F.round(F.min("key") / iv).cast("long").alias("lo"),
                 F.round(F.max("key") / iv).cast("long").alias("hi"),
             )
-            .select(F.explode(F.expr("sequence(lo, hi)")).alias("n"))
+            .select(
+                F.explode(
+                    F.expr(
+                        f"CASE WHEN hi - lo >= {MAX_SPINE_BUCKETS} THEN "
+                        "raise_error(concat('histogram min_doc_count=0 spine "
+                        "would produce ', cast(hi - lo + 1 as string), "
+                        f"' buckets (cap {MAX_SPINE_BUCKETS}) — raise the "
+                        "interval or use min_doc_count=1')) "
+                        "ELSE sequence(lo, hi) END"
+                    )
+                ).alias("n")
+            )
             .select((F.col("n") * F.lit(iv)).alias("key"))
         )
         out = spine.join(out, "key", "left").withColumn(
@@ -273,9 +292,26 @@ def date_histogram_agg(
         step = {"day": "interval 1 day", "week": "interval 7 day",
                 "month": "interval 1 month", "quarter": "interval 3 month",
                 "year": "interval 1 year"}[calendar_interval]
+        # spine guard (ADVICE r5): bound the bucket count before building
+        # the calendar sequence; the conservative day-span divisor (the
+        # interval's LONGEST realization) never fires below the true cap
+        ub_days = {"day": 1, "week": 7, "month": 31, "quarter": 92,
+                   "year": 366}[calendar_interval]
         spine = (
             out.agg(F.min("key").alias("lo"), F.max("key").alias("hi"))
-            .select(F.explode(F.expr(f"sequence(lo, hi, {step})")).alias("key"))
+            .select(
+                F.explode(
+                    F.expr(
+                        f"CASE WHEN datediff(hi, lo) >= "
+                        f"{MAX_SPINE_BUCKETS} * {ub_days} THEN "
+                        "raise_error(concat('date_histogram min_doc_count=0 "
+                        "spine would span ', cast(datediff(hi, lo) as string),"
+                        f" ' days (bucket cap {MAX_SPINE_BUCKETS}) — raise "
+                        "the interval or use min_doc_count=1')) "
+                        f"ELSE sequence(lo, hi, {step}) END"
+                    )
+                ).alias("key")
+            )
         )
         out = (
             spine.join(out, "key", "left")

@@ -621,6 +621,11 @@ def decay_score(
         mult = F.greatest((F.lit(s) - dist) / F.lit(s), F.lit(0.0))
     else:
         raise ValueError(f"kind must be gauss/exp/linear, got {kind!r}")
+    # missing-field neutrality made EXPLICIT (ADVICE r5): greatest()
+    # skipping the NULL distance happened to yield mult=1.0 for every
+    # kind, but that invariant would silently break if the dist
+    # expression changed — gate on the field itself instead
+    mult = F.when(F.col("_fv").isNull(), F.lit(1.0)).otherwise(mult)
     keyed = scored.join(
         docs.select(F.col(id_col).cast("long").alias("doc_id"), F.col(field).alias("_fv")),
         "doc_id",
@@ -628,7 +633,7 @@ def decay_score(
     )
     return keyed.select(
         "doc_id",
-        (F.col("score") * F.coalesce(mult, F.lit(1.0))).alias("score"),
+        (F.col("score") * mult).alias("score"),
     )
 
 

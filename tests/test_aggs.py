@@ -490,3 +490,42 @@ class TestAutoDateHistogram:
                 for r in auto_date_histogram_agg(df, "d", buckets=3).collect()]
         plain = [(r.key, r.doc_count) for r in date_histogram_agg(df, "d", "month").collect()]
         assert auto == plain
+
+
+class TestSpineGuard:
+    """min_doc_count=0 spine cap (ADVICE r5): one outlier value must
+    raise the max-bucket error instead of building a giant sequence."""
+
+    def test_numeric_spine_outlier_raises(self, spark):
+        df = spark.createDataFrame(
+            [(1, 0.0), (2, 1e9)], "doc_id long, v double"
+        )
+        with pytest.raises(Exception, match="spine would produce"):
+            histogram_agg(df, "v", interval=1.0, min_doc_count=0).collect()
+
+    def test_numeric_spine_in_cap_ok(self, spark):
+        df = spark.createDataFrame(
+            [(1, 0.0), (2, 500.0)], "doc_id long, v double"
+        )
+        rows = histogram_agg(df, "v", interval=1.0, min_doc_count=0).collect()
+        assert len(rows) == 501
+
+    def test_date_spine_outlier_raises(self, spark):
+        import datetime
+
+        df = spark.createDataFrame(
+            [(1, datetime.datetime(1, 1, 1)), (2, datetime.datetime(9999, 1, 1))],
+            "doc_id long, ts timestamp",
+        )
+        with pytest.raises(Exception, match="spine would span"):
+            date_histogram_agg(df, "ts", "day", min_doc_count=0).collect()
+
+    def test_date_spine_in_cap_ok(self, spark):
+        import datetime
+
+        df = spark.createDataFrame(
+            [(1, datetime.datetime(2024, 1, 5)), (2, datetime.datetime(2024, 3, 2))],
+            "doc_id long, ts timestamp",
+        )
+        rows = date_histogram_agg(df, "ts", "month", min_doc_count=0).collect()
+        assert [str(r.key) for r in rows] == ["2024-01-01", "2024-02-01", "2024-03-01"]

@@ -447,3 +447,22 @@ class TestPhraseSuggest:
             phrase_suggest(index, d, "merge")
         with pytest.raises(ValueError):
             phrase_suggest(index, d, "a b c d e merge join sort scan table")
+
+
+def test_decay_null_field_is_neutral_explicitly(spark):
+    """ADVICE r5: a NULL decay field must multiply by exactly 1.0 via the
+    explicit isNull gate (previously an accident of greatest() skipping
+    the NULL distance)."""
+    from fugu_spark.resultops import decay_score
+
+    scored = spark.createDataFrame([(1, 2.5), (2, 2.5)], "doc_id long, score double")
+    docs = spark.createDataFrame([(1, 100.0), (2, None)], "doc_id long, v double")
+    for kind in ("gauss", "exp", "linear"):
+        out = {
+            r.doc_id: r.score
+            for r in decay_score(
+                scored, docs, "v", origin=100.0, scale=10.0, kind=kind
+            ).collect()
+        }
+        assert out[2] == 2.5  # NULL field: unchanged
+        assert out[1] == 2.5  # at origin: multiplier 1.0
